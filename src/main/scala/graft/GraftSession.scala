@@ -8,18 +8,34 @@ import org.apache.spark.sql.SparkSession
   * apply except parallelism, which should be ~2-3x total cores. AQE is
   * on so runtime stats re-plan skew joins and coalesce small shuffle
   * partitions — both load-bearing at 100 TB.
+  *
+  * Deliberate choices:
+  *   - `spark.sql.ansi.enabled=false`: the reference (pandas) propagates
+  *     invalid arithmetic as NaN/null instead of aborting; a single
+  *     degenerate row must not kill a 100 TB job. Divisions in this
+  *     code base therefore yield null on /0 rather than throwing.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: the events table is
+  *     written with nanosecond timestamps, which the vectorized parquet
+  *     reader otherwise rejects; we read them as long and convert to
+  *     microsecond timestamps in [[graft.tables.Tables]] (truncation —
+  *     identical to DuckDB's ns->us cast).
+  *   - timezone pinned to UTC so timestamp<->epoch conversions are
+  *     total-order stable across engines.
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    tuned(SparkSession.builder().master(master), shufflePartitions)
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

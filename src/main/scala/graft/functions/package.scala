@@ -47,9 +47,11 @@ package object functions {
   def decimalHoursSince(ts: Column, dayStart: Column): Column =
     (unix_micros(ts) - unix_micros(dayStart)) / lit(3600.0 * 1e6)
 
-  /** sqrt(sum of squares) (utils.py:59). */
+  /** sqrt(sum of squares) (utils.py:59); zero args -> sqrt(0) = 0 like
+    * the reference's running total.
+    */
   def quadrature(cols: Column*): Column =
-    sqrt(cols.map(c => c * c).reduce(_ + _))
+    sqrt(cols.map(c => c * c).foldLeft(lit(0.0))(_ + _))
 
   // ----- hydrology (hydrotools.py) -----
 
@@ -97,7 +99,12 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  /** Cosine similarity of two float-array columns. */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two float-array columns. Zero-norm vectors
+    * yield null instead of aborting the job (one degenerate embedding
+    * must not kill a 100 TB dedup run; see ADVICE r1).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= 0.0, dotProduct(a, b) / denom)
+  }
 }

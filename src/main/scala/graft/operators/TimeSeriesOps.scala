@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series core operators (SURVEY §2 A1-A9).
+  *
+  * Every operator is keyed by one or more series-id columns and runs
+  * per-key inside Spark's WindowExec: one hash shuffle on the key, then
+  * an in-partition sort — no driver loops, no collects. That is the
+  * 100 TB design: millions of independent series processed in parallel,
+  * each key's rows co-located by the shuffle.
+  */
+object TimeSeriesOps {
+
+  /** Microseconds in one second, as a long. */
+  private val UsPerSec = 1000000L
+
+  /** Centered time-window rolling aggregate (reference utils.py:32-57
+    * `c_rolling`).
+    *
+    * Pandas computes a trailing window (t-w, t] (closed on the right)
+    * and then shifts the index by -w/2. We reproduce exactly that: the
+    * output timestamp is `ts - window/2` and the aggregate covers the
+    * trailing window, which is equivalent to a window centered on the
+    * shifted timestamp. `min_periods` defaults to 1 like pandas
+    * time-based rolling.
+    *
+    * @param aggs (outputName, aggregating fn over the frame'd column)
+    */
+  def cRolling(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+               windowSec: Long, aggs: Seq[(String, Column => Column)]): DataFrame = {
+    val wUs = windowSec * UsPerSec
+    val frame = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(wUs - 1), 0) // (t-w, t] at microsecond resolution
+    val aggCols = aggs.map { case (name, f) => f(col(valCol)).over(frame).as(name) }
+    val tsCentered = timestamp_micros(unix_micros(col(tsCol)) - wUs / 2).as(tsCol + "_c")
+    df.select(keys.map(col) ++ Seq(tsCentered) ++ aggCols: _*)
+  }
+
+  /** Downsample to fixed calendar buckets with aggregates (A3;
+    * reference gpstools.py:350 `resample('1D').mean()`).
+    */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+               unit: String, aggs: Seq[(String, Column => Column)]): DataFrame =
+    df.groupBy(keys.map(col) :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(aggs.head._2(col(valCol)).as(aggs.head._1),
+        aggs.tail.map { case (n, f) => f(col(valCol)).as(n) }: _*)
+
+  /** As-of (backward) join: for each left row, the latest right value
+    * with right.ts <= left.ts, per key (A4; the pattern behind
+    * hydrotools.py:545's atmospheric-pressure alignment).
+    *
+    * Implemented as union + last-non-null window: both sides are tagged
+    * and unioned, one hash shuffle on the key, sort by (ts, side), and
+    * a running `last(value, ignoreNulls)` carries the right value
+    * forward. O(n log n) per key and never broadcasts the big side —
+    * this beats a per-row range lookup at scale. Right rows sort before
+    * left rows on timestamp ties (asof is inclusive).
+    *
+    * @param rightVals right-side value columns to carry (left must not
+    *                  already contain columns with these names)
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsCol: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_side", lit(0))
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val rTagged = right
+      .withColumn("_side", lit(1))
+      .select(Seq(col("_side")) ++ leftCols.map(c =>
+        if (keys.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged)
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+    filled.filter(col("_side") === 0).drop("_side")
+  }
+
+  /** Linear gap interpolation per key (A5; reference melt_model.py:403
+    * `interpolate(method='linear')` with pandas defaults): interior
+    * nulls are linearly interpolated between the nearest non-null
+    * neighbors by timestamp; trailing nulls are filled with the last
+    * valid value (pandas forward limit direction); leading nulls stay
+    * null.
+    */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], tsCol: String,
+                        valCol: String, outCol: String): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val before = part.rowsBetween(Window.unboundedPreceding, -1)
+    val after = part.rowsBetween(1, Window.unboundedFollowing)
+    val point = when(col(valCol).isNotNull,
+      struct(unix_micros(col(tsCol)).as("t"), col(valCol).as("v")))
+    val prev = last(point, ignoreNulls = true).over(before)
+    val next = first(point, ignoreNulls = true).over(after)
+    df.withColumn("_prev", prev).withColumn("_next", next)
+      .withColumn(outCol,
+        when(col(valCol).isNotNull, col(valCol))
+          .when(col("_prev").isNotNull && col("_next").isNotNull,
+            col("_prev.v") + (col("_next.v") - col("_prev.v")) *
+              (unix_micros(col(tsCol)) - col("_prev.t")) /
+              (col("_next.t") - col("_prev.t")))
+          .when(col("_prev").isNotNull, col("_prev.v"))
+          .otherwise(lit(null).cast("double")))
+      .drop("_prev", "_next")
+  }
+
+  /** Sampling-rate inference: mode of consecutive timestamp deltas per
+    * key, in whole seconds (A7; reference gpstools.py:804
+    * `infer_sampling` — pandas `.seconds` excludes whole days, hence
+    * the modulo). Ties break toward the smallest delta (the reference's
+    * set-iteration tie-break is nondeterministic; ours is pinned).
+    */
+  def inferSampling(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val deltas = df
+      .withColumn("_prev_us", lag(unix_micros(col(tsCol)), 1).over(part))
+      .filter(col("_prev_us").isNotNull)
+      .withColumn("dt_s",
+        floor((unix_micros(col(tsCol)) - col("_prev_us")) / lit(1000000.0))
+          .cast("long") % lit(86400L))
+    val counts = deltas.groupBy(keys.map(col) :+ col("dt_s"): _*).agg(count(lit(1)).as("n"))
+    val rankW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("n").desc, col("dt_s").asc)
+    counts.withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") === 1)
+      .select(keys.map(col) :+ col("dt_s").as("sampling_rate_s") :+ col("n"): _*)
+  }
+
+  /** Time-slice clip (A9; reference gpstools.py:829 `clip_to_window`). */
+  def clipWindow(df: DataFrame, tsCol: String, startInclusive: String,
+                 endExclusive: String): DataFrame =
+    df.filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
+      col(tsCol) < lit(endExclusive).cast("timestamp"))
+}

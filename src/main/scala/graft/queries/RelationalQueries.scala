@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** F1-F6 — the relational substrate (TPC-H-ish).
+  *
+  * Scale notes (100 TB):
+  *   - q1_agg is a single scan + partial/final hash agg; the shipdate
+  *     filter and 7-column projection reach the parquet scan
+  *     (PushedFilters / ReadSchema).
+  *   - q3_join broadcasts the filtered customer dim (small side) and
+  *     lets AQE pick broadcast for orders-after-filter as well; only
+  *     lineitem streams.
+  *   - window queries shuffle once on the partition key, then sort in
+  *     place (WindowExec), no driver collection.
+  *   - q_antijoin is a broadcastable left-anti (null-safe not needed:
+  *     keys are non-null).
+  */
+object RelationalQueries extends QueryPack {
+
+  /** F1 `q1_agg` — scan + filter + project + grouped aggregation. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r6(avg("l_quantity")).as("avg_qty"),
+        r6(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** F2 `q3_join` — multi-way join, small dims broadcast. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"), fmtDay(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+  }
+
+  /** F3 `q_window_topk` — rank() within nation over customer balance. */
+  def qWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+  }
+
+  /** F4 `q_antijoin` — customers with no recent (>= 2000) orders. */
+  def qAntijoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** F5 `q_topk` — grouped top-k (per supplier, 5 priciest line items). */
+  def qTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+
+  /** F6 `q_sessionize` — gap-based sessions (12 h) per user. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 12L * 3600 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        r4(sum(col("value"))).as("total_value"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join" -> q3Join,
+    "q_window_topk" -> qWindowTopk,
+    "q_antijoin" -> qAntijoin,
+    "q_topk" -> qTopk,
+    "q_sessionize" -> qSessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate""".stripMargin,
+    "q_window_topk" ->
+      """SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY n_nationkey
+        |                 ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin,
+    "q_topk" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 5""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)
+}

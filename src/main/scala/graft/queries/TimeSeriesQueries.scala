@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.operators.TimeSeriesOps
+import graft.functions._
+
+/** A1-A9 — the time-series core, exercised on the events table
+  * (series key = user_id, timestamp = ts, value = value).
+  */
+object TimeSeriesQueries extends QueryPack {
+
+  private def e(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** A1 `ts_rolling_center` — centered 2 h rolling mean (utils.py:32). */
+  def tsRollingCenter(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cRolling(e(s, dir), Seq("user_id"), "ts", "value", 7200,
+        Seq("mean_2h" -> (c => avg(c))))
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"), r6(col("mean_2h")).as("mean_2h"))
+
+  /** A2 `ts_rolling_multi` — min/max/sum/mean/count over the same frame
+    * (median is not frame-capable in Spark's WindowExec; the exact
+    * median path is exercised by gps_velocity's grouped medians).
+    */
+  def tsRollingMulti(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cRolling(e(s, dir), Seq("user_id"), "ts", "value", 7200,
+        Seq("roll_min" -> (c => min(c)), "roll_max" -> (c => max(c)),
+          "roll_sum" -> (c => sum(c)), "roll_n" -> (c => count(c)),
+          "roll_mean" -> (c => avg(c))))
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
+        col("roll_min"), col("roll_max"), r6(col("roll_sum")).as("roll_sum"),
+        col("roll_n"), r6(col("roll_mean")).as("roll_mean"))
+
+  /** A3 `ts_resample_1d` — daily downsample (gpstools.py:350). */
+  def tsResample1d(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.resample(e(s, dir), Seq("user_id"), "ts", "value", "day",
+        Seq("mean_v" -> (c => avg(c)), "min_v" -> (c => min(c)),
+          "max_v" -> (c => max(c)), "n" -> (c => count(c))))
+      .select(col("user_id"), fmtDay(col("bucket")).as("day"),
+        r6(col("mean_v")).as("mean_v"), col("min_v"), col("max_v"), col("n"))
+
+  /** A4 `ts_asof_join` — backward as-of join of purchase values onto
+    * click/view events (hydrotools.py:204 pattern).
+    */
+  def tsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = e(s, dir)
+    val left = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+    TimeSeriesOps.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("ref_value"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value"), col("ref_value"))
+  }
+
+  /** A5 `ts_interpolate` — linear gap fill (melt_model.py:403); gaps are
+    * synthesized deterministically (every 10th event).
+    */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val withGaps = e(s, dir).withColumn("value_n",
+      when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value")))
+    TimeSeriesOps.interpolateLinear(withGaps, Seq("user_id"), "ts", "value_n", "value_i")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        r6(col("value_i")).as("value_i"))
+  }
+
+  /** A6 `ts_doy` — decimal day-of-year (utils.py:66). Not rounded: the
+    * formula is identical int/double IEEE arithmetic in both engines so
+    * the doubles are bit-exact, while round() itself diverges between
+    * engines exactly on decimal half-boundaries (which k/86400 hits
+    * systematically).
+    */
+  def tsDoy(s: SparkSession, dir: String): DataFrame =
+    e(s, dir).select(col("event_id"), col("user_id"),
+      decimalDoy(col("ts")).as("doy"))
+
+  /** A7 `ts_infer_sampling` — mode of consecutive deltas (gpstools.py:804). */
+  def tsInferSampling(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.inferSampling(e(s, dir), Seq("user_id"), "ts")
+
+  /** A8 `ts_quadrature` — add-in-quadrature (utils.py:59). */
+  def tsQuadrature(s: SparkSession, dir: String): DataFrame =
+    e(s, dir).select(col("event_id"), col("user_id"),
+      r6(quadrature(col("value"), col("value") * 0.5)).as("quad"))
+
+  /** A9 `ts_clip_window` — time-slice filter (gpstools.py:829). */
+  def tsClipWindow(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.clipWindow(e(s, dir), "ts", "2024-01-10", "2024-01-20")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"), col("value"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_center" -> tsRollingCenter,
+    "ts_rolling_multi" -> tsRollingMulti,
+    "ts_resample_1d" -> tsResample1d,
+    "ts_asof_join" -> tsAsofJoin,
+    "ts_interpolate" -> tsInterpolate,
+    "ts_doy" -> tsDoy,
+    "ts_infer_sampling" -> tsInferSampling,
+    "ts_quadrature" -> tsQuadrature,
+    "ts_clip_window" -> tsClipWindow)
+
+  private val fmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  val oracles: Map[String, String] = Map(
+    "ts_rolling_center" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id,
+         |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
+         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW), 6) AS mean_2h
+         |FROM e""".stripMargin,
+    "ts_rolling_multi" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id,
+         |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
+         |  min(value) OVER w AS roll_min,
+         |  max(value) OVER w AS roll_max,
+         |  round(sum(value) OVER w, 6) AS roll_sum,
+         |  count(value) OVER w AS roll_n,
+         |  round(avg(value) OVER w, 6) AS roll_mean
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_resample_1d" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  round(avg(value), 6) AS mean_v, min(value) AS min_v,
+        |  max(value) AS max_v, count(value) AS n
+        |FROM e GROUP BY user_id, date_trunc('day', ts)""".stripMargin,
+    "ts_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             event_type, value FROM events),
+         |l AS (SELECT event_id, user_id, ts, value FROM e
+         |      WHERE event_type IN ('click', 'view')),
+         |r AS (SELECT user_id, ts, value AS ref_value FROM e
+         |      WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT 0 AS side, event_id, user_id, ts, value,
+         |         CAST(NULL AS DOUBLE) AS ref_value FROM l
+         |  UNION ALL
+         |  SELECT 1, NULL, user_id, ts, NULL, ref_value FROM r),
+         |f AS (SELECT *, last_value(ref_value IGNORE NULLS) OVER (
+         |        PARTITION BY user_id ORDER BY ts ASC, side DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
+         |      FROM u)
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts, value,
+         |       rv AS ref_value
+         |FROM f WHERE side = 0""".stripMargin,
+    "ts_interpolate" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |b AS (SELECT event_id, user_id, ts, epoch_us(ts) AS eu,
+         |        CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v FROM e),
+         |w AS (SELECT *,
+         |  last_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := eu, v := v) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pr,
+         |  first_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := eu, v := v) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts
+         |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+         |  FROM b)
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pr IS NOT NULL AND nx IS NOT NULL
+         |      THEN pr.v + (nx.v - pr.v) * (eu - pr.t) / (nx.t - pr.t)
+         |    WHEN pr IS NOT NULL THEN pr.v END, 6) AS value_i
+         |FROM w""".stripMargin,
+    "ts_doy" ->
+      """SELECT event_id, user_id,
+        |  dayofyear(CAST(ts AS TIMESTAMP)) + hour(CAST(ts AS TIMESTAMP))/24.0
+        |    + minute(CAST(ts AS TIMESTAMP))/(60.0*24)
+        |    + second(CAST(ts AS TIMESTAMP))/(60.0*60*24) AS doy
+        |FROM events""".stripMargin,
+    "ts_infer_sampling" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, epoch_us(ts) AS eu,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+        |      FROM e),
+        |dd AS (SELECT user_id,
+        |         CAST(floor((eu - pe) / 1000000.0) AS BIGINT) % 86400 AS dt_s
+        |       FROM d WHERE pe IS NOT NULL),
+        |c AS (SELECT user_id, dt_s, count(*) AS n FROM dd GROUP BY 1, 2)
+        |SELECT user_id, dt_s AS sampling_rate_s, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, dt_s ASC) AS rn FROM c) t
+        |WHERE rn = 1""".stripMargin,
+    "ts_quadrature" ->
+      """SELECT event_id, user_id,
+        |  round(sqrt(0.0 + value * value + (value * 0.5) * (value * 0.5)), 6) AS quad
+        |FROM events""".stripMargin,
+    "ts_clip_window" ->
+      s"""SELECT event_id, user_id,
+         |  strftime(CAST(ts AS TIMESTAMP), '$fmt') AS ts, value
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'""".stripMargin)
+}
