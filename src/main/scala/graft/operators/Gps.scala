@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPS / motion operators (SURVEY §2 C1-C7; reference gpstools.py
+  * `OnIce`).
+  *
+  * Positions are (northing, easting) offsets from a base station, keyed
+  * by a station id. All operators are single-shuffle per key: grouped
+  * aggregates joined back, or window functions — the per-key scalars
+  * (flow angle, origin, trend fit) are tiny aggregates that AQE
+  * broadcasts for the join-back, so the big observation table streams.
+  */
+object Gps {
+
+  /** Flow-direction angle alpha per key (C1; gpstools.py:348):
+    * atan of the northing/easting deltas between the first and last
+    * daily-mean positions. (The reference uses atan, not atan2.)
+    */
+  def flowAngle(df: DataFrame, keys: Seq[String], tsCol: String,
+                northCol: String, eastCol: String): DataFrame = {
+    val daily = df
+      .groupBy(keys.map(col) :+ date_trunc("day", col(tsCol)).as("_d"): _*)
+      .agg(avg(col(northCol)).as("_adn"), avg(col(eastCol)).as("_ade"))
+    val firstLast = daily.groupBy(keys.map(col): _*)
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val f = daily.select(keys.map(k => col(k).as("_f_" + k)) ++
+      Seq(col("_d").as("_fd"), col("_adn").as("_adn0"), col("_ade").as("_ade0")): _*)
+    val l = daily.select(keys.map(k => col(k).as("_l_" + k)) ++
+      Seq(col("_d").as("_ld"), col("_adn").as("_adn1"), col("_ade").as("_ade1")): _*)
+    firstLast
+      .join(f, keys.map(k => col(k) === col("_f_" + k)).reduce(_ && _) &&
+        col("_d0") === col("_fd"))
+      .join(l, keys.map(k => col(k) === col("_l_" + k)).reduce(_ && _) &&
+        col("_d1") === col("_ld"))
+      .select(keys.map(col) :+
+        atan((col("_adn1") - col("_adn0")) / (col("_ade1") - col("_ade0"))).as("alpha"): _*)
+  }
+
+  /** Along-flow / across-flow rotation (C2; gpstools.py:287-376).
+    * Positions are origin-shifted to the first observation at t0 (the
+    * reference's default preserve_ref=False), then rotated by alpha:
+    * xflow = cos(a)*de + sin(a)*dn, xtran = -sin(a)*de + cos(a)*dn.
+    */
+  def reproject(df: DataFrame, keys: Seq[String], tsCol: String,
+                northCol: String, eastCol: String, alphas: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val dn = col(northCol) - first(col(northCol)).over(w)
+    val de = col(eastCol) - first(col(eastCol)).over(w)
+    df.join(alphas, keys)
+      .withColumn("xflow", cos(col("alpha")) * de + sin(col("alpha")) * dn)
+      .withColumn("xtran", -sin(col("alpha")) * de + cos(col("alpha")) * dn)
+  }
+
+  /** Linear detrend of yCol against xCol per key (C3; gpstools.py:462):
+    * one-shuffle OLS via regr_slope/regr_intercept aggregates, fit
+    * joined back and subtracted (y - intercept - slope*x).
+    */
+  def linearDetrend(df: DataFrame, keys: Seq[String], xCol: String,
+                    yCol: String, outCol: String = "detrended"): DataFrame = {
+    val fit = df.groupBy(keys.map(col): _*).agg(
+      regr_slope(col(yCol), col(xCol)).as("_slope"),
+      regr_intercept(col(yCol), col(xCol)).as("_intercept"))
+    df.join(fit, keys)
+      .withColumn(outCol, col(yCol) - col("_intercept") - col("_slope") * col(xCol))
+      .drop("_slope", "_intercept")
+  }
+
+  /** Velocity from paired binned medians (C4; gpstools.py:524-608):
+    * median position per fixed time bucket, velocity between
+    * consecutive buckets divided by the bucket length as a fraction of
+    * a day (vel_equ, gpstools.py:955). Buckets with no successor drop.
+    */
+  def velocity(df: DataFrame, keys: Seq[String], tsCol: String,
+               posCol: String, bucketSec: Long): DataFrame = {
+    val bUs = bucketSec * 1000000L
+    val binned = df
+      .withColumn("_bid", (unix_micros(col(tsCol)) / bUs).cast("long"))
+      .groupBy(keys.map(col) :+ col("_bid"): _*)
+      .agg(median(col(posCol)).as("_med"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bid"))
+    val dtDays = bucketSec.toDouble / 86400.0
+    binned
+      .withColumn("_nid", lead(col("_bid"), 1).over(w))
+      .withColumn("_nmed", lead(col("_med"), 1).over(w))
+      .filter(col("_nid") === col("_bid") + 1)
+      .select(keys.map(col) :+
+        timestamp_micros(col("_bid") * bUs).as("bucket_start") :+
+        ((col("_nmed") - col("_med")) / lit(dtDays)).as("vel_mpd"): _*)
+  }
+
+  /** Error filtering (C5; gpstools.py:664 `drop_large_errors`). */
+  def dropLargeErrors(df: DataFrame, errCols: Seq[String], threshold: Double): DataFrame =
+    errCols.foldLeft(df)((d, c) => d.filter(col(c) < threshold))
+
+  /** Horizontal displacement from the first position (C6; gpstools.py:282). */
+  def displacement(df: DataFrame, keys: Seq[String], tsCol: String,
+                   northCol: String, eastCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val dn = col(northCol) - first(col(northCol)).over(w)
+    val de = col(eastCol) - first(col(eastCol)).over(w)
+    df.withColumn("displacement", graft.functions.quadrature(dn, de))
+  }
+}

@@ -108,7 +108,7 @@ object DiurnalQueries extends QueryPack {
          |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
          |  minv AS min_val, strftime(min_time, '$fmt') AS min_time,
          |  maxv AS max_val, strftime(max_time, '$fmt') AS max_time,
-         |  round(maxv - minv, 6) AS amplitude
+         |  floor((maxv - minv) * 1000000 + 0.5001) / 1000000 AS amplitude
          |FROM ext""".stripMargin,
     "diurnal_threshold" ->
       s"""$extCte

@@ -25,6 +25,22 @@ trait QueryPack {
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   /** Timestamp -> canonical date string (oracle: strftime %Y-%m-%d). */
   protected def fmtDay(c: Column): Column = date_format(c, "yyyy-MM-dd")
-  protected def r4(c: Column): Column = round(c, 4)
-  protected def r6(c: Column): Column = round(c, 6)
+
+  /** Boundary-shifted decimal rounding: floor(x*10^s + 0.5001)/10^s.
+    *
+    * Plain round() is a trap for cross-engine comparison: Spark rounds
+    * the shortest decimal repr (BigDecimal.valueOf) while DuckDB rounds
+    * the binary value, so the two disagree exactly on decimal
+    * half-boundaries — and synthetic data (2-dp values scaled by nice
+    * factors) lands on those boundaries systematically. Shifting the
+    * cut to .4999 puts it where neither decimal-exact values nor
+    * sum-order ulp noise ever sits. The oracle SQL uses the identical
+    * formula.
+    */
+  protected def rN(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + 0.5001) / p
+  }
+  protected def r4(c: Column): Column = rN(c, 4)
+  protected def r6(c: Column): Column = rN(c, 6)
 }

@@ -110,19 +110,19 @@ object RelationalQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  floor((sum(l_quantity)) * 10000 + 0.5001) / 10000 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 10000 + 0.5001) / 10000 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 10000 + 0.5001) / 10000 AS sum_disc_price,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))) * 10000 + 0.5001) / 10000 AS sum_charge,
+        |  floor((avg(l_quantity)) * 1000000 + 0.5001) / 1000000 AS avg_qty,
+        |  floor((avg(l_discount)) * 1000000 + 0.5001) / 1000000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 10000 + 0.5001) / 10000 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -166,6 +166,6 @@ object RelationalQueries extends QueryPack {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(value), 4) AS total_value
+        |  floor((sum(value)) * 10000 + 0.5001) / 10000 AS total_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin)
 }

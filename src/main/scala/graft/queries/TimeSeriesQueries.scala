@@ -108,8 +108,8 @@ object TimeSeriesQueries extends QueryPack {
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
          |SELECT user_id,
          |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
-         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-         |    RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW), 6) AS mean_2h
+         |  floor((avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)) * 1000000 + 0.5001) / 1000000 AS mean_2h
          |FROM e""".stripMargin,
     "ts_rolling_multi" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
@@ -117,16 +117,16 @@ object TimeSeriesQueries extends QueryPack {
          |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
          |  min(value) OVER w AS roll_min,
          |  max(value) OVER w AS roll_max,
-         |  round(sum(value) OVER w, 6) AS roll_sum,
+         |  floor((sum(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_sum,
          |  count(value) OVER w AS roll_n,
-         |  round(avg(value) OVER w, 6) AS roll_mean
+         |  floor((avg(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_mean
          |FROM e
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ts_resample_1d" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  round(avg(value), 6) AS mean_v, min(value) AS min_v,
+        |  floor((avg(value)) * 1000000 + 0.5001) / 1000000 AS mean_v, min(value) AS min_v,
         |  max(value) AS max_v, count(value) AS n
         |FROM e GROUP BY user_id, date_trunc('day', ts)""".stripMargin,
     "ts_asof_join" ->
@@ -161,10 +161,10 @@ object TimeSeriesQueries extends QueryPack {
          |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
          |  FROM b)
          |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts,
-         |  round(CASE WHEN v IS NOT NULL THEN v
+         |  floor((CASE WHEN v IS NOT NULL THEN v
          |    WHEN pr IS NOT NULL AND nx IS NOT NULL
          |      THEN pr.v + (nx.v - pr.v) * (eu - pr.t) / (nx.t - pr.t)
-         |    WHEN pr IS NOT NULL THEN pr.v END, 6) AS value_i
+         |    WHEN pr IS NOT NULL THEN pr.v END) * 1000000 + 0.5001) / 1000000 AS value_i
          |FROM w""".stripMargin,
     "ts_doy" ->
       """SELECT event_id, user_id,
@@ -187,7 +187,7 @@ object TimeSeriesQueries extends QueryPack {
         |WHERE rn = 1""".stripMargin,
     "ts_quadrature" ->
       """SELECT event_id, user_id,
-        |  round(sqrt(0.0 + value * value + (value * 0.5) * (value * 0.5)), 6) AS quad
+        |  floor((sqrt(0.0 + value * value + (value * 0.5) * (value * 0.5))) * 1000000 + 0.5001) / 1000000 AS quad
         |FROM events""".stripMargin,
     "ts_clip_window" ->
       s"""SELECT event_id, user_id,
