@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2 J1-J2).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct riding alongside. Decode / feature-extraction runs batched
+  * per partition (the Scala analogue of mapInPandas' batch shape):
+  * rows are pulled through an iterator in fixed-size batches so a real
+  * decoder could amortize model/codec setup per batch instead of per
+  * row. The actual image/audio decode is STUBBED (no codec libraries
+  * in this environment) with a deterministic byte-histogram feature,
+  * but the schema, batching, partitioning, and encoder plumbing are
+  * real and tested.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         width: Int, height: Int, format: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, batch_size: Int,
+                           features: Array[Float])
+
+  /** J1: attach a binary payload + typed metadata to a text corpus
+    * (payload = utf-8 bytes standing in for image bytes).
+    */
+  def withMediaSchema(docs: DataFrame, idCol: String, textCol: String,
+                      sizeCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        (col(sizeCol) % 640 + 1).cast("int").as("width"),
+        (col(sizeCol) * 7 % 480 + 1).cast("int").as("height"),
+        lit("png").as("format")).as("meta"))
+
+  /** STUB decode: a real implementation would decode `payload` with an
+    * image codec here, once per batch. Deterministic fake: 8-bin byte
+    * histogram normalized by length.
+    */
+  private def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val hist = new Array[Float](8)
+      r.payload.foreach(b => hist((b & 0xff) >> 5) += 1f)
+      val n = math.max(r.payload.length, 1)
+      MediaFeatures(r.doc_id, r.payload.length, batch.size,
+        hist.map(_ / n))
+    }
+
+  /** J2: batched feature extraction. Partition-parallel, with rows
+    * grouped into `batchSize` chunks inside each partition — the batch
+    * boundary a real decoder would amortize over.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
+  }
+}

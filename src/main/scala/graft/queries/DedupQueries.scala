@@ -1,8 +1,56 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
 
+/** G1-G5 — deduplication over the documents / embeddings tables.
+  * G2-G5 are not SQL-expressible (hash-function-dependent) -> rows-only
+  * driver checks; their semantics are pinned by DedupSpec instead.
+  */
 object DedupQueries extends QueryPack {
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** G1 `dedup_exact` — exact dedup via sha2 groupBy; oracle groups by
+    * the text itself (identical result barring a 2^-256 collision).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  /** G2 `dedup_minhash` — 64-perm MinHash, 16x4 banded LSH, exact
+    * Jaccard >= 0.7 verify.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+
+  /** G3 `dedup_simhash` — 64-bit SimHash, 4x16-bit bands, Hamming <= 8. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+
+  /** G4 `dedup_jaccard` — blocked (by source) trigram Jaccard >= 0.3. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccard(Tables.documents(s, dir), "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+
+  /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_embed" -> dedupEmbed)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin)
 }

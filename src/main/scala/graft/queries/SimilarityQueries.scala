@@ -1,8 +1,47 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.similarity.Similarity
 
+/** H1-H3 — similarity search over the embeddings table. The query
+  * vector is vec_id 0; the corpus is everything else. Rows-only checks
+  * (recall properties are pinned by SimilaritySpec).
+  */
 object SimilarityQueries extends QueryPack {
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+  private def query(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+
+  /** H1 `ann_brute` — exact cosine top-10 (broadcast query + one scan). */
+  def annBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(corpus(s, dir), "vec_id", "embedding",
+        query(s, dir), 10)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
+  /** H2 `ann_lsh` — hyperplane-LSH candidates, exact rank within. */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(corpus(s, dir), "vec_id", "embedding", 64,
+        query(s, dir), 10)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
+  /** H3 `ann_ivf` — IVF with 16 seed centroids, 4 probes. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    Similarity.ivfTopK(corpus(s, dir), "vec_id", "embedding",
+        centroids, "cid", query(s, dir), 10, nProbe = 4)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> annBrute,
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
+
   val oracles: Map[String, String] = Map()
 }

@@ -1,8 +1,73 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.text.TextAnalysis
 
+/** I1-I4 — text analysis over the documents table. */
 object TextQueries extends QueryPack {
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** I1 `text_tokens` — whitespace + BPE-ish token counts. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  /** I2 `text_langid` — stopword-list language guess (rows-only). */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.langId(col("text")).as("predicted_lang"))
+
+  /** I3 `text_quality` — length/punct/stopword quality features. All
+    * exact integer-derived arithmetic: no rounding needed.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** I4 `text_fingerprint` — min-of-md5 over 5-word shingles. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.fingerprintShingles(col("text"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len AS n_chars,
+        |  nw AS n_words,
+        |  (len - (nw - 1)) / nw AS mean_word_len,
+        |  (len - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)) / len AS punct_ratio,
+        |  (len - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)) / len AS digit_ratio,
+        |  CAST(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |    ['the','and','of','to','a','in','is'])) AS DOUBLE) / nw AS stopword_ratio
+        |FROM t""".stripMargin,
+    "text_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(words) - 4, 1) + 1),
+        |      i -> md5(array_to_string(words[i:i+4], ' ')))) AS h
+        |  FROM w)
+        |SELECT doc_id, min(h) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin)
 }

@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.cosineSimilarity
+
+/** Similarity search over embedding columns (SURVEY §2 H1-H3, G5).
+  *
+  * Scale design (100 TB):
+  *   - brute force = broadcast the query vector, one scan, top-k via
+  *     global TakeOrdered (no full sort materialization);
+  *   - hyperplane LSH = row-local signature (one projection), banded
+  *     buckets, candidates from an equi-join — never all-pairs;
+  *   - IVF = a small broadcast centroid table, x|centroids| bounded
+  *     assignment join, query probes only nProbe centroid partitions.
+  */
+object Similarity {
+
+  /** Deterministic +/-1 hyperplanes (seeded), as literal columns. */
+  private def planes(numBits: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(array(Seq.fill(dim)(
+      lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+  }
+
+  /** Sign-of-dot-product bit per hyperplane, packed into band values of
+    * `bitsPerBand` bits each. Output: idCol, band (index), bv (value).
+    */
+  def lshBands(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               numBits: Int, bitsPerBand: Int, seed: Long = 42L): DataFrame = {
+    require(numBits % bitsPerBand == 0)
+    val v = col(vecCol).cast("array<double>")
+    val bits = planes(numBits, dim, seed).map(p =>
+      when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0, 1L)
+        .otherwise(0L))
+    val bands = (0 until numBits / bitsPerBand).map { b =>
+      val bv = (0 until bitsPerBand)
+        .map(j => bits(b * bitsPerBand + j) * (1L << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    df.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** G5: embedding near-dup pairs — LSH-banded candidates verified by
+    * exact cosine >= threshold.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       threshold: Double, numBits: Int = 32,
+                       bitsPerBand: Int = 4): DataFrame = {
+    val bands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bv") === col("b.bv") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** H1: brute-force cosine top-k against a single-row query DataFrame
+    * (broadcast) — the exactness baseline.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(query.select(col(vecCol).cast("array<double>").as("_qv"))))
+      .select(col(idCol),
+        cosineSimilarity(col(vecCol).cast("array<double>"), col("_qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** H2: LSH-bucketed ANN — candidates share >= 1 signature band with
+    * the query; exact cosine top-k within candidates only.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              query: DataFrame, k: Int, numBits: Int = 32,
+              bitsPerBand: Int = 4): DataFrame = {
+    val bands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
+    val qBands = lshBands(query.select(lit(0L).as("_qid"), col(vecCol)),
+      "_qid", vecCol, dim, numBits, bitsPerBand)
+      .select(col("band").as("qband"), col("bv").as("qbv"))
+    val candIds = bands
+      .join(broadcast(qBands), col("band") === col("qband") && col("bv") === col("qbv"))
+      .select(col(idCol)).distinct()
+    bruteForceTopK(df.join(candIds, idCol), idCol, vecCol, query, k)
+  }
+
+  /** H3: IVF-style ANN — vectors are assigned to their nearest centroid
+    * (broadcast centroid table); the query probes the `nProbe` nearest
+    * centroids and ranks only those partitions' vectors.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, cidCol: String,
+              query: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col(cidCol).as("_cid"),
+      col(vecCol).cast("array<double>").as("_cv")))
+    def assign(vectors: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+      vectors.crossJoin(cents)
+        .withColumn("_csim",
+          cosineSimilarity(col(vecCol).cast("array<double>"), col("_cv")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= keep)
+        .select(col(idCol), col("_cid"))
+    }
+    val assigned = assign(df, 1)
+    val probed = assign(query.select(lit(-1L).as(idCol), col(vecCol)), nProbe)
+      .select(col("_cid")).distinct()
+    val candIds = assigned.join(broadcast(probed), "_cid").select(col(idCol))
+    bruteForceTopK(df.join(candIds, idCol), idCol, vecCol, query, k)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-pipeline curation (SURVEY §2 I1-I4).
+  * All row-local `functions._` expressions — whole-stage codegen, no
+  * UDFs, trivially parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (I1). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count (I1): letter runs, single digits, and single
+    * non-alphanumeric marks each count as one token.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hit count for a language-specific stopword list (I2). */
+  def stopwordHits(words: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(words, array(stopwords.map(lit): _*)))
+
+  private val stopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "es" -> Seq("el", "de", "los", "y", "que", "en", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  /** Language-ID heuristic (I2): argmax of stopword hits across
+    * per-language lists; 'und' when nothing matches. Deterministic
+    * tie-break by list order.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val scored = stopwordLists.map { case (lang, sw) =>
+      struct(stopwordHits(words, sw).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored.reverse: _*)) // reverse: ties -> earliest list
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-scoring feature columns (I3): length, word count, mean
+    * word length, punctuation ratio, stopword ratio, digit ratio.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("double")
+    val punct = len - length(regexp_replace(text, "[.,;:!?]", "")).cast("double")
+    val digits = len - length(regexp_replace(text, "[0-9]", "")).cast("double")
+    val sw = stopwordHits(split(lower(text), "\\s+"), stopwordLists.head._2).cast("double")
+    Seq(
+      "n_chars" -> len,
+      "n_words" -> nWords,
+      "mean_word_len" -> (len - (nWords - 1)) / nWords,
+      "punct_ratio" -> punct / len,
+      "digit_ratio" -> digits / len,
+      "stopword_ratio" -> sw / nWords)
+  }
+
+  /** Document fingerprint (I4): min of md5 over 5-word shingles — a
+    * deterministic MinHash-style content fingerprint robust to word
+    * reordering outside a 5-window.
+    */
+  def fingerprintShingles(text: Column, n: Int = 5): Column = {
+    val words = split(text, " ")
+    transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => md5(concat_ws(" ", slice(words, i, lit(n)))))
+  }
+}
