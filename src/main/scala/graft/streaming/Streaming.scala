@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2 K): watermarked windowed
+  * aggregation and stateful gap-based sessionization — the streaming
+  * twins of ts_resample_1d and q_sessionize.
+  *
+  * Scale notes: both are keyed-state operators — Spark shuffles on the
+  * grouping key and keeps per-key state in the state store; watermarks
+  * bound state size (late data beyond the watermark is dropped), which
+  * is what keeps a 100 TB/day stream's state finite.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window aggregate of a value column. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valCol: String, windowDuration: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valCol)).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("total_value"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        total_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState:
+    * events extend the per-user session while gaps stay under
+    * `gapMillis`; a closed (or timed-out) session is emitted once.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[SessionEvent],
+                 gapMillis: Long, watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay) // required for event-time timeouts
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  // near-dup: 3 words changed out of 60 -> trigram jaccard well above 0.7
+  private val nearDup = ((1 to 60).map(i => if (i % 20 == 0) "CHANGED" + i else s"tok$i")).mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  private def docs = Seq(
+    (1L, base, "s1"), (2L, nearDup, "s1"), (3L, unrelated, "s1"),
+    (4L, base, "s2") // exact dup of 1
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(out(1L) === 2L) // doc 4 collapsed into doc 1
+    assert(out(2L) === 1L && out(3L) === 1L)
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(pairs.contains((1L, 4L))) // exact dup found with jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never paired
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("hamming"))).toMap
+    assert(out((1L, 4L)) === 0L)
+    assert(out.contains((1L, 2L)))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("blocked jaccard verifies only within the blocking key") {
+    val pairs = Dedup.blockedJaccard(docs, "doc_id", "text", "source", threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L))) // 1-4 identical but cross-source: blocked out
+  }
+
+  test("jaccard column computes exact set jaccard") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).head.getDouble(0)
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries._
+
+/** Plan-shape assertions: the 100 TB guarantees the Scaladoc promises
+  * (pushdown, pruning, broadcasts, no accidental cartesian products)
+  * hold in the actual executed plans at sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the parquet scan") {
+    val plan = planOf(RelationalQueries.q1Agg(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    // projection pruning: partkey/suppkey never read
+    assert(plan.contains("ReadSchema") && !plan.contains("l_partkey"))
+  }
+
+  test("q3_join broadcasts both dimension sides") {
+    val plan = planOf(RelationalQueries.q3Join(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin")) // fact table never shuffled for the join
+  }
+
+  test("no query plan contains a cartesian product (bounded NLJ broadcasts excepted)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a cartesian product:\n$plan")
+    }
+  }
+
+  test("window operators shuffle once on the series key (single Exchange before Window)") {
+    val plan = planOf(TimeSeriesQueries.tsRollingCenter(spark, dir))
+    assert(plan.contains("Window"))
+    // exactly one shuffle: the hashpartitioning on user_id
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
+  }
+
+  test("as-of join is union + window: no join node at all") {
+    val plan = planOf(TimeSeriesQueries.tsAsofJoin(spark, dir))
+    assert(plan.contains("Union"))
+    assert(!plan.contains("Join"), s"asof should be join-free:\n$plan")
+  }
+}

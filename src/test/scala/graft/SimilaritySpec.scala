@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim corpus: id 1 == query direction, id 2 close, id 3 orthogonal-ish
+  private val corpus = Seq(
+    (1L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+    (2L, Array(1f, 0.1f, 0f, 0f, 1f, 0f, 0f, 0.1f)),
+    (3L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f)),
+    (4L, Array(0f, 0f, 1f, 0f, 0f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+  private val query = Seq((0L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute force top-k ranks by exact cosine") {
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("zero-norm vectors yield null cosine, not a job abort") {
+    val z = Seq((9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus.union(z), "vec_id", "embedding", query, 10)
+      .collect()
+    assert(out.length === 5)
+    assert(out.exists(r => r.getAs[Long]("vec_id") == 9L && r.isNullAt(1)))
+  }
+
+  test("LSH ANN finds an identical vector (same signature in every band)") {
+    val out = Similarity.lshTopK(corpus, "vec_id", "embedding", 8, query, 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("vec_id")).contains(1L))
+  }
+
+  test("IVF assigns vectors to nearest centroid and recalls via probed partitions") {
+    val centroids = Seq(
+      (100L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f))
+    ).toDF("cid", "embedding")
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding", centroids, "cid",
+      query, 2, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out === Seq(1L, 2L)) // ids 3,4 live in the unprobed partition
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmpCsv(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-src").toFile
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("readNeuGps: headerless schema'd CSV with '  nan' nulls, err_code dropped") {
+    val p = tmpCsv("neu.csv",
+      """2024-01-01 00:00:00,1.0,100.5,0.01,200.5,0.02,50.0,0.05,0
+        |2024-01-01 00:00:30,1.00035,  nan,0.01,200.6,0.02,50.1,0.05,0
+        |""".stripMargin)
+    val df = Sources.readNeuGps(spark, p)
+    assert(df.columns.toSeq === Seq("ts", "doy", "dnorth", "dnorth_err",
+      "deast", "deast_err", "dheight", "dheight_err"))
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Double]("dnorth") === 100.5)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("dnorth"))) // '  nan' -> null
+  }
+
+  test("readCr1000: TOA5 preamble + units rows skipped, NAN null, diagnostics dropped") {
+    val p = tmpCsv("cr1000.csv",
+      """"TOA5","station","CR1000","serial","os","prog","sig","table"
+        |"TIMESTAMP","RECORD","WL705012","BattV"
+        |"TS","RN","","Volts"
+        |"","","Smp","Smp"
+        |"2018-07-10 12:00:00",1,42.5,12.1
+        |"2018-07-10 12:15:00",2,NAN,12.2
+        |""".stripMargin)
+    val df = Sources.readCr1000(spark, p)
+    assert(df.columns.toSeq === Seq("ts", "WL705012"))
+    val rows = df.orderBy("ts").collect()
+    assert(rows(0).getAs[Double]("WL705012") === 42.5)
+    assert(rows(1).isNullAt(1))
+    assert(rows(0).getAs[java.sql.Timestamp]("ts") === ts("2018-07-10 12:00:00"))
+  }
+
+  test("readStr17 drops fully-null observation rows (reference dropna)") {
+    val p = tmpCsv("str17.csv",
+      """"TOA5","x","y","z","a","b","c","d"
+        |"TIMESTAMP","RECORD","WL705012"
+        |"TS","RN",""
+        |"","","Smp"
+        |"2018-07-10 12:00:00",1,42.5
+        |"2018-07-10 12:15:00",2,NAN
+        |""".stripMargin)
+    assert(Sources.readStr17(spark, p).count() === 1)
+  }
+
+  test("readHobo: title row skipped, '#' dropped, sensors renamed, Solar1/Solar2") {
+    val p = tmpCsv("hobo.csv",
+      """Plot Title: station X
+        |#,Date Time - GMT,Temp  C,Solar Radiation  W/m2,Solar Radiation 2  W/m2,RH %
+        |1,2017-06-01 00:00:00,3.5,120.0,80.0,55.0
+        |2,2017-06-01 01:00:00,-888.88,130.0,85.0,56.0
+        |""".stripMargin)
+    val df = Sources.readHobo(spark, p)
+    assert(df.columns.contains("Temp"))
+    assert(df.columns.contains("Solar1") && df.columns.contains("Solar2"))
+    assert(df.columns.contains("RH"))
+    assert(!df.columns.contains("#"))
+    val rows = df.orderBy(df.columns(0)).collect()
+    assert(rows(1).isNullAt(rows(1).fieldIndex("Temp"))) // -888.88 sentinel
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAgg: watermarked tumbling windows aggregate a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.windowedAgg(df, "ts", "user_id", "value", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), 1L, 10.0),
+        (ts("2024-01-01 00:50:00"), 1L, 5.0),
+        (ts("2024-01-01 01:10:00"), 1L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(rows.contains((ts("2024-01-01 00:00:00"), 2L, 15.0)))
+      assert(rows.contains((ts("2024-01-01 01:00:00"), 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: stateful gap sessions close on gap and emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = Streaming.sessionize(spark, input.toDS(), gapMillis = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // big gap: closes the first session within the same key
+      input.addData(SessionEvent(1L, ts("2024-01-01 05:00:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(rows.toSeq === Seq(
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+
+class TextAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "Hello, world! 42 times")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).head
+    assert(r.getAs[Int]("ws") === 4)
+    // Hello , world ! 4 2 times -> 7
+    assert(r.getAs[Int]("bpe") === 7)
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "le chat et la maison des gens"),
+      (3L, "xyzzy qwerty")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "und")
+  }
+
+  test("quality features compute exact ratios") {
+    val df = Seq((1L, "the cat sat.")).toDF("id", "text")
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    val r = df.select(feats.map { case (n, c) => c.as(n) }: _*).head
+    assert(r.getAs[Double]("n_chars") === 12.0)
+    assert(r.getAs[Double]("n_words") === 3.0)
+    assert(r.getAs[Double]("punct_ratio") === 1.0 / 12.0)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3.0)
+  }
+
+  test("fingerprint is deterministic and order-sensitive beyond the shingle window") {
+    val df = Seq(
+      (1L, (1 to 20).map("w" + _).mkString(" ")),
+      (2L, (1 to 20).map("w" + _).mkString(" ")),
+      (3L, (20 to 1 by -1).map("w" + _).mkString(" "))).toDF("id", "text")
+    val fp = df.select(col("id"),
+        array_min(TextAnalysis.fingerprintShingles(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("multimodal: media schema carries binary payload + typed metadata") {
+    val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
+    val m = Multimodal.withMediaSchema(docs, "doc_id", "text", "n_chars").head
+    assert(m.getAs[Array[Byte]]("payload") === "abc".getBytes("UTF-8"))
+    assert(m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") === 4)
+  }
+
+  test("multimodal: feature extraction batches inside partitions and normalizes") {
+    val docs = (1L to 150L).map(i => (i, "x" * i.toInt, i)).toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.withMediaSchema(docs, "doc_id", "text", "n_chars")
+      .repartition(1)
+    val out = Multimodal.extractFeatures(spark, media, batchSize = 64).collect()
+    assert(out.length === 150)
+    assert(out.map(_.batch_size).max === 64) // full batches capped at batchSize
+    assert(out.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, String, java.lang.Double)*) =
+    rows.toDF("k", "t", "v").select(col("k"),
+      col("t").cast("timestamp").as("t"), col("v"))
+
+  test("cRolling reproduces pandas c_rolling: trailing (t-w, t] window, index shifted -w/2") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", 2.0),
+      ("a", "2024-01-01 02:00:00", 3.0))
+    val out = TimeSeriesOps.cRolling(df, Seq("k"), "t", "v", 7200,
+        Seq("m" -> (c => avg(c))))
+      .orderBy("t_c").collect()
+    // window at 02:00 is (00:00, 02:00] = {2,3} (exclusive left boundary
+    // drops the 00:00 obs exactly like pandas closed='right'); reported
+    // at 01:00 after the -w/2 shift.
+    assert(out.map(_.getAs[java.sql.Timestamp]("t_c").toString) ===
+      Array("2023-12-31 23:00:00.0", "2024-01-01 00:00:00.0", "2024-01-01 01:00:00.0"))
+    assert(out.map(_.getAs[Double]("m")) === Array(1.0, 1.5, 2.5))
+  }
+
+  test("asofJoinBackward takes latest right value at or before each left ts, per key") {
+    val left = series(("a", "2024-01-01 00:10:00", 10.0), ("a", "2024-01-01 02:00:00", 20.0),
+      ("b", "2024-01-01 01:00:00", 30.0))
+      .withColumnRenamed("v", "lv")
+    val right = series(("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 01:00:00", 2.0),
+      ("b", "2024-01-01 02:00:00", 3.0))
+      .withColumnRenamed("v", "rv")
+    val out = TimeSeriesOps.asofJoinBackward(left, right, Seq("k"), "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+    // equal timestamps are inclusive (right row at 00:10 visible to left 00:10)
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))) ===
+      Array(Some(1.0), Some(2.0), None)) // key b: no right row before 01:00
+  }
+
+  test("interpolateLinear: interior linear by time, trailing ffill, leading stays null") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", null), // leading
+      ("a", "2024-01-01 01:00:00", 10.0),
+      ("a", "2024-01-01 02:00:00", null), // interior: 1/3 of the way 01:00->04:00
+      ("a", "2024-01-01 04:00:00", 40.0),
+      ("a", "2024-01-01 05:00:00", null)) // trailing
+    val out = TimeSeriesOps.interpolateLinear(df, Seq("k"), "t", "v", "vi")
+      .orderBy("t").collect().map(r => Option(r.getAs[java.lang.Double]("vi")))
+    assert(out === Array(None, Some(10.0), Some(20.0), Some(40.0), Some(40.0)))
+  }
+
+  test("inferSampling picks modal delta in whole seconds, ties to smallest") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 0.0),
+      ("a", "2024-01-01 00:00:30", 0.0), // +30s
+      ("a", "2024-01-01 00:01:00", 0.0), // +30s
+      ("a", "2024-01-01 00:02:00", 0.0), // +60s
+      ("a", "2024-01-01 00:03:00", 0.0)) // +60s -> tie 30 vs 60 -> 30
+    val out = TimeSeriesOps.inferSampling(df, Seq("k"), "t").collect()
+    assert(out.head.getAs[Long]("sampling_rate_s") === 30L)
+  }
+}
