@@ -36,16 +36,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min of xxhash64(seed, shingle) over the shingle set. Row-local.
-    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
-
   /** G2: MinHash + banded LSH near-dup pairs.
     *
-    * numHashes signature positions grouped into `bands` bands; docs
+    * The signature is computed explode-style: one (doc, shingle) row per
+    * shingle, then `numHashes` codegen'd min-aggregates (one partial-agg
+    * shuffle on doc_id). This deliberately avoids nested higher-order
+    * functions (transform-of-transform), which fall out of whole-stage
+    * codegen into interpreted evaluation — measured 60x slower at sf0.1.
+    *
+    * numHashes signature positions are grouped into `bands` bands; docs
     * sharing any band-hash become candidates (equi-join on (band,
     * bandHash) — shuffle bounded by bands x rows); candidates are
     * verified with exact shingle Jaccard >= threshold.
@@ -53,17 +52,21 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7): DataFrame = {
-    val rows = bands.ensuring(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val sig = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }
     val banded = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
-        .as("bb"))
+        explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -78,28 +81,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over the word multiset, materialized as per-bit
-    * vote counts in a single aggregate pass (one array of 64 +/-1
-    * contributions per word, summed with zip_with).
+  /** SimHash as 4 x 16-bit band values. Explode-style: one (doc, word)
+    * row per word, then 64 codegen'd sum-aggregates of the +/-1 bit
+    * contributions (higher-order aggregate/zip_with would run
+    * interpreted — same rationale as minhashLsh).
     */
-  private def simhashCounts(words: Column): Column = {
-    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
-    aggregate(words, zeros, (acc, w) => {
-      val contribs = array((0 until 64).map(j =>
-        shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) * 2L - 1L): _*)
-      zip_with(acc, contribs, (a, b) => a + b)
-    })
-  }
-
-  /** SimHash as a 64-char bit string plus 4 x 16-bit band values. */
   def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = simhashCounts(split(col(textCol), " "))
-    val bits = array_join(transform(counts, c =>
-      when(c > 0, lit("1")).otherwise(lit("0"))), "")
-    val withBits = docs.select(col(idCol).as("doc_id"), bits.as("bits"))
-    (0 until 4).foldLeft(withBits)((d, b) =>
-      d.withColumn(s"band$b",
-        conv(substring(col("bits"), b * 16 + 1, 16), 2, 10).cast("long")))
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val sumCols = (0 until 64).map(j =>
+      sum(shiftright(xxhash64(col("w")), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"c$j"))
+    val counts = ex.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map(j =>
+        when(col(s"c${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$b")
+    }
+    counts.select(col("doc_id") +: bandCols: _*)
   }
 
   /** G3: SimHash near-dup pairs — candidates share at least one 16-bit
@@ -131,16 +129,30 @@ object Dedup {
   /** G4: blocked n-gram Jaccard verify — exact Jaccard over word
     * n-grams for candidate pairs inside a blocking key (e.g. source),
     * never across the full corpus.
+    *
+    * Explode-join form: intersection sizes come from an equi-join on
+    * (block, shingle) + count, not from pairwise array_intersect over a
+    * blocked cross product — the join only materializes pairs that
+    * actually share a shingle, and the heavy per-shingle work stays in
+    * codegen instead of interpreted array expressions.
     */
   def blockedJaccard(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleN: Int = 3,
                      threshold: Double = 0.3): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       shingles(col(textCol), shingleN).as("sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), col("blk"), explode(col("sh")).as("s"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

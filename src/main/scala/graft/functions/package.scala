@@ -91,13 +91,16 @@ package object functions {
 
   // ----- vector math (similarity / dedup) -----
 
-  /** Dot product of two float-array columns via zip_with + aggregate. */
+  /** Dot product of two double-array columns — a native codegen
+    * Catalyst expression (see VectorExpressions.scala for why not
+    * zip_with + aggregate).
+    */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorExpressions.vectorDot(a, b)
 
-  /** L2 norm of a float-array column. */
+  /** L2 norm of a double-array column. */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    sqrt(org.apache.spark.sql.graft.VectorExpressions.vectorDot(a, a))
 
   /** Cosine similarity of two float-array columns. Zero-norm vectors
     * yield null instead of aborting the job (one degenerate embedding

@@ -32,8 +32,7 @@ object Similarity {
     require(numBits % bitsPerBand == 0)
     val v = col(vecCol).cast("array<double>")
     val bits = planes(numBits, dim, seed).map(p =>
-      when(aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0, 1L)
-        .otherwise(0L))
+      when(org.apache.spark.sql.graft.VectorExpressions.vectorDot(v, p) > 0, 1L).otherwise(0L))
     val bands = (0 until numBits / bitsPerBand).map { b =>
       val bv = (0 until bitsPerBand)
         .map(j => bits(b * bitsPerBand + j) * (1L << j))
