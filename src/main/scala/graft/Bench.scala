@@ -12,6 +12,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: touch every table once so measured queries see a
+    // warm session (parquet footers cached, codegen JIT'd) instead of
+    // charging the first alphabetical query ~5s of session startup.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -88,9 +88,10 @@ object Dedup {
     */
   def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("w"))
+        explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h")) // hash once, not 64x
     val sumCols = (0 until 64).map(j =>
-      sum(shiftright(xxhash64(col("w")), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"c$j"))
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"c$j"))
     val counts = ex.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
     val bandCols = (0 until 4).map { b =>
       (0 until 16).map(j =>
@@ -142,7 +143,11 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       shingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), col("blk"), explode(col("sh")).as("s"))
+    // join on the shingle's 64-bit hash, not the string (narrower shuffle
+    // rows, long comparisons instead of string comparisons)
+    val ex = sh.select(col("doc_id"), col("blk"),
+      explode(col("sh")).as("s0")).select(col("doc_id"), col("blk"),
+      xxhash64(col("s0")).as("s"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vectorDot matches the higher-order-function reference implementation") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0)),
+      (Array(-1.5, 2.5), Array(3.0, -4.0))).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.vectorDot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("vectorDot implicit-casts float arrays and stays codegen (no fallback)") {
+    val floats = Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
+    assert(floats.select(VectorExpressions.vectorDot(col("a"), col("b")))
+      .head.getDouble(0) === 11.0)
+    // real scan input so constant folding can't collapse the projection:
+    // the dot-product projection must sit inside a WholeStageCodegen span
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = emb.select(
+      VectorExpressions.vectorDot(col("embedding"), col("embedding")).as("d"))
+    val plan = out.queryExecution.executedPlan.toString
+    val codegenSpan = plan.split("\n").exists(l =>
+      l.contains("Project") && !l.contains("*(0)") && l.trim.startsWith("*"))
+    assert(codegenSpan, s"projection not codegen'd:\n$plan")
+    assert(out.collect().forall(!_.isNullAt(0)))
+  }
+
+  test("null input yields null, not a crash") {
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(df.select(VectorExpressions.vectorDot(col("a"), col("b"))).head.isNullAt(0))
+  }
+}
