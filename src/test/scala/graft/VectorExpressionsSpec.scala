@@ -38,4 +38,10 @@ class VectorExpressionsSpec extends SparkSpec {
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(df.select(VectorExpressions.vectorDot(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("vector_dot is callable from plain SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
+    assert(r.getDouble(0) === 11.0)
+  }
 }
