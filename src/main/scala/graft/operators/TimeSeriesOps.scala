@@ -28,16 +28,39 @@ object TimeSeriesOps {
     * time-based rolling.
     *
     * @param aggs (outputName, aggregating fn over the frame'd column)
+    * @param minPeriods observations required in the window for a
+    *        non-null result (pandas min_periods; default 1)
     */
   def cRolling(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
-               windowSec: Long, aggs: Seq[(String, Column => Column)]): DataFrame = {
+               windowSec: Long, aggs: Seq[(String, Column => Column)],
+               minPeriods: Int = 1): DataFrame = {
     val wUs = windowSec * UsPerSec
     val frame = Window.partitionBy(keys.map(col): _*)
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-(wUs - 1), 0) // (t-w, t] at microsecond resolution
-    val aggCols = aggs.map { case (name, f) => f(col(valCol)).over(frame).as(name) }
+    val enough =
+      if (minPeriods <= 1) lit(true)
+      else count(col(valCol)).over(frame) >= minPeriods
+    val aggCols = aggs.map { case (name, f) =>
+      when(enough, f(col(valCol)).over(frame)).as(name)
+    }
     val tsCentered = timestamp_micros(unix_micros(col(tsCol)) - wUs / 2).as(tsCol + "_c")
     df.select(keys.map(col) ++ Seq(tsCentered) ++ aggCols: _*)
+  }
+
+  /** Exact median of a materialized array column. Enables rolling
+    * medians: Spark's median aggregate is not window-frame-capable, but
+    * collect_list is — collect the frame with cRolling, then take the
+    * sorted middle here (mean of the two middles for even counts,
+    * matching pandas/DuckDB).
+    */
+  def medianOfArray(vals: Column): Column = {
+    val sorted = sort_array(vals)
+    val n = size(sorted)
+    val mid = ((n + 1) / 2).cast("int") // integer division: n is IntegerType
+    val lo = (n / 2).cast("int")
+    when(n % 2 === 1, element_at(sorted, mid))
+      .otherwise((element_at(sorted, lo) + element_at(sorted, lo + 1)) / 2.0)
   }
 
   /** Downsample to fixed calendar buckets with aggregates (A3;

@@ -20,18 +20,20 @@ object TimeSeriesQueries extends QueryPack {
         Seq("mean_2h" -> (c => avg(c))))
       .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"), r6(col("mean_2h")).as("mean_2h"))
 
-  /** A2 `ts_rolling_multi` — min/max/sum/mean/count over the same frame
-    * (median is not frame-capable in Spark's WindowExec; the exact
-    * median path is exercised by gps_velocity's grouped medians).
+  /** A2 `ts_rolling_multi` — min/max/sum/mean/count/median over the
+    * same frame (median via sorted collect_list: Spark's median
+    * aggregate is not frame-capable).
     */
   def tsRollingMulti(s: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.cRolling(e(s, dir), Seq("user_id"), "ts", "value", 7200,
         Seq("roll_min" -> (c => min(c)), "roll_max" -> (c => max(c)),
           "roll_sum" -> (c => sum(c)), "roll_n" -> (c => count(c)),
-          "roll_mean" -> (c => avg(c))))
+          "roll_mean" -> (c => avg(c)),
+          "_frame" -> (c => collect_list(c))))
       .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
         col("roll_min"), col("roll_max"), r6(col("roll_sum")).as("roll_sum"),
-        col("roll_n"), r6(col("roll_mean")).as("roll_mean"))
+        col("roll_n"), r6(col("roll_mean")).as("roll_mean"),
+        r6(TimeSeriesOps.medianOfArray(col("_frame"))).as("roll_med"))
 
   /** A3 `ts_resample_1d` — daily downsample (gpstools.py:350). */
   def tsResample1d(s: SparkSession, dir: String): DataFrame =
@@ -119,7 +121,8 @@ object TimeSeriesQueries extends QueryPack {
          |  max(value) OVER w AS roll_max,
          |  floor((sum(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_sum,
          |  count(value) OVER w AS roll_n,
-         |  floor((avg(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_mean
+         |  floor((avg(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_mean,
+         |  floor((median(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_med
          |FROM e
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,
