@@ -1,0 +1,162 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Reference-shaped facades: the entry points a `datatools` user knows
+  * (`DiurnalExtrema`, `OnIce`, `WeatherStation`), with the same option
+  * names and defaults, over graft's distributed operators. Everything
+  * is lazy DataFrames — nothing executes until an action.
+  */
+object Durations {
+  /** Parse a pandas-style duration string (utils.py:11 parse_duration):
+    * '2H' = 2 hours, '30T'/'30min' = 30 minutes, '1D', '45S', '2.5H'.
+    */
+  def parseSeconds(duration: String): Long = {
+    val m = "^([0-9]+(?:\\.[0-9]+)?)\\s*([A-Za-z]+)$".r
+    duration.trim match {
+      case m(num, unit) =>
+        val mult = unit match {
+          case "D" | "d" | "day" | "days" => 86400.0
+          case "H" | "h" | "hr" | "hour" | "hours" => 3600.0
+          case "T" | "min" | "m" | "minute" | "minutes" => 60.0
+          case "S" | "s" | "sec" | "second" | "seconds" => 1.0
+          case other => throw new IllegalArgumentException(
+            s"duration unit '$other' not recognized in '$duration'")
+        }
+        math.round(num.toDouble * mult)
+      case _ => throw new IllegalArgumentException(
+        s"duration string '$duration' not recognized")
+    }
+  }
+}
+
+/** diurnal.py:176 `DiurnalExtrema` — one min + one max per 24 h period.
+  *
+  * @param minFirst require the minimum to precede the maximum
+  * @param maxNextDay with minFirst: search the max in an 18 h window
+  *        after the minimum, crossing midnight
+  * @param predictTiming calibrate mean occurrence-hours on the window
+  *        before `calibEnd` and pick extrema only within +/-8 h of them
+  * @param threshold drop days with amplitude below this
+  */
+class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
+                     tsCol: String = "ts", valCol: String = "value",
+                     minFirst: Boolean = false, maxNextDay: Boolean = false,
+                     predictTiming: Boolean = false,
+                     calibEnd: Option[String] = None,
+                     threshold: Option[Double] = None) {
+
+  /** The extrema picks: keys..., day, min_val, min_time, max_val, max_time. */
+  lazy val df: DataFrame = {
+    val base =
+      if (predictTiming)
+        Diurnal.extremaPredicted(timeseries, keys, tsCol, valCol,
+          calibEnd.getOrElse(throw new IllegalArgumentException(
+            "predictTiming requires calibEnd")))
+      else if (minFirst && maxNextDay)
+        Diurnal.extremaMinFirst(timeseries, keys, tsCol, valCol)
+      else
+        Diurnal.extrema(timeseries, keys, tsCol, valCol)
+    threshold.fold(base)(Diurnal.applyThreshold(base, _))
+  }
+
+  /** Daily amplitude series (diurnal.py:296). */
+  def amplitude: DataFrame = Diurnal.amplitude(df)
+
+  /** Extrema timing in decimal hours after day start (diurnal.py:257). */
+  def decimalHours(which: String = "max"): DataFrame =
+    df.withColumn(s"${which}_hrs",
+      Diurnal.decimalHours(col(s"${which}_time"), col("day")))
+}
+
+/** gpstools.py:204 `OnIce` — GNSS station positions to flow-oriented
+  * kinematics. Positions are (northing, easting) offsets per key.
+  */
+class OnIce(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
+            northCol: String = "dnorth", eastCol: String = "deast") {
+
+  /** Flow angle per key (gpstools.py:348). */
+  lazy val flowDirectionAngle: DataFrame =
+    Gps.flowAngle(data, keys, tsCol, northCol, eastCol)
+
+  /** Along/across-flow reprojection (gpstools.py:287). */
+  def reprojectToFlowDirection(alpha: Option[DataFrame] = None): DataFrame =
+    Gps.reproject(data, keys, tsCol, northCol, eastCol,
+      alpha.getOrElse(flowDirectionAngle))
+
+  /** OLS detrend of a component against decimal day-of-year
+    * (gpstools.py:462).
+    */
+  def linearDetrend(component: String): DataFrame =
+    Gps.linearDetrend(
+      data.withColumn("doy", graft.functions.decimalDoy(col(tsCol))),
+      keys, "doy", component)
+
+  /** Velocity from binned medians (gpstools.py:524); windows are
+    * pandas duration strings like the reference ('6H', '30T').
+    */
+  def calcVelocity(component: String, statWindow: String = "6H"): DataFrame =
+    Gps.velocity(data, keys, tsCol, component, Durations.parseSeconds(statWindow))
+
+  /** Drop rows with large position errors (gpstools.py:664). */
+  def dropLargeErrors(threshold: Double,
+                      errCols: Seq[String] = Seq("dnorth_err", "deast_err")): DataFrame =
+    Gps.dropLargeErrors(data, errCols, threshold)
+
+  /** Horizontal displacement from the first position (gpstools.py:282). */
+  def displacement: DataFrame =
+    Gps.displacement(data, keys, tsCol, northCol, eastCol)
+
+  /** Centered rolling smoothing of a component (utils.py:32 via plot /
+    * smoothing paths).
+    */
+  def smoothed(component: String, window: String,
+               minPeriods: Int = 1): DataFrame =
+    TimeSeriesOps.cRolling(data, keys, tsCol, component,
+      Durations.parseSeconds(window), Seq(component -> (c => avg(c))), minPeriods)
+}
+
+/** melt_model.py:273 `WeatherStation` — AWS series to melt rates. */
+class WeatherStation(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                     temperatureCol: String = "temp",
+                     solarCol: String = "incoming",
+                     reflectedCol: String = "reflected") {
+
+  /** Shadow correction over a daily time-of-day window
+    * (melt_model.py:366); times as "HH:MM" strings like the reference.
+    */
+  def applyShadowCorrection(shadedTime: (String, String)): DataFrame = {
+    def minutes(s: String): Int = {
+      val Array(h, m) = s.split(":"); h.toInt * 60 + m.toInt
+    }
+    Melt.shadowCorrection(data, keys, tsCol, solarCol,
+      minutes(shadedTime._1), minutes(shadedTime._2))
+  }
+
+  /** Daily albedo at solar noon, clipped and forward-filled
+    * (melt_model.py:408).
+    */
+  def calcAlbedo(): DataFrame =
+    Melt.dailyAlbedo(data, keys, tsCol, solarCol, reflectedCol)
+
+  /** The full melt pipeline (melt_model.py:448): smoothed incoming,
+    * daily albedo joined by day, melt where T > threshold, fillna(0).
+    */
+  def calcMelt(thresholdTemp: Double = 0.0): DataFrame = {
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(3600L * 1000000 - 1), 3600L * 1000000)
+    val withInc = data.withColumn("_inc_c", avg(col(solarCol)).over(frame))
+    val alb = calcAlbedo().select(
+      keys.map(k => col(k).as(s"_a_$k")) :+ col("day") :+ col("albedo"): _*)
+    val joinCond = keys.map(k => col(k) === col(s"_a_$k")).reduce(_ && _) &&
+      date_trunc("day", col(tsCol)) === col("day")
+    withInc.join(alb, joinCond, "left")
+      .withColumn("melt_rate", coalesce(
+        graft.functions.meltEqu(col(temperatureCol), col("albedo"),
+          col("_inc_c"), thresholdTemp = thresholdTemp), lit(0.0)))
+      .drop((keys.map(k => s"_a_$k") :+ "day" :+ "_inc_c"): _*)
+  }
+}
