@@ -79,6 +79,64 @@ object Diurnal {
       .filter(!(col("min_val") > col("max_val")))
   }
 
+  /** Per-day extrema with the reference's boundary-artifact rejection
+    * (diurnal.py:654-714 on_boundary/bool_check_around_bound): a pick
+    * that falls on the first or last observation of its day window is
+    * only kept if it is still the extremum of the +/-5-observation
+    * neighborhood around that boundary (10 rows: 5 before, 4 after,
+    * python slice semantics), which crosses into adjacent days; fewer
+    * than 3 neighborhood rows also rejects. Rejected picks become null
+    * (the reference appends None rows).
+    *
+    * Distributed shape: per-key rows-frame window stats (ROWS BETWEEN
+    * 5 PRECEDING AND 4 FOLLOWING) — the neighborhood never becomes a
+    * range self-join; each side is one equi-join from the day-extrema
+    * back to its pick's observation row.
+    */
+  def extremaBoundaryChecked(df: DataFrame, keys: Seq[String], tsCol: String,
+                             valCol: String): DataFrame = {
+    val keyW = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val nb = keyW.rowsBetween(-5, 4)
+    val dayCol = date_trunc("day", col(tsCol))
+    val dayPart = Window.partitionBy(keys.map(col) :+ dayCol: _*)
+    // min(struct(v, ts)) ties to the earliest ts like pandas idxmin;
+    // for the max side, tie to the earliest via (v, -us, ts) ordering.
+    val negUs = -unix_micros(col(tsCol))
+    val obs = df
+      .withColumn("_first_ts", min(col(tsCol)).over(dayPart))
+      .withColumn("_last_ts", max(col(tsCol)).over(dayPart))
+      .withColumn("_nb_n", count(col(valCol)).over(nb))
+      .withColumn("_nb_min", min(col(valCol)).over(nb))
+      .withColumn("_nb_min_ts",
+        min(struct(col(valCol).as("v"), col(tsCol).as("t"))).over(nb).getField("t"))
+      .withColumn("_nb_max", max(col(valCol)).over(nb))
+      .withColumn("_nb_max_ts",
+        max(struct(col(valCol).as("v"), negUs.as("nu"), col(tsCol).as("t")))
+          .over(nb).getField("t"))
+      .select(keys.map(k => col(k).as(s"_o_$k")) ++ Seq(
+        col(tsCol).as("_o_ts"), col("_first_ts"), col("_last_ts"), col("_nb_n"),
+        col("_nb_min"), col("_nb_min_ts"), col("_nb_max"), col("_nb_max_ts")): _*)
+
+    def checkSide(ext: DataFrame, which: String): DataFrame = {
+      val pickTs = col(s"${which}_time")
+      val nbVal = col(s"_nb_$which")
+      val nbTs = col(s"_nb_${which}_ts")
+      val goodExpr =
+        !(pickTs === col("_first_ts") || pickTs === col("_last_ts")) ||
+          (col("_nb_n") >= 3 &&
+            (nbTs === pickTs || nbVal === col(s"${which}_val")))
+      ext.join(obs,
+          keys.map(k => col(k) === col(s"_o_$k")).reduce(_ && _) &&
+            pickTs === col("_o_ts"), "left")
+        .withColumn(s"${which}_val",
+          when(goodExpr, col(s"${which}_val")).otherwise(lit(null).cast("double")))
+        .withColumn(s"${which}_time", when(goodExpr, col(s"${which}_time")))
+        .drop(keys.map(k => s"_o_$k") ++ Seq("_o_ts", "_first_ts", "_last_ts",
+          "_nb_n", "_nb_min", "_nb_min_ts", "_nb_max", "_nb_max_ts"): _*)
+    }
+    checkSide(checkSide(extrema(df, keys, tsCol, valCol), "min"), "max")
+  }
+
   /** Daily amplitude (B3; diurnal.py:296-299). */
   def amplitude(ext: DataFrame): DataFrame =
     ext.withColumn("amplitude", col("max_val") - col("min_val"))

@@ -52,7 +52,14 @@ object DiurnalQueries extends QueryPack {
   def diurnalPredict(s: SparkSession, dir: String): DataFrame =
     formatted(Diurnal.extremaPredicted(e(s, dir), K, "ts", "value", "2024-01-09"))
 
+  /** B1+ `diurnal_boundary` — extrema with the reference's
+    * boundary-artifact rejection (diurnal.py:654 on_boundary).
+    */
+  def diurnalBoundary(s: SparkSession, dir: String): DataFrame =
+    formatted(Diurnal.extremaBoundaryChecked(e(s, dir), K, "ts", "value"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diurnal_boundary" -> diurnalBoundary,
     "diurnal_extrema" -> diurnalExtrema,
     "diurnal_minfirst" -> diurnalMinFirst,
     "diurnal_amplitude" -> diurnalAmplitude,
@@ -78,6 +85,42 @@ object DiurnalQueries extends QueryPack {
        |        FROM w GROUP BY user_id, d, minv, maxv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "diurnal_boundary" ->
+      s"""$extCte,
+         |obs AS (SELECT user_id, ts, value,
+         |    min(ts) OVER dp AS first_ts, max(ts) OVER dp AS last_ts,
+         |    count(value) OVER nb AS nb_n,
+         |    min(value) OVER nb AS nb_min,
+         |    (min({'v': value, 't': ts}) OVER nb).t AS nb_min_ts,
+         |    max(value) OVER nb AS nb_max,
+         |    (max({'v': value, 'nu': -epoch_us(ts), 't': ts}) OVER nb).t AS nb_max_ts
+         |  FROM e
+         |  WINDOW dp AS (PARTITION BY user_id, date_trunc('day', ts)),
+         |         nb AS (PARTITION BY user_id ORDER BY ts
+         |                ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING)),
+         |mc AS (SELECT ext.user_id, ext.d,
+         |    CASE WHEN NOT (ext.min_time = o.first_ts OR ext.min_time = o.last_ts)
+         |           OR (o.nb_n >= 3 AND (o.nb_min_ts = ext.min_time OR o.nb_min = ext.minv))
+         |         THEN ext.minv END AS min_val,
+         |    CASE WHEN NOT (ext.min_time = o.first_ts OR ext.min_time = o.last_ts)
+         |           OR (o.nb_n >= 3 AND (o.nb_min_ts = ext.min_time OR o.nb_min = ext.minv))
+         |         THEN ext.min_time END AS min_time,
+         |    ext.maxv, ext.max_time
+         |  FROM ext LEFT JOIN obs o
+         |    ON ext.user_id = o.user_id AND ext.min_time = o.ts),
+         |bc AS (SELECT mc.user_id, mc.d, mc.min_val, mc.min_time,
+         |    CASE WHEN NOT (mc.max_time = o.first_ts OR mc.max_time = o.last_ts)
+         |           OR (o.nb_n >= 3 AND (o.nb_max_ts = mc.max_time OR o.nb_max = mc.maxv))
+         |         THEN mc.maxv END AS max_val,
+         |    CASE WHEN NOT (mc.max_time = o.first_ts OR mc.max_time = o.last_ts)
+         |           OR (o.nb_n >= 3 AND (o.nb_max_ts = mc.max_time OR o.nb_max = mc.maxv))
+         |         THEN mc.max_time END AS max_time
+         |  FROM mc LEFT JOIN obs o
+         |    ON mc.user_id = o.user_id AND mc.max_time = o.ts)
+         |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+         |  min_val, strftime(min_time, '$fmt') AS min_time,
+         |  max_val, strftime(max_time, '$fmt') AS max_time
+         |FROM bc""".stripMargin,
     "diurnal_extrema" ->
       s"""$extCte
          |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
