@@ -39,6 +39,25 @@ class DiurnalSpec extends SparkSpec {
     assert(out(1).getAs[Double]("max_val") === 2.0)
   }
 
+  test("boundary-checked extrema reject picks that are window artifacts") {
+    val df = series(
+      ("a", "2024-01-01 23:00:00", 0.5), // day1's only obs, lower than day2's "min"
+      ("a", "2024-01-02 00:30:00", 1.0), // day2 min, but on its first obs
+      ("a", "2024-01-02 12:00:00", 5.0),
+      ("a", "2024-01-02 18:00:00", 3.0))
+    val out = Diurnal.extremaBoundaryChecked(df, Seq("k"), "t", "v")
+      .orderBy("day").collect()
+    // day1: single obs is both extrema; it IS the neighborhood min -> min
+    // kept; it is not the neighborhood max (5.0 nearby) -> max rejected
+    assert(out(0).getAs[java.lang.Double]("min_val") === 0.5)
+    assert(out(0).getAs[java.lang.Double]("max_val") === null)
+    // day2: min sits on the day's first obs and the neighborhood has a
+    // lower value across midnight -> artifact, rejected
+    assert(out(1).getAs[java.lang.Double]("min_val") === null)
+    // day2 max is interior -> kept
+    assert(out(1).getAs[java.lang.Double]("max_val") === 5.0)
+  }
+
   test("applyThreshold drops days with amplitude below threshold") {
     val df = series(
       ("a", "2024-01-01 01:00:00", 1.0), ("a", "2024-01-01 12:00:00", 9.0), // amp 8
