@@ -104,7 +104,19 @@ object RelationalQueries extends QueryPack {
         r4(sum(col("value"))).as("total_value"))
   }
 
+  /** K `q_json_props` — typed extraction from the events JSON payload
+    * plus a grouped aggregate over the extracted field.
+    */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        graft.sources.Sinks.jsonField("props", "$.k", "long").as("k"))
+      .groupBy(col("user_id"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props" -> qJsonProps,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
     "q_window_topk" -> qWindowTopk,
@@ -113,6 +125,13 @@ object RelationalQueries extends QueryPack {
     "q_sessionize" -> qSessionize)
 
   val oracles: Map[String, String] = Map(
+    "q_json_props" ->
+      """SELECT user_id,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY user_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 10000 + 0.5001) / 10000 AS sum_qty,

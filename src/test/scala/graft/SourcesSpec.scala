@@ -55,6 +55,26 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readStr17(spark, p).count() === 1)
   }
 
+  test("partitioned parquet write prunes by partition directory") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sink").toString + "/out"
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+      (3L, "2024-01-02", 3.0)).toDF("id", "day", "v")
+    graft.sources.Sinks.writePartitioned(df, dir, Seq("day"))
+    val back = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    assert(back.count() === 2)
+    // partition pruning: the physical scan only lists the matching dir
+    val scan = back.queryExecution.executedPlan.toString
+    assert(new java.io.File(dir, "day=2024-01-01").exists())
+    assert(scan.contains("PartitionFilters"))
+  }
+
+  test("lines-of-text source reads one row per line") {
+    val p = tmpCsv("lines.txt", "alpha\nbeta\ngamma\n")
+    assert(graft.sources.Sinks.readLines(spark, p).count() === 3)
+  }
+
   test("readHobo: title row skipped, '#' dropped, sensors renamed, Solar1/Solar2") {
     val p = tmpCsv("hobo.csv",
       """Plot Title: station X
