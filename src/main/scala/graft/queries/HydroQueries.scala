@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.TimeSeriesOps
+import graft.operators.{Hydro, TimeSeriesOps}
 import graft.functions._
 
 /** D1-D5 — hydrology: water pressure -> hydraulic head (reference
@@ -44,43 +44,32 @@ object HydroQueries extends QueryPack {
     val atm = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         convertUnits("mbar", "mH2O", col("value")).as("p_atm"))
-    val p0 = atm.groupBy("user_id").agg(min_by(col("p_atm"), col("ts")).as("p0"))
-    TimeSeriesOps.asofJoinBackward(water, atm, Seq("user_id"), "ts", Seq("p_atm"))
-      .join(p0, "user_id")
+    Hydro.atmosphericCorrection(water, atm, Seq("user_id"), "ts", "lvl", "p_atm")
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
-        (col("lvl") - (col("p_atm") - col("p0"))).as("lvl_corrected"))
+        col("lvl_corrected"))
   }
 
   /** D4 `hydro_piecewise` — dated sensor-height intervals
     * (hydrotools.py:410-446 calc_wlb_pira's piz_hgt assignment): a tiny
     * interval table broadcast-joined on a range condition.
     */
-  def hydroPiecewise(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val iv = Seq(
-      ("2024-01-01", "2024-01-08", 299.31),
-      ("2024-01-08", "2024-01-15", 293.81),
-      ("2024-01-15", "2024-01-22", 288.99),
-      ("2024-01-22", "2024-02-01", 284.66))
-      .toDF("lo", "hi", "sensor_height")
-      .select(col("lo").cast("timestamp").as("lo"),
-        col("hi").cast("timestamp").as("hi"), col("sensor_height"))
-    e(s, dir)
-      .join(broadcast(iv), col("ts") >= col("lo") && col("ts") < col("hi"))
+  def hydroPiecewise(s: SparkSession, dir: String): DataFrame =
+    Hydro.piecewiseIntervals(s, e(s, dir), "ts", Seq(
+        ("2024-01-01", "2024-01-08", 299.31),
+        ("2024-01-08", "2024-01-15", 293.81),
+        ("2024-01-15", "2024-01-22", 288.99),
+        ("2024-01-22", "2024-02-01", 284.66)), "sensor_height")
       .select(col("event_id"), col("user_id"), col("sensor_height"),
         (col("value") * 0.05 + col("sensor_height")).as("wlb"),
         wlb2fob(col("value") * 0.05 + col("sensor_height"), lit(503.0)).as("fob"))
-  }
 
   /** D5 `hydro_stage` — stream stage from ultrasonic distance
     * (hydrotools.py:239-276 calc_stage_radi): drop bad readouts
     * (sensor max-range value), stage = datum - reading in meters.
     */
   def hydroStage(s: SparkSession, dir: String): DataFrame =
-    e(s, dir).filter(col("value") < 67.0)
-      .select(col("event_id"), col("user_id"),
-        streamStage(col("value")).as("stage"),
-        convertUnits("in", "m", col("value")).as("logger_to_stream"))
+    Hydro.streamStageFromReadings(e(s, dir), "value")
+      .select(col("event_id"), col("user_id"), col("stage"), col("logger_to_stream"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hydro_units" -> hydroUnits,
