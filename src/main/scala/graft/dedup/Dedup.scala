@@ -14,12 +14,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Array-valued;
+    * interpreted (higher-order transform) — fine for small/aux use, but
+    * hot paths should use [[shingleRows]] instead.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
     array_distinct(transform(
       sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Distinct word n-gram shingles as exploded rows — the codegen path:
+    * posexplode(split) + (n-1) lead() window calls per word, one
+    * doc_id shuffle, no higher-order functions. Documents shorter than
+    * n words contribute their whole text as a single shingle (matching
+    * [[shingles]]' slice-clamp behavior).
+    *
+    * Output: carryCols..., s (shingle string).
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val carry = (idCol +: carryCols).distinct
+    val words = docs.select(carry.map(col) :+
+      posexplode(split(col(textCol), " ")).as(Seq("_pos", "_w")): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val part = Window.partitionBy(col(idCol))
+    val leads = (1 until n).map(i => lead(col("_w"), i).over(w))
+    words
+      .withColumn("_total", count(lit(1)).over(part))
+      .withColumn("_s", concat_ws(" ", col("_w") +: leads: _*))
+      .filter(col("_pos") <= col("_total") - n ||
+        (col("_total") < n && col("_pos") === 0))
+      .select(carry.map(col) :+ col("_s").as("s"): _*)
+      .distinct()
   }
 
   /** Exact Jaccard similarity of two string-array columns. */
@@ -54,9 +83,8 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = shingleRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
+      "doc_id", textCol, shingleN)
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val sig = exploded.groupBy(col("doc_id"))
@@ -74,10 +102,20 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // exact-Jaccard verify, candidate-bounded: join the shingle rows of
+    // both members and count matches (no full-corpus array rebuilds).
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exB = exploded.select(col("doc_id").as("_doc_b"), col("s").as("_s_b"))
+    val inter = cand
+      .join(exploded.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(exB, col("doc_b") === col("_doc_b") && col("s") === col("_s_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -140,14 +178,13 @@ object Dedup {
   def blockedJaccard(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleN: Int = 3,
                      threshold: Double = 0.3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    // join on the shingle's 64-bit hash, not the string (narrower shuffle
-    // rows, long comparisons instead of string comparisons)
-    val ex = sh.select(col("doc_id"), col("blk"),
-      explode(col("sh")).as("s0")).select(col("doc_id"), col("blk"),
-      xxhash64(col("s0")).as("s"))
+    // codegen shingle rows; join on the shingle's 64-bit hash, not the
+    // string (narrower shuffle rows, long comparisons)
+    val ex = shingleRows(
+        docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), col(textCol)),
+        "doc_id", textCol, shingleN, carryCols = Seq("blk"))
+      .select(col("doc_id"), col("blk"), xxhash64(col("s")).as("s"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
