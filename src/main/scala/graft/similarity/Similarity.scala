@@ -47,8 +47,8 @@ object Similarity {
     * exact cosine >= threshold.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                       threshold: Double, numBits: Int = 32,
-                       bitsPerBand: Int = 4): DataFrame = {
+                       threshold: Double, numBits: Int = 64,
+                       bitsPerBand: Int = 8): DataFrame = {
     val bands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
@@ -78,8 +78,8 @@ object Similarity {
     * the query; exact cosine top-k within candidates only.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              query: DataFrame, k: Int, numBits: Int = 32,
-              bitsPerBand: Int = 4): DataFrame = {
+              query: DataFrame, k: Int, numBits: Int = 48,
+              bitsPerBand: Int = 6): DataFrame = {
     val bands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
     val qBands = lshBands(query.select(lit(0L).as("_qid"), col(vecCol)),
       "_qid", vecCol, dim, numBits, bitsPerBand)

@@ -70,6 +70,20 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    graft.sources.Sinks.writeBucketed(a, "bkt_a", Seq("k"), 4)
+    graft.sources.Sinks.writeBucketed(b, "bkt_b", Seq("k"), 4)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === 1000)
+  }
+
   test("lines-of-text source reads one row per line") {
     val p = tmpCsv("lines.txt", "alpha\nbeta\ngamma\n")
     assert(graft.sources.Sinks.readLines(spark, p).count() === 3)
