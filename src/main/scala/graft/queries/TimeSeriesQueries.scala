@@ -87,9 +87,12 @@ object TimeSeriesQueries extends QueryPack {
     e(s, dir).select(col("event_id"), col("user_id"),
       r6(quadrature(col("value"), col("value") * 0.5)).as("quad"))
 
-  /** A9 `ts_clip_window` — time-slice filter (gpstools.py:829). */
+  /** A9 `ts_clip_window` — time-slice filter (gpstools.py:829), pushed
+    * to the parquet scan as a raw-nanos range predicate (a filter on
+    * the converted timestamp cannot cross the conversion expression).
+    */
   def tsClipWindow(s: SparkSession, dir: String): DataFrame =
-    TimeSeriesOps.clipWindow(e(s, dir), "ts", "2024-01-10", "2024-01-20")
+    Tables.eventsClipped(s, dir, "2024-01-10", "2024-01-20")
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"), col("value"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

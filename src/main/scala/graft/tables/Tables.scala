@@ -34,4 +34,27 @@ object Tables {
     // double division loses precision at 1.7e18 ns (ulp there is 256!).
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** events clipped to [start, end) with the time predicate applied to
+    * the RAW nanosecond long column, so it reaches the parquet scan as
+    * a PushedFilter (a filter on the converted timestamp cannot be
+    * pushed past the conversion expression — at 100 TB that is the
+    * difference between reading one day and reading everything).
+    * Bounds are exact: ts_us >= X  <=>  ts_ns >= X*1000 under
+    * truncation.
+    */
+  def eventsClipped(s: SparkSession, d: String,
+                    startInclusive: String, endExclusive: String): DataFrame = {
+    def usOf(t: String): Long = {
+      val norm = if (t.contains(" ") || t.contains("T")) t.replace(" ", "T")
+        else t + "T00:00:00"
+      val inst = java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    }
+    val raw = load(s, d, "events")
+      .filter(col("ts") >= usOf(startInclusive) * 1000L &&
+        col("ts") < usOf(endExclusive) * 1000L)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

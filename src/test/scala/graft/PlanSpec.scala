@@ -34,6 +34,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ts_clip_window pushes the time range to the parquet scan as raw-nanos bounds") {
+    val plan = planOf(TimeSeriesQueries.tsClipWindow(spark, dir))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts") && plan.contains("LessThan(ts"),
+      s"time clip not pushed down:\n$plan")
+  }
+
   test("window operators shuffle once on the series key (single Exchange before Window)") {
     val plan = planOf(TimeSeriesQueries.tsRollingCenter(spark, dir))
     assert(plan.contains("Window"))
