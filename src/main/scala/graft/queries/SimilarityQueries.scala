@@ -28,11 +28,14 @@ object SimilarityQueries extends QueryPack {
         query(s, dir), 10)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
 
-  /** H3 `ann_ivf` — IVF with 16 seed centroids, 4 probes. */
+  /** H3 `ann_ivf` — IVF with 16 k-means centroids (2 Lloyd's
+    * iterations, deterministic seeds), 4 probes.
+    */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding"))
+    val centroids = Similarity
+      .kmeansCentroids(emb, "vec_id", "embedding", k = 16, iterations = 2)
+      .withColumnRenamed("centroid", "embedding")
     Similarity.ivfTopK(corpus(s, dir), "vec_id", "embedding",
         centroids, "cid", query(s, dir), 10, nProbe = 4)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))

@@ -37,13 +37,35 @@ object TextQueries extends QueryPack {
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fingerprint"))
 
+  /** I+ `text_topterms` — corpus vocabulary statistics: top-20 terms by
+    * document frequency (ties by term), with collection frequency. The
+    * building block of stopword-list induction and vocab pruning at
+    * corpus scale: one explode + two aggregations, top-k via
+    * TakeOrdered.
+    */
+  def textTopTerms(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("coll_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(20)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_topterms" -> textTopTerms,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_topterms" ->
+      """SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term
+        |ORDER BY doc_freq DESC, term
+        |LIMIT 20""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

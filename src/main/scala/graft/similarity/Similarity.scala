@@ -90,6 +90,43 @@ object Similarity {
     bruteForceTopK(df.join(candIds, idCol), idCol, vecCol, query, k)
   }
 
+  /** Lloyd's k-means over an embedding column, as DataFrame ops:
+    * seeds = the first k vectors by id (deterministic), then
+    * `iterations` rounds of assign (broadcast centroids, x k bounded
+    * cross) + per-centroid mean (posexplode + avg by dimension). Only
+    * the k x dim centroid table ever reaches the driver — that is the
+    * broadcast table IVF needs anyway. Returns (cid, vector).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iterations: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    var centroids = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for (_ <- 0 until iterations) {
+      val centDf = broadcast(centroids.toSeq.toDF("_cid", "_cv"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+      val assigned = vecs.crossJoin(centDf)
+        .withColumn("_csim", cosineSimilarity(col("_v"), col("_cv")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_cid"), col("_v"))
+      val means = assigned
+        .select(col("_cid"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy(col("_cid"), col("_d")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_cid"))
+        .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
+        .select(col("_cid"), transform(col("_dm"), s => s.getField("_m")).as("_cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      // empty clusters keep their previous centroid
+      val updated = means.toMap
+      centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
+    }
+    centroids.toSeq.toDF("cid", "centroid")
+  }
+
   /** H3: IVF-style ANN — vectors are assigned to their nearest centroid
     * (broadcast centroid table); the query probes the `nProbe` nearest
     * centroids and ranks only those partitions' vectors.

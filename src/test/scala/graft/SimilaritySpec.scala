@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("vec_id")).contains(1L))
   }
 
+  test("kmeansCentroids converges toward cluster means (deterministic seeds)") {
+    // two obvious clusters around e1 and e2 axes
+    val data = ((1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))) ++
+      (11 to 20).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 2, iterations = 3)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    assert(cents.length === 2)
+    // one centroid dominated by dim 0, the other by dim 1
+    val dims = cents.map(_.zipWithIndex.maxBy(_._1)._2).sorted
+    assert(dims.toSeq === Seq(0, 1))
+  }
+
   test("IVF assigns vectors to nearest centroid and recalls via probed partitions") {
     val centroids = Seq(
       (100L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
