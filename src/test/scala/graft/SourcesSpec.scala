@@ -75,6 +75,18 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse dirs survive: clear both before writing
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     graft.sources.Sinks.writeBucketed(a, "bkt_a", Seq("k"), 4)
     graft.sources.Sinks.writeBucketed(b, "bkt_b", Seq("k"), 4)
     val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
