@@ -115,7 +115,35 @@ object RelationalQueries extends QueryPack {
       .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** F+ `q_rollup` — hierarchical subtotals (ROLLUP) over the Q1 agg. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** F+ `q_pivot` — wide aggregation: revenue per returnflag pivoted by
+    * linestatus (fixed pivot values, so the plan is a single pass of
+    * conditional aggregates — same shape the oracle spells out).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+
+  /** F+ `q_quantiles` — exact interpolated quartiles per group. */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r6(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r6(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_quantiles" -> qQuantiles,
     "q_json_props" -> qJsonProps,
     "q1_agg" -> q1Agg,
     "q3_join" -> q3Join,
@@ -125,6 +153,25 @@ object RelationalQueries extends QueryPack {
     "q_sessionize" -> qSessionize)
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 10000 + 0.5001) / 10000 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  floor((sum(CASE WHEN l_linestatus = 'F'
+        |    THEN l_extendedprice * (1.0 - l_discount) END)) * 10000 + 0.5001) / 10000 AS F,
+        |  floor((sum(CASE WHEN l_linestatus = 'O'
+        |    THEN l_extendedprice * (1.0 - l_discount) END)) * 10000 + 0.5001) / 10000 AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_extendedprice, 0.25)) * 1000000 + 0.5001) / 1000000 AS p25,
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1000000 + 0.5001) / 1000000 AS p50,
+        |  floor((quantile_cont(l_extendedprice, 0.75)) * 1000000 + 0.5001) / 1000000 AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_json_props" ->
       """SELECT user_id,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
