@@ -73,6 +73,16 @@ object RelationalQueries extends QueryPack {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** F4+ `q_semijoin` — customers WITH recent orders (the semi twin of
+    * q_antijoin).
+    */
+  def qSemijoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
   /** F5 `q_topk` — grouped top-k (per supplier, 5 priciest line items). */
   def qTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -149,6 +159,7 @@ object RelationalQueries extends QueryPack {
     "q3_join" -> q3Join,
     "q_window_topk" -> qWindowTopk,
     "q_antijoin" -> qAntijoin,
+    "q_semijoin" -> qSemijoin,
     "q_topk" -> qTopk,
     "q_sessionize" -> qSessionize)
 
@@ -208,6 +219,10 @@ object RelationalQueries extends QueryPack {
         |                 ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rnk <= 3""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin,
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -29,13 +29,15 @@ object TextQueries extends QueryPack {
     docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** I4 `text_fingerprint` — min-of-md5 over 5-word shingles. */
+  /** I4 `text_fingerprint` — min-of-md5 over 5-word shingles, built on
+    * the codegen shingle-row path (posexplode + lead) rather than
+    * interpreted transform arrays.
+    */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
-        explode(TextAnalysis.fingerprintShingles(col("text"))).as("h"))
+    graft.dedup.Dedup.shingleRows(
+        docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", 5)
       .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fingerprint"))
+      .agg(min(md5(col("s"))).as("fingerprint"))
 
   /** I+ `text_topterms` — corpus vocabulary statistics: top-20 terms by
     * document frequency (ties by term), with collection frequency. The

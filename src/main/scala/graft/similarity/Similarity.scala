@@ -102,6 +102,7 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .persist() // re-scanned every Lloyd iteration
     var centroids = vecs.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -124,6 +125,7 @@ object Similarity {
       val updated = means.toMap
       centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
     }
+    vecs.unpersist()
     centroids.toSeq.toDF("cid", "centroid")
   }
 
