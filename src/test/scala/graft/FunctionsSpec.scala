@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convertUnits applies the reference factor table incl. derived reverses") {
+    val df = Seq(100.0).toDF("v")
+    val r = df.select(
+      convertUnits("mbar", "mH2O", col("v")).as("a"),
+      convertUnits("mH2O", "mbar", col("v")).as("b"),
+      convertUnits("ft", "m", col("v")).as("c"),
+      convertUnits("in", "mm", col("v")).as("d")).head
+    assert(r.getDouble(0) === 100.0 * 0.0102)
+    assert(r.getDouble(1) === 100.0 * (1.0 / 0.0102))
+    assert(r.getDouble(2) === 100.0 * 0.3048)
+    assert(r.getDouble(3) === 100.0 * 25.4)
+    // unknown pairs fail at plan-build time like the reference's ValueError
+    assertThrows[IllegalArgumentException](convertUnits("mbar", "m", col("v")))
+  }
+
+  test("quadrature of zero args is 0 (reference running total)") {
+    assert(Seq(1).toDF("x").select(quadrature().as("q")).head.getDouble(0) === 0.0)
+    assert(Seq(1).toDF("x")
+      .select(quadrature(lit(3.0), lit(4.0)).as("q")).head.getDouble(0) === 5.0)
+  }
+
+  test("decimalDoy: noon Jan 2 is 2.5") {
+    val df = Seq("2024-01-02 12:00:00").toDF("t")
+      .select(decimalDoy(col("t").cast("timestamp")).as("doy"))
+    assert(df.head.getDouble(0) === 2.5)
+  }
+
+  test("meltEqu: melts only above threshold, null factors propagate") {
+    val df = Seq(
+      (5.0, Some(0.7), 400.0),   // melting
+      (-5.0, Some(0.7), 400.0),  // frozen -> 0
+      (5.0, None, 400.0)         // albedo missing -> null (caller coalesces)
+    ).toDF("t", "a", "g")
+    val out = df.select(meltEqu(col("t"), col("a"), col("g")).as("m"))
+      .collect().map(r => Option(r.getAs[java.lang.Double]("m")))
+    assert(out(0).get === 0.05 * 5.0 + 0.0094 * (1.0 - 0.7) * 400.0)
+    assert(out(1).get === 0.0)
+    assert(out(2).isEmpty)
+  }
+
+  test("wlb2fob/gwl2fob use the 917/1000 density ratio") {
+    val r = Seq(230.6255).toDF("w")
+      .select(wlb2fob(col("w"), lit(503.0)).as("f")).head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-9) // 0.917*503/2 = 230.6255
+  }
+
+  test("cosineSimilarity yields null for zero-norm vectors") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(cosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
+  }
+}

@@ -29,6 +29,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg works over a file stream (parquet directory source)") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      (ts("2024-01-01 00:10:00"), 1L, 10.0),
+      (ts("2024-01-01 00:40:00"), 1L, 20.0)).toDF("ts", "user_id", "value")
+    events.write.parquet(src + "/batch1")
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src + "/*")
+    val q = Streaming.windowedAgg(stream, "ts", "user_id", "value", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("file_win").collect()
+      assert(rows.exists(r => r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Double]("total_value") == 30.0))
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions close on gap and emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
