@@ -136,6 +136,48 @@ object TimeSeriesOps {
       .drop("_prev", "_next")
   }
 
+  /** Nearest-neighbor upsampling onto a fixed-interval grid (reference
+    * hydrotools.py:204 `P_atm.resample('15T').nearest()`): per key,
+    * generate interval-aligned grid points spanning the observed range
+    * and pick the temporally closest observation's value for each
+    * (ties -> the earlier observation, matching pandas reindex).
+    *
+    * Same union + two-window shape as the as-of join: one shuffle on
+    * the key, no per-point lookups; grid size is bounded by
+    * range/interval per key.
+    */
+  def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valCol: String, intervalSec: Long): DataFrame = {
+    val iUs = intervalSec * UsPerSec
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("_lo"), max(unix_micros(col(tsCol))).as("_hi"))
+    val grid = bounds.select(keys.map(col) :+
+        explode(sequence((col("_lo") / iUs).cast("long"),
+          (col("_hi") / iUs).cast("long"))).as("_b"): _*)
+      .select(keys.map(col) :+ timestamp_micros(col("_b") * iUs).as(tsCol): _*)
+    val gridT = grid.withColumn("_side", lit(0))
+      .withColumn(valCol, lit(null).cast(df.schema(valCol).dataType))
+    val obsT = df.select(keys.map(col) ++ Seq(col(tsCol), col(valCol)): _*)
+      .withColumn("_side", lit(1))
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").desc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val point = when(col(valCol).isNotNull,
+      struct(unix_micros(col(tsCol)).as("t"), col(valCol).as("v")))
+    gridT.unionByName(obsT)
+      .withColumn("_prev", last(point, ignoreNulls = true).over(before))
+      .withColumn("_next", first(point, ignoreNulls = true).over(after))
+      .filter(col("_side") === 0)
+      .withColumn(valCol,
+        when(col("_next").isNull, col("_prev.v"))
+          .when(col("_prev").isNull, col("_next.v"))
+          .when(unix_micros(col(tsCol)) - col("_prev.t") <=
+            col("_next.t") - unix_micros(col(tsCol)), col("_prev.v"))
+          .otherwise(col("_next.v")))
+      .select(keys.map(col) ++ Seq(col(tsCol), col(valCol)): _*)
+  }
+
   /** Sampling-rate inference: mode of consecutive timestamp deltas per
     * key, in whole seconds (A7; reference gpstools.py:804
     * `infer_sampling` — pandas `.seconds` excludes whole days, hence

@@ -95,7 +95,18 @@ object TimeSeriesQueries extends QueryPack {
     Tables.eventsClipped(s, dir, "2024-01-10", "2024-01-20")
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"), col("value"))
 
+  /** A4+ `ts_upsample_nearest` — 6 h grid upsampling of the purchase
+    * series per user (hydrotools.py:204 resample().nearest()).
+    */
+  def tsUpsampleNearest(s: SparkSession, dir: String): DataFrame = {
+    val purchases = e(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    TimeSeriesOps.upsampleNearest(purchases, Seq("user_id"), "ts", "value", 21600)
+      .select(col("user_id"), fmtTs(col("ts")).as("ts"), col("value"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_upsample_nearest" -> tsUpsampleNearest,
     "ts_rolling_center" -> tsRollingCenter,
     "ts_rolling_multi" -> tsRollingMulti,
     "ts_resample_1d" -> tsResample1d,
@@ -109,6 +120,34 @@ object TimeSeriesQueries extends QueryPack {
   private val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
   val oracles: Map[String, String] = Map(
+    "ts_upsample_nearest" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |b AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+         |      FROM e GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |    make_timestamp(unnest(generate_series(
+         |      CAST(lo // 21600000000 AS BIGINT),
+         |      CAST(hi // 21600000000 AS BIGINT))) * 21600000000) AS ts
+         |  FROM b),
+         |u AS (
+         |  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, 0 AS side FROM grid
+         |  UNION ALL
+         |  SELECT user_id, ts, value, 1 FROM e),
+         |w AS (SELECT *,
+         |  last_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := epoch_us(ts), v := v) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts ASC, side DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+         |  first_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := epoch_us(ts), v := v) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts ASC, side DESC
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+         |  FROM u)
+         |SELECT user_id, strftime(ts, '$fmt') AS ts,
+         |  CASE WHEN nx IS NULL THEN pr.v
+         |       WHEN pr IS NULL THEN nx.v
+         |       WHEN epoch_us(ts) - pr.t <= nx.t - epoch_us(ts) THEN pr.v
+         |       ELSE nx.v END AS value
+         |FROM w WHERE side = 0""".stripMargin,
     "ts_rolling_center" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
          |SELECT user_id,

@@ -52,6 +52,21 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out === Array(None, Some(10.0), Some(20.0), Some(40.0), Some(40.0)))
   }
 
+  test("upsampleNearest picks the temporally closest value, ties backward") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:50:00", 2.0),
+      ("a", "2024-01-01 01:30:00", 3.0))
+    val out = TimeSeriesOps.upsampleNearest(df, Seq("k"), "t", "v", 1800)
+      .orderBy("t").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("t").toString -> r.getAs[Double]("v"))
+    assert(out === Array(
+      "2024-01-01 00:00:00.0" -> 1.0, // exact hit
+      "2024-01-01 00:30:00.0" -> 2.0, // 30m to 1.0 vs 20m to 2.0
+      "2024-01-01 01:00:00.0" -> 2.0, // 10m back vs 30m forward
+      "2024-01-01 01:30:00.0" -> 3.0))
+  }
+
   test("inferSampling picks modal delta in whole seconds, ties to smallest") {
     val df = series(
       ("a", "2024-01-01 00:00:00", 0.0),
