@@ -136,6 +136,32 @@ object TimeSeriesOps {
       .drop("_prev", "_next")
   }
 
+  /** Downsample to arbitrary fixed intervals (reference resample('6H'),
+    * '15T', ...): epoch-aligned bucket ids, one groupBy shuffle. For
+    * calendar units prefer [[resample]] (date_trunc handles DST-less
+    * UTC calendars directly).
+    */
+  def resampleInterval(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valCol: String, intervalSec: Long,
+                       aggs: Seq[(String, Column => Column)]): DataFrame = {
+    val iUs = intervalSec * UsPerSec
+    df.withColumn("_bid", (unix_micros(col(tsCol)) / iUs).cast("long"))
+      .groupBy(keys.map(col) :+ col("_bid"): _*)
+      .agg(aggs.head._2(col(valCol)).as(aggs.head._1),
+        aggs.tail.map { case (n, f) => f(col(valCol)).as(n) }: _*)
+      .withColumn("bucket", timestamp_micros(col("_bid") * iUs))
+      .drop("_bid")
+  }
+
+  /** Forward-fill nulls per key by time order (pandas ffill). */
+  def ffill(df: DataFrame, keys: Seq[String], tsCol: String,
+            cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Nearest-neighbor upsampling onto a fixed-interval grid (reference
     * hydrotools.py:204 `P_atm.resample('15T').nearest()`): per key,
     * generate interval-aligned grid points spanning the observed range

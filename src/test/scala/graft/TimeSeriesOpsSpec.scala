@@ -52,6 +52,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out === Array(None, Some(10.0), Some(20.0), Some(40.0), Some(40.0)))
   }
 
+  test("resampleInterval buckets on epoch-aligned boundaries; ffill carries last value") {
+    val df = series(
+      ("a", "2024-01-01 00:10:00", 1.0),
+      ("a", "2024-01-01 00:20:00", 3.0),
+      ("a", "2024-01-01 06:10:00", 5.0))
+    val res = TimeSeriesOps.resampleInterval(df, Seq("k"), "t", "v", 21600,
+        Seq("m" -> (c => avg(c))))
+      .orderBy("bucket").collect()
+    assert(res.map(_.getAs[Double]("m")) === Array(2.0, 5.0))
+    assert(res(1).getAs[java.sql.Timestamp]("bucket") === ts("2024-01-01 06:00:00"))
+
+    val gaps = series(("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", Double.NaN), ("a", "2024-01-01 02:00:00", 2.0))
+      .withColumn("v", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("v")),
+        null).otherwise(org.apache.spark.sql.functions.col("v")))
+    val filled = TimeSeriesOps.ffill(gaps, Seq("k"), "t", Seq("v"))
+      .orderBy("t").collect().map(_.getAs[Double]("v"))
+    assert(filled === Array(1.0, 1.0, 2.0))
+  }
+
   test("upsampleNearest picks the temporally closest value, ties backward") {
     val df = series(
       ("a", "2024-01-01 00:00:00", 1.0),
