@@ -116,6 +116,14 @@ class OnIce(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
                minPeriods: Int = 1): DataFrame =
     TimeSeriesOps.cRolling(data, keys, tsCol, component,
       Durations.parseSeconds(window), Seq(component -> (c => avg(c))), minPeriods)
+
+  /** Vertical detrend against along-flow position (gpstools.py:498
+    * z_detrend_wrt_xflow): OLS of height vs xflow, residual returned.
+    */
+  def zDetrendWrtXflow(heightCol: String = "dheight",
+                       xflowCol: String = "xflow"): DataFrame =
+    Gps.linearDetrend(reprojectToFlowDirection(), keys, xflowCol, heightCol,
+      outCol = s"${heightCol}_xdetrended")
 }
 
 /** melt_model.py:273 `WeatherStation` — AWS series to melt rates. */

@@ -67,6 +67,14 @@ package object functions {
   def gwl2fob(gwl: Column, iceThickness: Column, surfaceElevation: Column): Column =
     wlb2fob(gwl - (surfaceElevation - iceThickness), iceThickness)
 
+  /** Water level (m asl) -> percent of overburden given the flotation
+    * level above bed and bed elevation (hydrotools.py:75
+    * masl_to_pctoverburden, scalarized per column).
+    */
+  def maslToPctOverburden(waterLvl: Column, flotationMbed: Column,
+                          bedElev: Column): Column =
+    (waterLvl - bedElev) / flotationMbed
+
   /** Stream stage from an ultrasonic distance reading in inches
     * (hydrotools.py:239): stage = datum - reading_in_meters.
     */

@@ -35,6 +35,22 @@ object Melt {
       .drop("_masked")
   }
 
+  /** Continuous (per-observation) albedo (melt_model.py:408 calc_albedo
+    * with daily=False): ratio of the 2 h c_rolling-smoothed reflected
+    * and incoming series, >= 1 invalid -> null + forward-filled.
+    */
+  def continuousAlbedo(df: DataFrame, keys: Seq[String], tsCol: String,
+                       incomingCol: String, reflectedCol: String): DataFrame = {
+    val frame = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(7200L * 1000000 - 1), 0)
+    val raw = avg(col(reflectedCol)).over(frame) / avg(col(incomingCol)).over(frame)
+    val d = df.withColumn("_alb",
+      when(raw >= 1.0, lit(null).cast("double")).otherwise(raw))
+    TimeSeriesOps.ffill(d, keys, tsCol, Seq("_alb"))
+      .withColumnRenamed("_alb", "albedo")
+  }
+
   /** Daily albedo at solar noon (E2; melt_model.py:408 calc_albedo):
     * incoming and reflected are 2 h c_rolling-smoothed (trailing mean,
     * index shifted -1 h), then per day the albedo is

@@ -52,6 +52,23 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r - 0.5) < 1e-9) // 0.917*503/2 = 230.6255
   }
 
+  test("maslToPctOverburden and continuousAlbedo behave per reference") {
+    val r = Seq((100.0, 200.0, 0.0)).toDF("w", "f", "b")
+      .select(maslToPctOverburden(col("w"), col("f"), col("b")).as("p"))
+      .head.getDouble(0)
+    assert(r === 0.5)
+
+    val aws = Seq(
+      ("a", "2024-01-01 10:00:00", 100.0, 60.0),  // albedo 0.6
+      ("a", "2024-01-01 11:00:00", 100.0, 260.0), // smoothed 160/100 >= 1 -> ffill
+      ("a", "2024-01-01 13:30:00", 200.0, 100.0)) // own window only: 0.5
+      .toDF("k", "t", "inc", "refl")
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("inc"), col("refl"))
+    val alb = graft.operators.Melt.continuousAlbedo(aws, Seq("k"), "t", "inc", "refl")
+      .orderBy("t").collect().map(_.getAs[Double]("albedo"))
+    assert(alb.toSeq === Seq(0.6, 0.6, 0.5))
+  }
+
   test("cosineSimilarity yields null for zero-norm vectors") {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
     assert(df.select(cosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
