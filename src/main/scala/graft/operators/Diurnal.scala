@@ -162,7 +162,8 @@ object Diurnal {
     */
   def extremaPredicted(df: DataFrame, keys: Seq[String], tsCol: String,
                        valCol: String, calibEndExclusive: String,
-                       halfWindowHours: Int = 8): DataFrame = {
+                       halfWindowHours: Int = 8,
+                       minFirst: Boolean = false): DataFrame = {
     val calib = extrema(
       df.filter(col(tsCol) < lit(calibEndExclusive).cast("timestamp")),
       keys, tsCol, valCol)
@@ -183,10 +184,16 @@ object Diurnal {
       col("_oday") - expr("INTERVAL 1 DAY"), col("_oday") + expr("INTERVAL 1 DAY")))
     val cand = obs.withColumn("day", candDays).drop("_oday")
       .join(days, keys :+ "day")
-    def pickAgg(occCol: String, tag: String): DataFrame = {
-      val lo = unix_micros(col("day")) + ((col(occCol) - lit(halfWindowHours.toDouble)) * 3600e6).cast("long")
-      val hi = unix_micros(col("day")) + ((col(occCol) + lit(halfWindowHours.toDouble)) * 3600e6).cast("long")
-      val inWin = cand.filter(unix_micros(col(tsCol)) >= lo && unix_micros(col(tsCol)) <= hi)
+    // floor (not cast-truncation) so negative sub-integer bounds round
+    // the same way as the oracle's floor().
+    def pickAgg(base: DataFrame, occCol: String, tag: String,
+                loOverride: Option[Column] = None): DataFrame = {
+      val loPred = unix_micros(col("day")) +
+        floor((col(occCol) - lit(halfWindowHours.toDouble)) * 3600e6)
+      val hi = unix_micros(col("day")) +
+        floor((col(occCol) + lit(halfWindowHours.toDouble)) * 3600e6)
+      val lo = loOverride.map(o => greatest(loPred, o)).getOrElse(loPred)
+      val inWin = base.filter(unix_micros(col(tsCol)) >= lo && unix_micros(col(tsCol)) <= hi)
       val part = Window.partitionBy(keys.map(col) :+ col("day"): _*)
       val ext = if (tag == "min") min(col(valCol)).over(part) else max(col(valCol)).over(part)
       inWin.withColumn("_ext", ext)
@@ -194,8 +201,20 @@ object Diurnal {
         .agg(first(col("_ext")).as(s"${tag}_val"),
           min(when(col(valCol) === col("_ext"), col(tsCol))).as(s"${tag}_time"))
     }
-    val minPicks = pickAgg("min_occ", "min")
-    val maxPicks = pickAgg("max_occ", "max")
+    val minPicks = pickAgg(cand, "min_occ", "min")
+    // min_first interplay (diurnal.py:313-316): the max window may not
+    // start before the found minimum of the same day.
+    val maxBase =
+      if (!minFirst) cand
+      else cand.join(
+        minPicks.select(keys.map(k => col(k).as(s"_m_$k")) ++
+          Seq(col("day").as("_m_day"), col("min_time").as("_m_min_time")): _*),
+        keys.map(k => col(k) === col(s"_m_$k")).reduce(_ && _) &&
+          col("day") === col("_m_day"), "left")
+    val maxPicks = pickAgg(maxBase, "max_occ", "max",
+        loOverride = if (minFirst)
+          Some(coalesce(unix_micros(col("_m_min_time")), lit(Long.MinValue)))
+        else None)
     days.select(keys.map(col) :+ col("day"): _*)
       .join(minPicks, keys :+ "day", "left")
       .join(maxPicks, keys :+ "day", "left")
