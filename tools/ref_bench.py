@@ -97,6 +97,55 @@ def _():
         v.index = g["ts"]
         v.interpolate(method="index")
 
+
+# E2: daily albedo at solar noon (reference calc_albedo inner loop:
+# c_rolling smoothing + per-day idxmax ratio, melt_model.py:408-448)
+@timed("melt_albedo")
+def _():
+    from utils import c_rolling
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        inc = pd.Series((g["value"] * 2.0).values, index=g["ts"])
+        refl = pd.Series((g["value"] * 2.0 * (0.35 + 0.05 * (g["event_id"] % 16))).values,
+                         index=g["ts"])
+        df = c_rolling(inc, "2h").to_frame(name="incoming")
+        df["outgoing"] = c_rolling(refl, "2h")
+        df.dropna(how="any", inplace=True)
+        albedo = []
+        for name, group in df.resample("D"):
+            if not group.empty:
+                albedo.append({"date": name, "albedo":
+                    group["outgoing"][group["incoming"].idxmax()] / group["incoming"].max()})
+        a = pd.DataFrame(albedo).set_index("date")["albedo"]
+        a.loc[a >= 1] = None
+        a = a.ffill()
+
+# D3: atmospheric correction via as-of alignment (merge_asof is the
+# optimized pandas path; the reference's index-alignment approach is
+# strictly slower)
+@timed("hydro_patm_correct")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        water = g[g.event_type == "click"][["ts", "value"]].rename(columns={"value": "lvl"})
+        atm = g[g.event_type == "purchase"][["ts", "value"]].rename(columns={"value": "p"})
+        if water.empty or atm.empty:
+            continue
+        m = pd.merge_asof(water, atm, on="ts", direction="backward")
+        p0 = atm["p"].iloc[0]
+        m["corr"] = m["lvl"] * 0.05 - (m["p"] * 0.0102 - p0 * 0.0102)
+
+# A8/A6: scalar column math (vectorized pandas; graft equivalents are
+# codegen'd expressions)
+@timed("ts_quadrature")
+def _():
+    np.sqrt(ev["value"] ** 2 + (ev["value"] * 0.5) ** 2)
+
+@timed("ts_doy")
+def _():
+    idx = pd.DatetimeIndex(ev["ts"])
+    from utils import DatetimeIndex_to_doy
+    DatetimeIndex_to_doy(idx)
 timings = {k: v for k, v in results.items() if not k.startswith("diurnal_extrema_series")}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
                   "total": round(sum(timings.values()), 3)}))
