@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.VectorDotProduct
+import org.apache.spark.sql.graft.{VectorCosineSimilarity, VectorDotProduct}
 
 /** SparkSessionExtensions hook: registers graft's native expressions so
   * plain SQL (`SELECT vector_dot(a, b)`) and downstream tools reach the
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_dot expects exactly 2 arguments")
         VectorDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_cosine"),
+      new ExpressionInfo(classOf[VectorCosineSimilarity].getName, "vector_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_cosine expects exactly 2 arguments")
+        VectorCosineSimilarity(children.head, children(1))
       }))
   }
 }

@@ -110,12 +110,11 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(org.apache.spark.sql.graft.VectorExpressions.vectorDot(a, a))
 
-  /** Cosine similarity of two float-array columns. Zero-norm vectors
-    * yield null instead of aborting the job (one degenerate embedding
-    * must not kill a 100 TB dedup run; see ADVICE r1).
+  /** Cosine similarity of two array columns — a fused single-pass
+    * codegen expression. Zero-norm vectors yield null instead of
+    * aborting the job (one degenerate embedding must not kill a 100 TB
+    * dedup run; see ADVICE r1).
     */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom =!= 0.0, dotProduct(a, b) / denom)
-  }
+  def cosineSimilarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.vectorCosine(a, b)
 }

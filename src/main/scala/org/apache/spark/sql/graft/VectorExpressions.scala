@@ -55,9 +55,67 @@ case class VectorDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: dot(a,b), |a| and |b| accumulated in ONE
+  * loop over the arrays (vs three separate dot-product traversals).
+  * Zero-norm inputs yield null — a degenerate embedding must not abort
+  * a 100 TB job (ADVICE r1).
+  */
+case class VectorCosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VectorCosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<double> columns. */
   def vectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd single-pass cosine similarity (null on zero norms). */
+  def vectorCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(VectorCosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

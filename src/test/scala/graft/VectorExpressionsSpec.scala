@@ -44,4 +44,24 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
     assert(r.getDouble(0) === 11.0)
   }
+
+  test("vector_cosine: fused single pass matches composed form, null on zero norm") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.vectorCosine(col("a"), col("b")).as("fused"),
+      (VectorExpressions.vectorDot(col("a"), col("b")) /
+        (sqrt(VectorExpressions.vectorDot(col("a"), col("a"))) *
+          sqrt(VectorExpressions.vectorDot(col("b"), col("b"))))).as("ref")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(0).getDouble(0) === rows(0).getDouble(1))
+    assert(rows(1).getDouble(0) === 0.0)
+    assert(rows(2).isNullAt(0)) // fused: null; composed form would be NaN/null
+    val sqlR = spark.sql(
+      "SELECT vector_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head
+    assert(math.abs(sqlR.getDouble(0) - 1.0) < 1e-12)
+  }
 }
