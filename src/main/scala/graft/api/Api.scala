@@ -149,6 +149,18 @@ class WeatherStation(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
   def calcAlbedo(): DataFrame =
     Melt.dailyAlbedo(data, keys, tsCol, solarCol, reflectedCol)
 
+  /** Shadow-correct the incoming series first, then run the melt
+    * pipeline on the corrected series (the reference's calc_melt uses
+    * solar_corrected when apply_shadow_correction has run,
+    * melt_model.py:527).
+    */
+  def calcMeltShadowCorrected(shadedTime: (String, String),
+                              thresholdTemp: Double = 0.0): DataFrame = {
+    val corrected = applyShadowCorrection(shadedTime)
+    new WeatherStation(corrected, keys, tsCol, temperatureCol,
+      "solar_corrected", reflectedCol).calcMelt(thresholdTemp)
+  }
+
   /** The full melt pipeline (melt_model.py:448): smoothed incoming,
     * daily albedo joined by day, melt where T > threshold, fillna(0).
     */

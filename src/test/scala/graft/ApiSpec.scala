@@ -70,5 +70,10 @@ class ApiSpec extends SparkSpec {
     assert(rates.exists(_.getDouble(1) > 0.0))
     val alb = ws.calcAlbedo()
     assert(alb.count() === 3) // 2 days + the -1h shift day boundary
+
+    // shadow-corrected chain: runs end to end on the corrected series
+    val melt2 = ws.calcMeltShadowCorrected(("11:00", "13:15"))
+    assert(melt2.count() === 48)
+    assert(melt2.columns.contains("melt_rate"))
   }
 }
