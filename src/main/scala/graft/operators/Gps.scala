@@ -95,6 +95,30 @@ object Gps {
   def dropLargeErrors(df: DataFrame, errCols: Seq[String], threshold: Double): DataFrame =
     errCols.foldLeft(df)((d, c) => d.filter(col(c) < threshold))
 
+  /** Distance between two stations' mean positions over a comparison
+    * window (gpstools.py:756 determine_stn_flow_dist): per-station
+    * windowed mean northing/easting, then the pairwise quadrature
+    * distance for every station pair (self-join of the tiny per-station
+    * aggregate — broadcastable).
+    */
+  def stationDistances(df: DataFrame, keys: Seq[String], tsCol: String,
+                       northCol: String, eastCol: String,
+                       startInclusive: String, endExclusive: String): DataFrame = {
+    val means = df
+      .filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
+        col(tsCol) < lit(endExclusive).cast("timestamp"))
+      .groupBy(keys.map(col): _*)
+      .agg(avg(col(northCol)).as("mn"), avg(col(eastCol)).as("me"))
+    val a = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"a_$k"))
+      .withColumnRenamed("mn", "a_mn").withColumnRenamed("me", "a_me")
+    val b = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"b_$k"))
+      .withColumnRenamed("mn", "b_mn").withColumnRenamed("me", "b_me")
+    a.join(b, keys.map(k => col(s"a_$k") < col(s"b_$k")).reduce(_ && _))
+      .select(keys.map(k => col(s"a_$k")) ++ keys.map(k => col(s"b_$k")) :+
+        graft.functions.quadrature(col("a_mn") - col("b_mn"),
+          col("a_me") - col("b_me")).as("distance"): _*)
+  }
+
   /** Horizontal displacement from the first position (C6; gpstools.py:282). */
   def displacement(df: DataFrame, keys: Seq[String], tsCol: String,
                    northCol: String, eastCol: String): DataFrame = {

@@ -69,7 +69,16 @@ object GpsQueries extends QueryPack {
     Tables.events(s, dir).select(col("event_id"), col("user_id"),
       (col("value") / 250.0).as("xnorm"))
 
+  /** C+ `gps_station_dist` — pairwise station distances from windowed
+    * mean positions (gpstools.py:756).
+    */
+  def gpsStationDist(s: SparkSession, dir: String): DataFrame =
+    Gps.stationDistances(pos(s, dir), Seq("user_id"), "ts", "dnorth", "deast",
+        "2024-01-05", "2024-01-15")
+      .select(col("a_user_id"), col("b_user_id"), r6(col("distance")).as("distance"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gps_station_dist" -> gpsStationDist,
     "gps_flow_angle" -> gpsFlowAngle,
     "gps_reproject" -> gpsReproject,
     "gps_detrend" -> gpsDetrend,
@@ -93,6 +102,16 @@ object GpsQueries extends QueryPack {
        |  JOIN daily l ON l.user_id = fl.user_id AND l.d = fl.d1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gps_station_dist" ->
+      s"""$posCte,
+         |means AS (SELECT user_id, avg(dnorth) AS mn, avg(deast) AS me
+         |  FROM pos
+         |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+         |  GROUP BY user_id)
+         |SELECT a.user_id AS a_user_id, b.user_id AS b_user_id,
+         |  floor((sqrt(0.0 + (a.mn - b.mn) * (a.mn - b.mn)
+         |    + (a.me - b.me) * (a.me - b.me))) * 1000000 + 0.5001) / 1000000 AS distance
+         |FROM means a JOIN means b ON a.user_id < b.user_id""".stripMargin,
     "gps_flow_angle" ->
       s"""$alphaCte
          |SELECT user_id, floor((alpha) * 1000000 + 0.5001) / 1000000 AS alpha FROM alphas""".stripMargin,
