@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a class per query stage; across a 60+
+  // query session the JVM's default 240m code cache fills, the JIT
+  // stops compiling, and late queries run interpreted (measured 20x
+  // slowdowns on the alphabetically-last queries in Bench).
+  "-XX:ReservedCodeCacheSize=512m",
 )
