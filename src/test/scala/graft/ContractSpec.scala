@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene: the SparkEntry maps stay consistent and the
+  * SURVEY §2 inventory stays fully wired.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracleSql key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("all SURVEY §2 query keys are wired into SparkEntry") {
+    val inventory = Seq(
+      "ts_rolling_center", "ts_rolling_multi", "ts_resample_1d", "ts_asof_join",
+      "ts_interpolate", "ts_doy", "ts_infer_sampling", "ts_quadrature", "ts_clip_window",
+      "diurnal_extrema", "diurnal_minfirst", "diurnal_amplitude", "diurnal_threshold",
+      "diurnal_dechours", "diurnal_predict",
+      "gps_flow_angle", "gps_reproject", "gps_detrend", "gps_velocity",
+      "gps_drop_errors", "gps_displacement", "gps_normalize",
+      "hydro_units", "hydro_fob", "hydro_patm_correct", "hydro_piecewise", "hydro_stage",
+      "melt_shadow", "melt_albedo", "melt_rate", "melt_pipeline",
+      "q1_agg", "q3_join", "q_window_topk", "q_antijoin", "q_topk", "q_sessionize",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embed",
+      "ann_brute", "ann_lsh", "ann_ivf",
+      "text_tokens", "text_langid", "text_quality", "text_fingerprint",
+      "mm_schema", "mm_features")
+    val missing = inventory.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
+    // and nothing in the maps is an accidental duplicate across packs
+    assert(SparkEntry.queries.size >= inventory.size + 9) // + round-2 extras
+  }
+
+  test("sql-expressible queries carry oracles; rows-only set is the known one") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("dedup_minhash", "dedup_simhash", "dedup_jaccard",
+      "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_langid",
+      "mm_schema", "mm_features")
+    assert(rowsOnly === expected,
+      s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
+  }
+}
