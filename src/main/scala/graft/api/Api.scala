@@ -54,7 +54,8 @@ class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
       if (predictTiming)
         Diurnal.extremaPredicted(timeseries, keys, tsCol, valCol,
           calibEnd.getOrElse(throw new IllegalArgumentException(
-            "predictTiming requires calibEnd")))
+            "predictTiming requires calibEnd")),
+          minFirst = minFirst)
       else if (minFirst && maxNextDay)
         Diurnal.extremaMinFirst(timeseries, keys, tsCol, valCol)
       else

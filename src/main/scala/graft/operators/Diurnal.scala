@@ -142,10 +142,13 @@ object Diurnal {
     ext.withColumn("amplitude", col("max_val") - col("min_val"))
 
   /** Amplitude threshold filter (B4; diurnal.py:369 `apply_threshold`
-    * drops days with max-min < threshold).
+    * drops days with max-min < threshold). Days with a null pick are
+    * kept: pandas `NaN < threshold` is False (diurnal.py:369-372), so
+    * NaN-amplitude days survive the reference filter too.
     */
   def applyThreshold(ext: DataFrame, threshold: Double): DataFrame =
-    ext.filter(!(col("max_val") - col("min_val") < threshold))
+    ext.filter(col("min_val").isNull || col("max_val").isNull ||
+      !(col("max_val") - col("min_val") < threshold))
 
   /** Decimal hours of an extremum after its day start (B5; diurnal.py:257). */
   def decimalHours(time: Column, day: Column): Column =

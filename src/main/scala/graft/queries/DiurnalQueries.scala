@@ -167,43 +167,6 @@ object DiurnalQueries extends QueryPack {
          |LEFT JOIN maxp ma ON da.user_id = ma.user_id AND da.d = ma.d
          |WHERE mi.min_val IS NULL OR ma.max_val IS NULL
          |   OR NOT (mi.min_val > ma.max_val)""".stripMargin,
-    "diurnal_predict_minfirst" ->
-      s"""$extCte,
-         |occ AS (SELECT user_id,
-         |    round(avg(round((epoch_us(min_time) - epoch_us(d)) / (3600.0 * 1000000))), 3) AS min_occ,
-         |    round(avg(round((epoch_us(max_time) - epoch_us(d)) / (3600.0 * 1000000))), 3) AS max_occ
-         |  FROM ext WHERE d < TIMESTAMP '2024-01-09' GROUP BY user_id),
-         |dayso AS (SELECT DISTINCT e.user_id, date_trunc('day', ts) AS d,
-         |            min_occ, max_occ
-         |          FROM e JOIN occ ON e.user_id = occ.user_id),
-         |minp AS (SELECT user_id, d, mv AS min_val,
-         |           min(CASE WHEN value = mv THEN ts END) AS min_time FROM (
-         |    SELECT o.user_id, o.d, e.value, e.ts,
-         |      min(e.value) OVER (PARTITION BY o.user_id, o.d) AS mv
-         |    FROM dayso o JOIN e ON e.user_id = o.user_id
-         |      AND epoch_us(e.ts) >= epoch_us(o.d) + CAST(floor((o.min_occ - 8.0) * (3600.0 * 1000000)) AS BIGINT)
-         |      AND epoch_us(e.ts) <= epoch_us(o.d) + CAST(floor((o.min_occ + 8.0) * (3600.0 * 1000000)) AS BIGINT)) t
-         |  GROUP BY user_id, d, mv),
-         |maxp AS (SELECT user_id, d, mv AS max_val,
-         |           min(CASE WHEN value = mv THEN ts END) AS max_time FROM (
-         |    SELECT o.user_id, o.d, e.value, e.ts,
-         |      max(e.value) OVER (PARTITION BY o.user_id, o.d) AS mv
-         |    FROM dayso o
-         |    LEFT JOIN minp mi ON o.user_id = mi.user_id AND o.d = mi.d
-         |    JOIN e ON e.user_id = o.user_id
-         |      AND epoch_us(e.ts) >= greatest(
-         |            epoch_us(o.d) + CAST(floor((o.max_occ - 8.0) * (3600.0 * 1000000)) AS BIGINT),
-         |            coalesce(epoch_us(mi.min_time), -9223372036854775807))
-         |      AND epoch_us(e.ts) <= epoch_us(o.d) + CAST(floor((o.max_occ + 8.0) * (3600.0 * 1000000)) AS BIGINT)) t
-         |  GROUP BY user_id, d, mv)
-         |SELECT da.user_id, strftime(da.d, '%Y-%m-%d') AS day,
-         |  mi.min_val, strftime(mi.min_time, '$fmt') AS min_time,
-         |  ma.max_val, strftime(ma.max_time, '$fmt') AS max_time
-         |FROM dayso da
-         |LEFT JOIN minp mi ON da.user_id = mi.user_id AND da.d = mi.d
-         |LEFT JOIN maxp ma ON da.user_id = ma.user_id AND da.d = ma.d
-         |WHERE mi.min_val IS NULL OR ma.max_val IS NULL
-         |   OR NOT (mi.min_val > ma.max_val)""".stripMargin,
     "diurnal_extrema" ->
       s"""$extCte
          |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,

@@ -60,7 +60,8 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .withColumn("rnk", rank().over(w))
+      // long, not int: exact pandas-dtype parity with DuckDB's rank()
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
   }
@@ -89,7 +90,7 @@ object RelationalQueries extends QueryPack {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
   }
 
@@ -111,7 +112,12 @@ object RelationalQueries extends QueryPack {
         fmtTs(min(col("ts"))).as("session_start"),
         fmtTs(max(col("ts"))).as("session_end"),
         count(lit(1)).as("n_events"),
-        r4(sum(col("value"))).as("total_value"))
+        // Exact & order-independent: round each value to 4 dp as a long
+        // (floor is deterministic IEEE math, identical in DuckDB), sum
+        // longs (exact), divide once. A double sum + post-round can
+        // drift across partial-aggregation orders on long sessions.
+        (sum(floor(col("value") * lit(10000) + lit(0.5001))) / lit(10000.0))
+          .as("total_value"))
   }
 
   /** K `q_json_props` — typed extraction from the events JSON payload
@@ -186,7 +192,7 @@ object RelationalQueries extends QueryPack {
     "q_json_props" ->
       """SELECT user_id,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY user_id""".stripMargin,
@@ -245,13 +251,14 @@ object RelationalQueries extends QueryPack {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  count(*) AS n_events,
-        |  floor((sum(value)) * 10000 + 0.5001) / 10000 AS total_value
+        |  sum(CAST(floor(value * 10000 + 0.5001) AS BIGINT)) / 10000.0 AS total_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin)
 }

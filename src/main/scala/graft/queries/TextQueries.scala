@@ -12,9 +12,10 @@ object TextQueries extends QueryPack {
 
   /** I1 `text_tokens` — whitespace + BPE-ish token counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
+    // long, not int: exact pandas-dtype parity with DuckDB's len()
     docs(s, dir).select(col("doc_id"),
-      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
-      TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
 
   /** I2 `text_langid` — stopword-list language guess (rows-only). */
   def textLangId(s: SparkSession, dir: String): DataFrame =

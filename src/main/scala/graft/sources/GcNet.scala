@@ -55,16 +55,21 @@ object GcNet {
     val cols = renameHeaders(headerLines)
     val skip = headerLines.length + 1 // header block + blank separator
 
+    // The reference nulls sentinel TOKENS at parse time
+    // (na_values=['999.0000','999.0'], melt_model.py:254). Do the same:
+    // blank the tokens before the CSV parse — a post-parse na.replace
+    // with string keys would never match double-typed columns, leaving
+    // real 999.0 values in the sensor series.
+    val naTokens = Set("999.0000", "999.0")
     val kept = spark.read.textFile(path).rdd.zipWithIndex()
       .filter { case (l, i) => i >= skip && l.trim.nonEmpty }
-      .map(_._1.trim.replaceAll(" +", ","))
+      .map(_._1.trim.split(" +")
+        .map(t => if (naTokens(t)) "" else t).mkString(","))
     val ds = spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING)
     val raw = spark.read
-      .option("nullValue", "999.0000")
       .option("inferSchema", "true")
       .csv(ds)
       .toDF(cols: _*)
-      .na.replace(cols.toArray, Map("999.0" -> null))
 
     val yearStart = to_timestamp(concat(col("Year").cast("int"), lit("-01-01")))
     val us = (col("Julian Decimal Time") - 1.0) * 86400.0 * 1000000.0

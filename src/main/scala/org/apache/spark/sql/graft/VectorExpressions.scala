@@ -23,12 +23,18 @@ case class VectorDotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
+  // Length-mismatched arrays yield null (same convention as zero-norm
+  // cosine): a silently truncated dot over a corrupt/mixed-dimension
+  // embedding would feed a plausible-looking similarity into the
+  // dedup/ANN thresholds built on top (ADVICE r2).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,12 +47,15 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -57,8 +66,9 @@ case class VectorDotProduct(left: Expression, right: Expression)
 
 /** Fused cosine similarity: dot(a,b), |a| and |b| accumulated in ONE
   * loop over the arrays (vs three separate dot-product traversals).
-  * Zero-norm inputs yield null — a degenerate embedding must not abort
-  * a 100 TB job (ADVICE r1).
+  * Zero-norm and length-mismatched inputs yield null — a degenerate or
+  * corrupt embedding must not abort a 100 TB job, and must not produce
+  * a plausible-looking truncated similarity either (ADVICE r1/r2).
   */
 case class VectorCosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -72,7 +82,8 @@ case class VectorCosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -91,15 +102,18 @@ case class VectorCosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 

@@ -33,6 +33,23 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size >= inventory.size + 9) // + round-2 extras
   }
 
+  test("no duplicate keys in any query-pack Map literal (source-level)") {
+    // Scala Map literals silently keep the last duplicate key, so a
+    // stale twin entry becomes an edit-one-copy-silently-does-nothing
+    // footgun (it bit the diurnal_predict_minfirst oracle in r2). Scan
+    // the query-pack sources for repeated "key" -> occurrences.
+    val packDir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val keyArrow = """"([A-Za-z0-9_]+)"\s*->""".r
+    java.nio.file.Files.list(packDir).toArray.map(_.toString).filter(_.endsWith(".scala"))
+      .foreach { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+        val keys = keyArrow.findAllMatchIn(src).map(_.group(1)).toSeq
+        // a key may appear once in defs and once in oracles — twice max
+        val bad = keys.groupBy(identity).collect { case (k, v) if v.size > 2 => k }
+        assert(bad.isEmpty, s"$f: keys appearing >2 times (defs+oracles): $bad")
+      }
+  }
+
   test("sql-expressible queries carry oracles; rows-only set is the known one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("dedup_minhash", "dedup_simhash", "dedup_jaccard",
