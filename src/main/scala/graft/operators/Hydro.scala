@@ -9,17 +9,27 @@ object Hydro {
 
   /** D3: atmospheric-pressure correction (hydrotools.py:479-545
     * calc_wlb_jeme): as-of join a barometric series onto the level
-    * series per sensor and subtract the drift from the zero reading
-    * (the first barometric value per sensor) —
+    * series per sensor and subtract the drift from the zero reading —
     * lvl_corrected = lvl - (p_atm - p_atm_zero).
+    *
+    * @param zeroReading barometric value at instrumentation time
+    *        (hydrotools.py:310 calc_wlb_radi's zero_reading_value);
+    *        None = the first barometric value per sensor (calc_wlb_jeme's
+    *        P0_jeme convention)
     */
   def atmosphericCorrection(level: DataFrame, atm: DataFrame, keys: Seq[String],
                             tsCol: String, lvlCol: String,
-                            pAtmCol: String): DataFrame = {
-    val p0 = atm.groupBy(keys.map(col): _*)
-      .agg(min_by(col(pAtmCol), col(tsCol)).as("_p0"))
-    TimeSeriesOps.asofJoinBackward(level, atm, keys, tsCol, Seq(pAtmCol))
-      .join(p0, keys)
+                            pAtmCol: String,
+                            zeroReading: Option[Double] = None): DataFrame = {
+    val joined = TimeSeriesOps.asofJoinBackward(level, atm, keys, tsCol, Seq(pAtmCol))
+    val withP0 = zeroReading match {
+      case Some(z) => joined.withColumn("_p0", lit(z))
+      case None =>
+        val p0 = atm.groupBy(keys.map(col): _*)
+          .agg(min_by(col(pAtmCol), col(tsCol)).as("_p0"))
+        joined.join(p0, keys)
+    }
+    withP0
       .withColumn(s"${lvlCol}_corrected",
         col(lvlCol) - (col(pAtmCol) - col("_p0")))
       .drop("_p0")

@@ -53,6 +53,73 @@ class ApiSpec extends SparkSpec {
     assert(onIce.smoothed("dnorth", "2H").count() === 48)
   }
 
+  test("calcStageJeme converts both sensors, filters bad readouts, nulls drop-list picks") {
+    val readings = Seq(
+      ("2024-01-01 00:00:00", 40.0, 20.0),
+      ("2024-01-01 01:00:00", 50.0, 25.0),
+      ("2024-01-01 02:00:00", 85.0, 30.0), // >= bad_data_readout=80: dropped
+      ("2024-01-01 03:00:00", 60.0, 35.0))
+      .toDF("ts", "water_reading", "ablation_reading")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("water_reading"), col("ablation_reading"))
+    val out = HydroPipelines.calcStageJeme(readings,
+      dropList = Seq("2024-01-01 01:00:00")).orderBy("ts").collect()
+    assert(out.length === 3) // bad readout filtered
+    assert(math.abs(out(0).getAs[Double]("stage") - (4.0 - 40.0 * 0.0254)) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("logger_to_ground") - 20.0 * 0.0254) < 1e-12)
+    // drop-list pick: row survives, stage is nulled (reference sets NaN)
+    assert(out(1).isNullAt(out(1).fieldIndex("stage")))
+    assert(!out(1).isNullAt(out(1).fieldIndex("logger_to_stream")))
+  }
+
+  test("calcWlbPira unions lowering+monitoring logs with piecewise heights") {
+    val lowering = Seq(
+      ("2024-01-01 06:00:00", 2.0),  // interval 1: hgt 100
+      ("2024-01-02 06:00:00", 3.0),  // interval 2: hgt 95
+      ("2024-01-05 06:00:00", 4.0))  // outside intervals: dropped (dropna)
+      .toDF("ts", "Lvl").select(col("ts").cast("timestamp").as("ts"), col("Lvl"))
+    val monitoring = Seq(("2024-01-10 06:00:00", 5.0), ("2024-01-11 06:00:00", 2000.0))
+      .toDF("ts", "Lvl").select(col("ts").cast("timestamp").as("ts"), col("Lvl"))
+    val out = HydroPipelines.calcWlbPira(spark, lowering, monitoring,
+      zeroReading = 1.0,
+      heightIntervals = Seq(
+        ("2024-01-01", "2024-01-02", 100.0), ("2024-01-02", "2024-01-03", 95.0)),
+      finalHeight = 90.0, iceThickness = 503.0, iceSurfaceMasl = 764.9)
+    val rows = out.orderBy("ts").collect()
+    // 4 kept: the out-of-interval lowering row drops (reference dropna);
+    // the 2000-ft reading gives a deeply negative level, which passes
+    // the wlb > iceThickness sanity filter and stays
+    assert(rows.map(_.getAs[Double]("piz_hgt")).toSeq === Seq(100.0, 95.0, 90.0, 90.0))
+    val first = rows(0)
+    val sd = -(2.0 * 0.3048) + 1.0
+    assert(math.abs(first.getAs[Double]("water_level_above_bed") - (sd + 100.0)) < 1e-12)
+    assert(math.abs(first.getAs[Double]("ground_water_level_altitude") -
+      (sd + 100.0 + (764.9 - 503.0))) < 1e-12)
+  }
+
+  test("calcWlbMoulin corrects against explicit zero reading and emits both series") {
+    val level = Seq(("m1", "2024-01-01 00:00:00", 10.0), ("m1", "2024-01-01 06:00:00", 12.0))
+      .toDF("k", "ts", "lvl")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"), col("lvl"))
+    val atm = Seq(("m1", "2024-01-01 00:00:00", 10.2), ("m1", "2024-01-01 05:00:00", 10.5))
+      .toDF("k", "ts", "p_atm")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"), col("p_atm"))
+    val out = HydroPipelines.calcWlbMoulin(spark, level, atm, Seq("k"),
+      heightIntervals = Seq(("2024-01-01", "2024-01-02", 300.0)),
+      iceThickness = 712.0, iceSurfaceMasl = 933.2,
+      zeroReading = Some(10.2)).orderBy("ts").collect()
+    assert(out.length === 2)
+    // t0: p_atm == zero reading -> no drift, corrected == raw
+    assert(math.abs(out(0).getAs[Double]("water_level_above_bed_corrected") -
+      out(0).getAs[Double]("water_level_above_bed")) < 1e-12)
+    // t6: as-of picks 05:00 reading, drift 0.3 m subtracted
+    assert(math.abs(out(1).getAs[Double]("submerged_depth_corrected") -
+      (12.0 - (10.5 - 10.2))) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("water_level_above_bed") - 312.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("water_level_above_bed_fob") -
+      312.0 / (0.917 * 712.0)) < 1e-12)
+  }
+
   test("WeatherStation facade runs the melt pipeline with fillna(0)") {
     val aws = (0 until 48).map { h =>
       ("w1", f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00",
