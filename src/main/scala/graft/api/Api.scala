@@ -46,10 +46,11 @@ class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
                      minFirst: Boolean = false, maxNextDay: Boolean = false,
                      predictTiming: Boolean = false,
                      calibEnd: Option[String] = None,
-                     threshold: Option[Double] = None) {
+                     threshold: Option[Double] = None,
+                     private val correctedPicks: Option[DataFrame] = None) {
 
   /** The extrema picks: keys..., day, min_val, min_time, max_val, max_time. */
-  lazy val df: DataFrame = {
+  lazy val df: DataFrame = correctedPicks.getOrElse {
     val base =
       if (predictTiming)
         Diurnal.extremaPredicted(timeseries, keys, tsCol, valCol,
@@ -63,6 +64,10 @@ class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
     threshold.fold(base)(Diurnal.applyThreshold(base, _))
   }
 
+  private def withPicks(p: DataFrame): DiurnalExtrema =
+    new DiurnalExtrema(timeseries, keys, tsCol, valCol, minFirst, maxNextDay,
+      predictTiming, calibEnd, threshold, Some(p))
+
   /** Daily amplitude series (diurnal.py:296). */
   def amplitude: DataFrame = Diurnal.amplitude(df)
 
@@ -70,6 +75,118 @@ class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
   def decimalHours(which: String = "max"): DataFrame =
     df.withColumn(s"${which}_hrs",
       Diurnal.decimalHours(col(s"${which}_time"), col("day")))
+
+  /** Picks with both timings in decimal hours (diurnal.py:348
+    * `multi_indexed`): the reference's (minima|maxima)×(value|time|hrs)
+    * column hierarchy, flattened to min_/max_-prefixed columns — the
+    * shape `lag_df` and plotting consume.
+    */
+  def multiIndexed: DataFrame =
+    df.select(keys.map(col) ++ Seq(col("day"),
+      col("min_val"), col("min_time"),
+      Diurnal.decimalHours(col("min_time"), col("day")).as("min_hrs"),
+      col("max_val"), col("max_time"),
+      Diurnal.decimalHours(col("max_time"), col("day")).as("max_hrs")): _*)
+
+  /** Extremum of the raw series within ±dtMinutes of `time`
+    * (diurnal.py:429 `value_around_time`), per key.
+    */
+  def valueAroundTime(time: String, dtMinutes: Double = 15,
+                      returnMax: Boolean = true): DataFrame =
+    Diurnal.valueAroundTime(timeseries, keys, tsCol, valCol, time,
+      dtMinutes, returnMax)
+
+  /** Manually fix one day's pick (diurnal.py:375 `change_extrema_picks`);
+    * returns a corrected facade, so fixes chain. Shapes, mirroring the
+    * reference's dispatch:
+    *   - `findBetween = Some((h0, h1))`: re-pick the extremum from the
+    *     raw series between day+h0 and day+h1 hours;
+    *   - neither value nor time given: null the pick (both components;
+    *     `which = "both"` clears min and max);
+    *   - explicit `newValue` / `newTime`: override components; with
+    *     only a time and `findNear = true`, the value comes from the
+    *     raw series within ±15 min of the new time (value_around_time).
+    * Like the reference (which raises on an unknown date), correcting a
+    * day with no pick is an error — validated with a bounded lookup.
+    */
+  def changeExtremaPicks(day: String, which: String,
+                         newValue: Option[Double] = None,
+                         newTime: Option[String] = None,
+                         findBetween: Option[(Double, Double)] = None,
+                         findNear: Boolean = false): DiurnalExtrema = {
+    require(Seq("min", "max", "both").contains(which),
+      s"which must be min|max|both, got '$which'")
+    val dayLit = lit(day).cast("timestamp")
+    if (df.filter(col("day") === dayLit).isEmpty)
+      throw new IllegalArgumentException(s"date=$day not found in picks")
+
+    val corrected = findBetween match {
+      case Some((h0, h1)) =>
+        require(which != "both", "findBetween corrects one extremum")
+        // re-pick from the raw series in the window, per key, with the
+        // same first-occurrence tie-break as the original extrema
+        val lo = Diurnal.dhrsToTimestamp(dayLit, lit(h0))
+        val hi = Diurnal.dhrsToTimestamp(dayLit, lit(h1))
+        val in = timeseries.filter(col(tsCol) >= lo && col(tsCol) <= hi)
+        val pick =
+          if (which == "min")
+            in.groupBy(keys.map(col): _*)
+              .agg(min(struct(col(valCol).as("v"), col(tsCol).as("t"))).as("_p"))
+          else
+            in.groupBy(keys.map(col): _*)
+              .agg(max(struct(col(valCol).as("v"),
+                (-unix_micros(col(tsCol))).as("nu"), col(tsCol).as("t"))).as("_p"))
+        val corr = pick.select(keys.map(col) ++ Seq(
+          dayLit.as("day"), lit(which).as("which"),
+          col("_p.v").as("new_val"), col("_p.t").as("new_time")): _*)
+        Diurnal.applyCorrections(df, corr, keys)
+      case None if newValue.isEmpty && newTime.isEmpty && !findNear =>
+        val corr = df.filter(col("day") === dayLit)
+          .select(keys.map(col) ++ Seq(dayLit.as("day"),
+            lit(which).as("which"), lit(null).cast("double").as("new_val"),
+            lit(null).cast("timestamp").as("new_time")): _*)
+        Diurnal.applyCorrections(df, corr, keys)
+      case None =>
+        val valCol2 =
+          if (newValue.isEmpty && newTime.isDefined && findNear)
+            Some(Diurnal.valueAroundTime(timeseries, keys, tsCol, valCol,
+              newTime.get, returnMax = which == "max"))
+          else None
+        val base = df.filter(col("day") === dayLit)
+          .select(keys.map(col): _*).distinct()
+        val withVal = valCol2 match {
+          case Some(near) => base.join(near, keys, "left")
+          case None => base.withColumn("value",
+            newValue.map(lit(_)).getOrElse(lit(null)).cast("double"))
+        }
+        val corr = withVal.select(keys.map(col) ++ Seq(
+          dayLit.as("day"), lit(which).as("which"),
+          col("value").as("new_val"),
+          newTime.map(t => lit(t).cast("timestamp"))
+            .getOrElse(lit(null).cast("timestamp")).as("new_time")): _*)
+        Diurnal.applyCorrections(df, corr, keys)
+    }
+    withPicks(corrected)
+  }
+
+  /** Null picks on days where the series is truncated (diurnal.py:285
+    * `truncated_picks` — a stub in the reference; its docstring's
+    * semantics): a boundary pick on a clipped recording is an artifact,
+    * not a real extremum.
+    */
+  def truncatedPicks(days: Seq[String], which: String): DiurnalExtrema = {
+    require(Seq("min", "max", "both").contains(which))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val corr = days.toDF("day")
+      .select(col("day").cast("timestamp").as("_t_day"))
+    val keyDays = df.join(broadcast(corr), col("day") === col("_t_day"))
+      .select(keys.map(col) :+ col("day"): _*).distinct()
+      .withColumn("which", lit(which))
+      .withColumn("new_val", lit(null).cast("double"))
+      .withColumn("new_time", lit(null).cast("timestamp"))
+    withPicks(Diurnal.applyCorrections(df, keyDays, keys))
+  }
 }
 
 /** gpstools.py:204 `OnIce` — GNSS station positions to flow-oriented

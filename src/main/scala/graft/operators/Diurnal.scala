@@ -154,6 +154,85 @@ object Diurnal {
   def decimalHours(time: Column, day: Column): Column =
     (unix_micros(time) - unix_micros(day)) / lit(3600.0 * 1000000)
 
+  /** Decimal hours back to a timestamp on the day (diurnal.py:40-52
+    * dhrs_to_timedelta / dhrs_to_timestamp).
+    */
+  def dhrsToTimestamp(day: Column, dhrs: Column): Column =
+    timestamp_micros(unix_micros(day) + (dhrs * lit(3600.0 * 1000000)).cast("long"))
+
+  /** Cross-series extrema-timing lag (diurnal.py:24 `lag_df`): for each
+    * day, how many hours later than the reference series (`lagFrom`)
+    * each other series reaches its extremum. The reference pivots a
+    * multi-indexed frame; here the reference series' hours join back on
+    * day — one broadcastable equi-join, no pivot materialization.
+    *
+    * @param picks extrema picks (keys..., day, min/max_val, min/max_time)
+    * @param keyCol the single series-id column
+    * @param lagFrom the reference series' key value
+    */
+  def extremaLag(picks: DataFrame, keyCol: String, lagFrom: String,
+                 which: String = "max"): DataFrame = {
+    val hrs = decimalHours(col(s"${which}_time"), col("day"))
+    val ref = picks.filter(col(keyCol) === lagFrom)
+      .select(col("day").as("_ref_day"), hrs.as("_ref_hrs"))
+    picks.filter(col(keyCol) =!= lagFrom)
+      .join(broadcast(ref), col("day") === col("_ref_day"), "left")
+      .select(col(keyCol), col("day"),
+        (hrs - col("_ref_hrs")).as(s"${which}_lag_hrs"))
+  }
+
+  /** Extremum of the raw series in a ±dt window around a time
+    * (diurnal.py:429 `value_around_time`): per-key max (or min) of the
+    * observations within `dtMinutes` of `time` — one filtered scan +
+    * tiny aggregate, usable as a correction source without collecting.
+    */
+  def valueAroundTime(ts: DataFrame, keys: Seq[String], tsCol: String,
+                      valCol: String, time: String, dtMinutes: Double = 15,
+                      returnMax: Boolean = true): DataFrame = {
+    val t = lit(time).cast("timestamp")
+    val dtUs = (dtMinutes * 60e6).toLong
+    val in = ts.filter(unix_micros(col(tsCol)) >= unix_micros(t) - dtUs &&
+      unix_micros(col(tsCol)) <= unix_micros(t) + dtUs)
+    in.groupBy(keys.map(col): _*)
+      .agg((if (returnMax) max(col(valCol)) else min(col(valCol))).as("value"))
+  }
+
+  /** Merge a manual-corrections table over extrema picks
+    * (diurnal.py:375 `change_extrema_picks`, batch form): `corrections`
+    * holds (keys..., day, which in 'min'|'max'|'both', new_val,
+    * new_time); a matched pick gets its value/time replaced — both
+    * nulled when the correction carries neither (the reference's
+    * "remove this pick" call shape). Corrections are human-scale, so
+    * the join broadcasts; picks never move.
+    */
+  def applyCorrections(picks: DataFrame, corrections: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val corr = corrections.select(
+      keys.map(k => col(k).as(s"_c_$k")) ++ Seq(
+        col("day").cast("timestamp").as("_c_day"), col("which").as("_c_which"),
+        col("new_val").cast("double").as("_c_val"),
+        col("new_time").cast("timestamp").as("_c_time")): _*)
+    val joined = picks.join(broadcast(corr),
+      keys.map(k => col(k) === col(s"_c_$k")).reduce(_ && _) &&
+        col("day") === col("_c_day"), "left")
+    def side(which: String): DataFrame => DataFrame = { d =>
+      val applies = col("_c_which").isNotNull &&
+        (col("_c_which") === which || col("_c_which") === "both")
+      val wipe = applies && col("_c_val").isNull && col("_c_time").isNull
+      d.withColumn(s"${which}_val",
+          when(wipe, lit(null).cast("double"))
+            .when(applies && col("_c_val").isNotNull, col("_c_val"))
+            .otherwise(col(s"${which}_val")))
+        .withColumn(s"${which}_time",
+          when(wipe, lit(null).cast("timestamp"))
+            .when(applies && col("_c_time").isNotNull, col("_c_time"))
+            .otherwise(col(s"${which}_time")))
+    }
+    side("min").andThen(side("max"))(joined)
+      .drop(keys.map(k => s"_c_$k") ++
+        Seq("_c_day", "_c_which", "_c_val", "_c_time"): _*)
+  }
+
   /** Predicted-timing extrema (B6; diurnal.py:454 `predict_extrema` +
     * get_occurance_windows): mean occurrence-hours of the plain extrema
     * over a calibration window (each occurrence rounded to the nearest

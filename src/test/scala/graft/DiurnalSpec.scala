@@ -65,4 +65,84 @@ class DiurnalSpec extends SparkSpec {
     val ext = Diurnal.extrema(df, Seq("k"), "t", "v")
     assert(Diurnal.applyThreshold(ext, 5.0).count() === 1)
   }
+
+  test("applyCorrections replaces, nulls, and leaves picks per the corrections table") {
+    val df = series(
+      ("a", "2024-01-01 01:00:00", 1.0), ("a", "2024-01-01 12:00:00", 9.0),
+      ("a", "2024-01-02 02:00:00", 3.0), ("a", "2024-01-02 13:00:00", 7.0),
+      ("a", "2024-01-03 03:00:00", 2.0), ("a", "2024-01-03 14:00:00", 8.0))
+    val picks = Diurnal.extrema(df, Seq("k"), "t", "v")
+    val corrections = Seq(
+      // day1: wipe both picks (no value, no time)
+      ("a", "2024-01-01", "both", None: Option[Double], None: Option[String]),
+      // day2: override the max value only, keep its time
+      ("a", "2024-01-02", "max", Some(7.5): Option[Double], None: Option[String]))
+      .toDF("k", "day", "which", "new_val", "new_time")
+    val out = Diurnal.applyCorrections(picks, corrections, Seq("k"))
+      .orderBy("day").collect()
+    assert(out(0).getAs[java.lang.Double]("min_val") === null)
+    assert(out(0).getAs[java.sql.Timestamp]("max_time") === null)
+    assert(out(1).getAs[Double]("max_val") === 7.5)
+    assert(out(1).getAs[java.sql.Timestamp]("max_time") === ts("2024-01-02 13:00:00"))
+    assert(out(1).getAs[Double]("min_val") === 3.0) // min untouched by 'max'
+    assert(out(2).getAs[Double]("max_val") === 8.0) // uncorrected day intact
+  }
+
+  test("change_extrema_picks facade: wipe, find_between, find_near, chaining") {
+    val df = series(
+      ("a", "2024-01-01 01:00:00", 1.0), ("a", "2024-01-01 06:00:00", 4.0),
+      ("a", "2024-01-01 12:00:00", 9.0), ("a", "2024-01-01 18:00:00", 6.0),
+      ("a", "2024-01-02 02:00:00", 3.0), ("a", "2024-01-02 13:00:00", 7.0))
+    val picks = new graft.api.DiurnalExtrema(df, Seq("k"), "t", "v")
+    // unknown day raises, like the reference's ValueError
+    assertThrows[IllegalArgumentException](
+      picks.changeExtremaPicks("2024-02-15", "min"))
+    // wipe then re-pick the max between 04:00 and 08:00 (decimal hours)
+    val fixed = picks
+      .changeExtremaPicks("2024-01-01", "both")
+      .changeExtremaPicks("2024-01-01", "max", findBetween = Some((4.0, 8.0)))
+    val d1 = fixed.df.filter(col("day") === lit("2024-01-01").cast("timestamp"))
+      .collect().head
+    assert(d1.getAs[java.lang.Double]("min_val") === null) // still wiped
+    assert(d1.getAs[Double]("max_val") === 4.0) // re-picked in window
+    assert(d1.getAs[java.sql.Timestamp]("max_time") === ts("2024-01-01 06:00:00"))
+    // find_near: set a new time, value comes from ±15 min of it
+    val near = picks.changeExtremaPicks("2024-01-02", "max",
+      newTime = Some("2024-01-02 13:05:00"), findNear = true)
+    val d2 = near.df.filter(col("day") === lit("2024-01-02").cast("timestamp"))
+      .collect().head
+    assert(d2.getAs[Double]("max_val") === 7.0)
+    assert(d2.getAs[java.sql.Timestamp]("max_time") === ts("2024-01-02 13:05:00"))
+  }
+
+  test("truncatedPicks nulls the named extremum on truncated days") {
+    val df = series(
+      ("a", "2024-01-01 01:00:00", 1.0), ("a", "2024-01-01 12:00:00", 9.0),
+      ("a", "2024-01-02 02:00:00", 3.0), ("a", "2024-01-02 13:00:00", 7.0))
+    val out = new graft.api.DiurnalExtrema(df, Seq("k"), "t", "v")
+      .truncatedPicks(Seq("2024-01-01"), "min").df.orderBy("day").collect()
+    assert(out(0).getAs[java.lang.Double]("min_val") === null)
+    assert(out(0).getAs[java.lang.Double]("max_val") === 9.0) // max untouched
+    assert(out(1).getAs[java.lang.Double]("min_val") === 3.0)
+  }
+
+  test("extremaLag computes cross-series extrema-timing offsets vs a reference series") {
+    val df = series(
+      ("ablation", "2024-01-01 10:00:00", 1.0), ("ablation", "2024-01-01 14:00:00", 9.0),
+      ("stage", "2024-01-01 10:00:00", 1.0), ("stage", "2024-01-01 17:30:00", 9.0))
+    val picks = Diurnal.extrema(df, Seq("k"), "t", "v")
+    val lag = Diurnal.extremaLag(picks, "k", lagFrom = "ablation").collect()
+    assert(lag.length === 1) // reference series dropped, like lag_df
+    assert(lag.head.getAs[String]("k") === "stage")
+    assert(math.abs(lag.head.getAs[Double]("max_lag_hrs") - 3.5) < 1e-9)
+  }
+
+  test("dhrsToTimestamp round-trips decimalHours") {
+    val df = Seq(("2024-01-01 00:00:00", 13.75))
+      .toDF("day", "dhrs")
+      .select(col("day").cast("timestamp").as("day"), col("dhrs"))
+    val out = df.select(
+      Diurnal.dhrsToTimestamp(col("day"), col("dhrs")).as("t")).collect().head
+    assert(out.getAs[java.sql.Timestamp]("t") === ts("2024-01-01 13:45:00"))
+  }
 }
