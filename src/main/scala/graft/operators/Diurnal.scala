@@ -88,10 +88,15 @@ object Diurnal {
     * than 3 neighborhood rows also rejects. Rejected picks become null
     * (the reference appends None rows).
     *
-    * Distributed shape: per-key rows-frame window stats (ROWS BETWEEN
-    * 5 PRECEDING AND 4 FOLLOWING) — the neighborhood never becomes a
-    * range self-join; each side is one equi-join from the day-extrema
-    * back to its pick's observation row.
+    * Distributed shape: JOIN-FREE. The boundary check only needs data
+    * visible from the pick's own observation row — its ±5-row
+    * neighborhood stats (ROWS frame over the key partition) and its
+    * day's extrema (window over (key, day)) — so every per-row flag is
+    * computed in the observation pass and one groupBy lifts the pick
+    * row's verdict. Two Exchanges total (keys, then keys×day, which
+    * the final aggregation reuses); the previous shape re-joined the
+    * day-extrema back to the observations once per side and recomputed
+    * the 5-window observation stage for each join.
     */
   def extremaBoundaryChecked(df: DataFrame, keys: Seq[String], tsCol: String,
                              valCol: String): DataFrame = {
@@ -103,8 +108,9 @@ object Diurnal {
     // for the max side, tie to the earliest via (v, -us, ts) ordering.
     val negUs = -unix_micros(col(tsCol))
     val obs = df
-      .withColumn("_first_ts", min(col(tsCol)).over(dayPart))
-      .withColumn("_last_ts", max(col(tsCol)).over(dayPart))
+      // neighborhood stats first: the ROWS frame needs (keys) partitioning,
+      // the day stats need (keys, day) — this order lets the (keys, day)
+      // exchange feed both the day windows and the final groupBy.
       .withColumn("_nb_n", count(col(valCol)).over(nb))
       .withColumn("_nb_min", min(col(valCol)).over(nb))
       .withColumn("_nb_min_ts",
@@ -113,28 +119,41 @@ object Diurnal {
       .withColumn("_nb_max_ts",
         max(struct(col(valCol).as("v"), negUs.as("nu"), col(tsCol).as("t")))
           .over(nb).getField("t"))
-      .select(keys.map(k => col(k).as(s"_o_$k")) ++ Seq(
-        col(tsCol).as("_o_ts"), col("_first_ts"), col("_last_ts"), col("_nb_n"),
-        col("_nb_min"), col("_nb_min_ts"), col("_nb_max"), col("_nb_max_ts")): _*)
+      .withColumn("_day", dayCol)
+      .withColumn("_first_ts", min(col(tsCol)).over(dayPart))
+      .withColumn("_last_ts", max(col(tsCol)).over(dayPart))
+      .withColumn("_minv", min(col(valCol)).over(dayPart))
+      .withColumn("_maxv", max(col(valCol)).over(dayPart))
+      .withColumn("_min_ts",
+        min(when(col(valCol) === col("_minv"), col(tsCol))).over(dayPart))
+      .withColumn("_max_ts",
+        min(when(col(valCol) === col("_maxv"), col(tsCol))).over(dayPart))
 
-    def checkSide(ext: DataFrame, which: String): DataFrame = {
-      val pickTs = col(s"${which}_time")
-      val nbVal = col(s"_nb_$which")
-      val nbTs = col(s"_nb_${which}_ts")
-      val goodExpr =
-        !(pickTs === col("_first_ts") || pickTs === col("_last_ts")) ||
-          (col("_nb_n") >= 3 &&
-            (nbTs === pickTs || nbVal === col(s"${which}_val")))
-      ext.join(obs,
-          keys.map(k => col(k) === col(s"_o_$k")).reduce(_ && _) &&
-            pickTs === col("_o_ts"), "left")
-        .withColumn(s"${which}_val",
-          when(goodExpr, col(s"${which}_val")).otherwise(lit(null).cast("double")))
-        .withColumn(s"${which}_time", when(goodExpr, col(s"${which}_time")))
-        .drop(keys.map(k => s"_o_$k") ++ Seq("_o_ts", "_first_ts", "_last_ts",
-          "_nb_n", "_nb_min", "_nb_min_ts", "_nb_max", "_nb_max_ts"): _*)
+    // evaluated ON the pick's own observation row (ts == pick time)
+    def goodHere(which: String): Column = {
+      val pickTs = col(s"_${which}_ts")
+      val pickVal = if (which == "min") col("_minv") else col("_maxv")
+      !(pickTs === col("_first_ts") || pickTs === col("_last_ts")) ||
+        (col("_nb_n") >= 3 &&
+          (col(s"_nb_${which}_ts") === pickTs || col(s"_nb_$which") === pickVal))
     }
-    checkSide(checkSide(extrema(df, keys, tsCol, valCol), "min"), "max")
+    val flagged = obs
+      .withColumn("_min_good",
+        when(col(tsCol) === col("_min_ts"), goodHere("min")))
+      .withColumn("_max_good",
+        when(col(tsCol) === col("_max_ts"), goodHere("max")))
+    flagged
+      .groupBy(keys.map(col) :+ col("_day").as("day"): _*)
+      .agg(
+        first(col("_minv")).as("_v_min"), first(col("_min_ts")).as("_t_min"),
+        max(col("_min_good")).as("_g_min"),
+        first(col("_maxv")).as("_v_max"), first(col("_max_ts")).as("_t_max"),
+        max(col("_max_good")).as("_g_max"))
+      .select(keys.map(col) ++ Seq(col("day"),
+        when(col("_g_min"), col("_v_min")).otherwise(lit(null).cast("double")).as("min_val"),
+        when(col("_g_min"), col("_t_min")).as("min_time"),
+        when(col("_g_max"), col("_v_max")).otherwise(lit(null).cast("double")).as("max_val"),
+        when(col("_g_max"), col("_t_max")).as("max_time")): _*)
   }
 
   /** Daily amplitude (B3; diurnal.py:296-299). */

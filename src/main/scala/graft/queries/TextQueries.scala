@@ -17,10 +17,17 @@ object TextQueries extends QueryPack {
       TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
       TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
 
-  /** I2 `text_langid` — stopword-list language guess (rows-only). */
+  /** I2 `text_langid` — stopword-list language guess (rows-only). The
+    * words array is projected once and shared by all five language
+    * scores (CollapseProject keeps the hoist: the alias is non-cheap
+    * and referenced five times).
+    */
   def textLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
-      TextAnalysis.langId(col("text")).as("predicted_lang"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langIdWords(col("text")).as("_words"))
+      .select(col("doc_id"), col("labeled_lang"),
+        TextAnalysis.langIdFromWords(col("_words")).as("predicted_lang"))
 
   /** I3 `text_quality` — length/punct/stopword quality features. All
     * exact integer-derived arithmetic: no rounding needed.

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.cosineSimilarity
+
+/** A persisted IVF index (SURVEY §8 #3): the k-means centroid table and
+  * the per-vector centroid assignments are computed ONCE at build time
+  * and written as parquet — queries only probe.
+  *
+  * This is the shape real vector stores use (an IVF index is an ingest
+  * artifact, not per-query work), and it is the 100 TB story:
+  *   - `centroids/` is k×dim — trivially broadcastable;
+  *   - `assignments/` is the corpus partitioned BY CENTROID
+  *     (`partitionBy("cid")`), so a probe of nProbe centroids is a
+  *     partition-pruned scan reading ~nProbe/k of the data; the filter
+  *     shows up as PartitionFilters in the scan, not a post-read filter.
+  *   - the only driver-side materialization is k×dim centroids and the
+  *     nProbe probed centroid ids (both bounded by k, same convention
+  *     as kmeansCentroids).
+  */
+final class IvfIndex private (val spark: SparkSession, val path: String,
+                              val idCol: String, val vecCol: String) {
+
+  def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+
+  /** Corpus vectors partitioned by their nearest centroid. */
+  def assignments: DataFrame = spark.read.parquet(s"$path/assignments")
+
+  /** ANN top-k: rank centroids against the query (k×dim, driver-side),
+    * then scan only the nProbe winning partitions and rank exactly.
+    */
+  def topK(query: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val qv = query.select(col(vecCol).cast("array<double>").as("_qv"))
+    // probed cids: |centroids| is k (small by construction) — ranking it
+    // against the 1-row query on the driver is bounded work and yields
+    // LITERAL partition predicates the parquet scan can prune with.
+    val probed = centroids.crossJoin(broadcast(qv))
+      .select(col("cid"),
+        cosineSimilarity(col("centroid"), col("_qv")).as("_csim"))
+      .orderBy(col("_csim").desc, col("cid"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0))
+    val cand = assignments.filter(col("cid").isin(probed.map(Long.box): _*))
+    Similarity.bruteForceTopK(cand, idCol, vecCol, query, k)
+  }
+}
+
+object IvfIndex {
+
+  /** Build the index: k-means centroids (Lloyd's, deterministic seeds),
+    * assign every vector to its nearest centroid, write both tables.
+    * One pass over the corpus beyond the k-means iterations; the
+    * assignment join broadcasts the centroid table.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, path: String,
+            k: Int = 16, iterations: Int = 2): IvfIndex = {
+    val spark = df.sparkSession
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iterations)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centB = broadcast(spark.read.parquet(s"$path/centroids")
+      .select(col("cid").as("_cid"), col("centroid").as("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .crossJoin(centB)
+      .withColumn("_csim", cosineSimilarity(col(vecCol), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_cid").as("cid"), col(idCol), col(vecCol))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
+    new IvfIndex(spark, path, idCol, vecCol)
+  }
+
+  /** Open an already-built index. */
+  def load(spark: SparkSession, path: String, idCol: String,
+           vecCol: String): IvfIndex =
+    new IvfIndex(spark, path, idCol, vecCol)
+
+  /** Load if the index exists on disk, else build and persist — the
+    * ingest-once/query-many lifecycle.
+    */
+  def buildOrLoad(df: DataFrame, idCol: String, vecCol: String, path: String,
+                  k: Int = 16, iterations: Int = 2): IvfIndex = {
+    val done = new java.io.File(s"$path/assignments/_SUCCESS")
+    if (done.exists()) load(df.sparkSession, path, idCol, vecCol)
+    else build(df, idCol, vecCol, path, k, iterations)
+  }
+}

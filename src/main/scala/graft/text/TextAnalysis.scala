@@ -30,18 +30,28 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
 
-  /** Language-ID heuristic (I2): argmax of stopword hits across
-    * per-language lists; 'und' when nothing matches. Deterministic
-    * tie-break by list order.
+  /** Language-ID heuristic over a pre-split words array (I2): argmax of
+    * stopword hits across per-language lists; 'und' when nothing
+    * matches. Deterministic tie-break by list order. Takes the WORDS
+    * column so callers project `split(lower(text))` once — inlining the
+    * split here would re-run the regex once per language on the corpus
+    * scan (~5x the tokenization work, measured in BENCH_r02).
     */
-  def langId(text: Column): Column = {
-    val words = split(lower(text), "\\s+")
+  def langIdFromWords(words: Column): Column = {
     val scored = stopwordLists.map { case (lang, sw) =>
       struct(stopwordHits(words, sw).as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored.reverse: _*)) // reverse: ties -> earliest list
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** The words array langIdFromWords expects. */
+  def langIdWords(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Convenience single-expression form; prefer projecting
+    * `langIdWords` separately on wide scans (see langIdFromWords).
+    */
+  def langId(text: Column): Column = langIdFromWords(langIdWords(text))
 
   /** Quality-scoring feature columns (I3): length, word count, mean
     * word length, punctuation ratio, stopword ratio, digit ratio.

