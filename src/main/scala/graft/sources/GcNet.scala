@@ -83,4 +83,16 @@ object GcNet {
     else withTs.withColumn("avg_air_temp",
       airCols.map(col).reduce(_ + _) / airCols.length)
   }
+
+  /** JAR1 weather-station wrapper (melt_model.py:236 read_JAR1_data):
+    * the GC-NET read narrowed to the columns the melt pipeline consumes
+    * — timestamp, averaged air temperature, shortwave up/down, albedo,
+    * pressure and wind when present.
+    */
+  def readJar1(spark: SparkSession, path: String): DataFrame = {
+    val df = read(spark, path)
+    val wanted = Seq("ts", "avg_air_temp", "SW_down", "SW_up", "Albedo",
+      "Atm_Pressure", "Wind Speed 1", "Net Radiation")
+    df.select(wanted.filter(df.columns.contains).map(col): _*)
+  }
 }

@@ -51,13 +51,22 @@ object Sources {
   }
 
   /** Drop preamble lines by index and parse the rest as CSV with the
-    * header taken from the surviving first line.
+    * header taken from the surviving first line. `extraNaTokens` are
+    * nulled at the TOKEN level before the parse (pandas na_values
+    * semantics) — a post-parse string na.replace never matches
+    * double-typed columns (ADVICE r2; logger files carry no quoted
+    * commas, so the token split is safe).
     */
   private def csvSkippingRows(spark: SparkSession, path: String,
-                              skip: Set[Long], nullValue: String): DataFrame = {
+                              skip: Set[Long], nullValue: String,
+                              extraNaTokens: Set[String] = Set.empty): DataFrame = {
     val kept = spark.read.textFile(path).rdd.zipWithIndex()
       .filter { case (_, i) => !skip.contains(i) }
-      .map(_._1)
+      .map { case (l, _) =>
+        if (extraNaTokens.isEmpty) l
+        else l.split(",", -1)
+          .map(t => if (extraNaTokens(t)) "" else t).mkString(",")
+      }
     val ds: Dataset[String] = spark.createDataset(kept)(Encoders.STRING)
     spark.read
       .option("header", "true")
@@ -87,14 +96,46 @@ object Sources {
   def readStr17(spark: SparkSession, path: String): DataFrame =
     readCr1000(spark, path, Seq("RECORD")).na.drop()
 
+  /** 2018 moulin CR1000 files (hydrotools.py:569 read_moulin18): level
+    * in feet becomes submerged_depth in meters (negated); when the file
+    * carries the ultrasonic Stage / ablation Abl rangers, their
+    * distances convert to meters with the reference's fixed 4 m stage
+    * datum; diagnostic columns drop unless `allData`.
+    */
+  def readMoulin18(spark: SparkSession, path: String,
+                   allData: Boolean = false): DataFrame = {
+    val drop = if (allData) Nil
+      else Seq("RECORD", "BattV", "PTemp_C", "Freq", "Amp", "SNRat",
+        "NFreq", "DRat", "TR", "TT", "Digits")
+    val df = readCr1000(spark, path, drop)
+    val withDepth = df
+      .withColumn("submerged_depth",
+        -graft.functions.convertUnits("ft", "m", col("Lvl")))
+      .withColumnRenamed("Lvl", "submerged_depth_ft")
+    // rename the raw columns FIRST: Spark's case-insensitive resolution
+    // would otherwise make withColumn("stage", ...) overwrite "Stage"
+    val withStage =
+      if (!withDepth.columns.contains("Stage")) withDepth
+      else withDepth
+        .withColumnRenamed("Stage", "logger_to_stream_in")
+        .withColumn("logger_to_stream",
+          graft.functions.convertUnits("in", "m", col("logger_to_stream_in")))
+        .withColumn("stage", lit(4.0) - col("logger_to_stream"))
+    if (!withStage.columns.contains("Abl")) withStage
+    else withStage
+      .withColumnRenamed("Abl", "logger_to_ground_in")
+      .withColumn("logger_to_ground",
+        graft.functions.convertUnits("in", "m", col("logger_to_ground_in")))
+  }
+
   /** HOBOware AWS export (melt_model.py:48 read_hobo_csv): title line
     * skipped, '#' column dropped, sensor columns renamed to canonical
     * names, consecutive solar sensors become Solar1/Solar2,
     * -888.88/-888.9 sentinel nulls.
     */
   def readHobo(spark: SparkSession, path: String): DataFrame = {
-    val raw = csvSkippingRows(spark, path, Set(0L), "-888.88")
-      .na.replace("*", Map("-888.9" -> null))
+    val raw = csvSkippingRows(spark, path, Set(0L), "-888.88",
+      extraNaTokens = Set("-888.9"))
     val newNames = Seq("RH", "Gust", "Wind Speed", "Wind Direction",
       "DewPt", "Abs Pres", "Rain", "Temp")
     var solarCount = 1

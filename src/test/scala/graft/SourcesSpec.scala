@@ -107,6 +107,7 @@ class SourcesSpec extends SparkSpec {
         |#,Date Time - GMT,Temp  C,Solar Radiation  W/m2,Solar Radiation 2  W/m2,RH %
         |1,2017-06-01 00:00:00,3.5,120.0,80.0,55.0
         |2,2017-06-01 01:00:00,-888.88,130.0,85.0,56.0
+        |3,2017-06-01 02:00:00,-888.9,140.0,90.0,57.0
         |""".stripMargin)
     val df = Sources.readHobo(spark, p)
     assert(df.columns.contains("Temp"))
@@ -115,5 +116,54 @@ class SourcesSpec extends SparkSpec {
     assert(!df.columns.contains("#"))
     val rows = df.orderBy(df.columns(0)).collect()
     assert(rows(1).isNullAt(rows(1).fieldIndex("Temp"))) // -888.88 sentinel
+    // -888.9 is nulled at the TOKEN level pre-parse: a post-parse string
+    // replace would leave it as a real double (ADVICE r2)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("Temp")))
+    assert(rows(2).getAs[Double]("Solar1") === 140.0)
+  }
+
+  test("readMoulin18: level to meters, stage/ablation rangers, diagnostics dropped") {
+    val p = tmpCsv("moulin18.csv",
+      """"TOA5","station","CR1000","serial","os","prog","sig","table"
+        |"TIMESTAMP","RECORD","Lvl","Stage","Abl","BattV","Digits"
+        |"TS","RN","ft","in","in","Volts",""
+        |"","","Smp","Smp","Smp","Smp","Smp"
+        |"2018-07-10 12:00:00",1,10.0,40.0,20.0,12.1,8815
+        |"2018-07-10 12:15:00",2,NAN,50.0,25.0,12.2,8816
+        |""".stripMargin)
+    val df = Sources.readMoulin18(spark, p)
+    assert(!df.columns.contains("BattV") && !df.columns.contains("Digits"))
+    assert(df.columns.contains("submerged_depth_ft")) // Lvl renamed
+    val r = df.orderBy("ts").collect()
+    assert(math.abs(r(0).getAs[Double]("submerged_depth") - (-(10.0 * 0.3048))) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("logger_to_stream") - 40.0 * 0.0254) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("stage") - (4.0 - 40.0 * 0.0254)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("logger_to_ground") - 20.0 * 0.0254) < 1e-12)
+    // allData keeps the diagnostics
+    assert(Sources.readMoulin18(spark, p, allData = true).columns.contains("BattV"))
+  }
+
+  test("Stations + BaseStn metadata plumbing matches the reference") {
+    import graft.api.{BaseStn, Stations}
+    // longitude normalization: >180 wraps to negative (gpstools.py:129)
+    val stn = BaseStn("rock",
+      sitePos = (1412215.2584, -1711212.5767, 5960386.7316),
+      geodPos = (69.708219352, 309.531891746, 594.5942))
+    assert(math.abs(stn.long - (-(360 - 309.531891746))) < 1e-12)
+    assert(math.abs(stn.elevation(27.1274) - (594.5942 - 27.1274)) < 1e-12)
+    assert(stn.geoidHeight(Map("ROCK" -> 27.1274)) === Some(27.1274))
+    // file-name station ID + deployment name table
+    assert(Stations.stationName("/data/usf1_18_neu.txt",
+      Map("USF1" -> "LMID")) === ("USF1", "LMID"))
+    assert(Stations.stationName("/data/xxxx_18.txt",
+      Map("USF1" -> "LMID")) === ("XXXX", "ukwn"))
+    assert(Stations.stationName("/data/usf1_18.txt") === ("USF1", "USF1"))
+    // component labels and duration helpers
+    assert(Stations.componentLabels("nxt") === Seq("dnorth", "xflow", "xtran"))
+    assertThrows[IllegalArgumentException](Stations.componentLabels("q"))
+    assert(Stations.samplesInTimespan("2H", 30.0) === 240L)
+    assert(math.abs(Stations.pctDay("6H") - 0.25) < 1e-12)
+    // pandas .seconds is within-day: 25h -> 1h (kept bug-for-bug)
+    assert(math.abs(Stations.pctDay("25H") - (3600.0 / 86400.0)) < 1e-12)
   }
 }
