@@ -53,6 +53,14 @@ object TimeSeriesOps {
     * collect_list is — collect the frame with cRolling, then take the
     * sorted middle here (mean of the two middles for even counts,
     * matching pandas/DuckDB).
+    *
+    * MEMORY BOUND: the collect_list frame materializes O(window)
+    * doubles per row inside WindowExec — fine for sparse series and
+    * moderate windows (a 2 h window at 1-min sampling is 120 elements),
+    * but a dense 1 Hz series under a multi-hour window builds ~10^4
+    * element arrays per row. For wide windows over dense series use
+    * [[cRollingQuantileApprox]], whose per-row state is a fixed-size
+    * sketch instead of the frame itself.
     */
   def medianOfArray(vals: Column): Column = {
     val sorted = sort_array(vals)
@@ -62,6 +70,27 @@ object TimeSeriesOps {
     when(n % 2 === 1, element_at(sorted, mid))
       .otherwise((element_at(sorted, lo) + element_at(sorted, lo + 1)) / 2.0)
   }
+
+  /** Approximate centered rolling quantile (the wide-window escape
+    * hatch for rolling medians): percentile_approx over the cRolling
+    * range frame. Unlike the exact collect_list + [[medianOfArray]]
+    * path, per-row window state is a bounded sketch (controlled by
+    * `accuracy`), so the memory bound is independent of window width —
+    * the right trade for dense (~1 Hz) series under multi-hour windows
+    * at 100 TB. Error is bounded by 1/accuracy of the frame's rank
+    * range (exact when the frame has fewer than `accuracy` rows, except
+    * that the sketch returns an element, not the even-count midpoint
+    * mean).
+    */
+  def cRollingQuantileApprox(df: DataFrame, keys: Seq[String], tsCol: String,
+                             valCol: String, windowSec: Long,
+                             probability: Double = 0.5,
+                             accuracy: Int = 10000,
+                             outCol: String = "approx_median",
+                             minPeriods: Int = 1): DataFrame =
+    cRolling(df, keys, tsCol, valCol, windowSec,
+      Seq(outCol -> (c => percentile_approx(c, lit(probability), lit(accuracy)))),
+      minPeriods)
 
   /** Downsample to fixed calendar buckets with aggregates (A3;
     * reference gpstools.py:350 `resample('1D').mean()`).

@@ -26,6 +26,40 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("m")) === Array(1.0, 1.5, 2.5))
   }
 
+  test("cRollingQuantileApprox tracks the exact rolling median within sketch error") {
+    // 4 h of minutely data with a noisy sawtooth — frames of ~121 rows
+    val rows = (0 until 240).map { i =>
+      ("a", f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00",
+        java.lang.Double.valueOf((i * 37 % 100).toDouble))
+    }
+    val df = series(rows: _*)
+    val sorted = sort_array(col("_frame"))
+    val exact = TimeSeriesOps.cRolling(df, Seq("k"), "t", "v", 7200,
+        Seq("_frame" -> (c => collect_list(c))))
+      .select(col("k"), col("t_c").as("tc"),
+        TimeSeriesOps.medianOfArray(col("_frame")).as("med"),
+        // what a rank-exact sketch returns at p=0.5: the lower-middle
+        // frame ELEMENT (the exact path averages the two middles on
+        // even counts, which is not an element)
+        element_at(sorted, ((size(sorted) + 1) / 2).cast("int")).as("lower_mid"))
+    val approx = TimeSeriesOps
+      .cRollingQuantileApprox(df, Seq("k"), "t", "v", 7200)
+      .withColumnRenamed("t_c", "tc2").withColumnRenamed("k", "k2")
+    val joined = exact.join(approx,
+      col("k") === col("k2") && col("tc") === col("tc2"))
+      .select(col("med"), col("lower_mid"), col("approx_median")).collect()
+    assert(joined.length === 240)
+    joined.foreach { r =>
+      // frames (<=121 rows) are far below the sketch accuracy: the
+      // sketch is rank-exact, returning precisely the lower-middle
+      assert(r.getDouble(2) === r.getDouble(1),
+        s"approx ${r.getDouble(2)} != lower-middle ${r.getDouble(1)}")
+      // and on odd frames that IS the exact median
+      if (r.getDouble(0) == r.getDouble(1))
+        assert(r.getDouble(2) === r.getDouble(0))
+    }
+  }
+
   test("asofJoinBackward takes latest right value at or before each left ts, per key") {
     val left = series(("a", "2024-01-01 00:10:00", 10.0), ("a", "2024-01-01 02:00:00", 20.0),
       ("b", "2024-01-01 01:00:00", 30.0))
