@@ -27,6 +27,68 @@ object Streaming {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("total_value"))
 
+  /** Streaming twin of cRolling (SURVEY §8 #2): sliding event-time
+    * windows aggregate the trailing window and report it at the window
+    * MIDPOINT — the same trailing-window-shifted-index semantics as the
+    * batch c_rolling (utils.py:32), approximated on the slide grid.
+    * Watermarks bound state; each event lands in window/slide windows.
+    */
+  def cRollingStream(events: DataFrame, tsCol: String, keyCol: String,
+                     valCol: String, windowDuration: String,
+                     slideDuration: String,
+                     watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(avg(col(valCol)).as("mean"), count(lit(1)).as("n"))
+      .select(
+        timestamp_micros(((unix_micros(col("window.start")) +
+          unix_micros(col("window.end"))) / 2).cast("long")).as("ts_c"),
+        col(keyCol), col("mean"), col("n"))
+
+  case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
+                       value: Double)
+  case class AsofState(rightTs: Long, rightVal: Double)
+  case class AsofOut(key: Long, ts: java.sql.Timestamp, value: Double,
+                     right_value: Option[Double])
+
+  /** Streaming twin of asofJoinBackward (SURVEY §8 #2): a stateful
+    * union of both sides keyed by series — right events (side=1) update
+    * O(1) per-key state (latest right ts/value), left events (side=0)
+    * emit with the latest right value at-or-before them. Within a
+    * micro-batch events process in timestamp order (right before left
+    * on ties, matching the batch operator's inclusive as-of); disorder
+    * ACROSS batches is bounded by the source's watermark, the same
+    * contract as any event-time streaming join. State never grows with
+    * data volume — one (ts, value) pair per key.
+    */
+  def asofJoinBackwardStream(spark: SparkSession, events: Dataset[AsofEvent])
+      : Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, batch, state: GroupState[AsofState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, -e.side))
+          val out = Seq.newBuilder[AsofOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            if (e.side == 1) {
+              if (cur.forall(_.rightTs <= e.ts.getTime))
+                cur = Some(AsofState(e.ts.getTime, e.value))
+            } else {
+              val rv = cur.collect {
+                case s if s.rightTs <= e.ts.getTime => s.rightVal
+              }
+              out += AsofOut(key, e.ts, e.value, rv)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

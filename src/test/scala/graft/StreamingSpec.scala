@@ -73,4 +73,54 @@ class StreamingSpec extends SparkSpec {
         (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("cRollingStream: sliding windows report trailing aggregates at the midpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.cRollingStream(df, "ts", "user_id", "value",
+        "2 hours", "1 hour", "4 hours")
+      .writeStream.format("memory").queryName("c_roll")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:30:00"), 1L, 2.0),
+        (ts("2024-01-01 01:30:00"), 1L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("c_roll").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ts_c"),
+          r.getAs[Double]("mean"), r.getAs[Long]("n")))
+      // the [00:00, 02:00) window holds both events, reported at 01:00
+      assert(rows.contains((ts("2024-01-01 01:00:00"), 3.0, 2L)))
+      // the [01:00, 03:00) slide holds only the 01:30 event -> at 02:00
+      assert(rows.contains((ts("2024-01-01 02:00:00"), 4.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("asofJoinBackwardStream carries the latest right value at-or-before each left event") {
+    import graft.streaming.Streaming.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val out = Streaming.asofJoinBackwardStream(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        AsofEvent(1L, ts("2024-01-01 00:05:00"), 0, 10.0), // left before any right
+        AsofEvent(1L, ts("2024-01-01 00:10:00"), 1, 100.0), // right
+        AsofEvent(1L, ts("2024-01-01 00:20:00"), 0, 20.0)) // left after right
+      q.processAllAvailable()
+      // right state persists across micro-batches
+      input.addData(AsofEvent(1L, ts("2024-01-01 03:00:00"), 0, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("right_value")).map(_.doubleValue)))
+        .sortBy(_._1.getTime)
+      assert(rows.toSeq === Seq(
+        (ts("2024-01-01 00:05:00"), 10.0, None), // nothing at-or-before
+        (ts("2024-01-01 00:20:00"), 20.0, Some(100.0)),
+        (ts("2024-01-01 03:00:00"), 30.0, Some(100.0))))
+    } finally q.stop()
+  }
 }
