@@ -80,7 +80,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val exploded = shingleRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
@@ -96,8 +97,20 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // Degenerate-bucket guard: in-bucket pairing is quadratic, and a
+    // boilerplate-heavy corpus (shared headers/footers) can put a huge
+    // fraction of documents into one (band, hash) bucket — n² pairs from
+    // a single bucket stalls the whole stage. Buckets over the cap are
+    // dropped from CANDIDATE GENERATION ONLY (a bucket that big carries
+    // no discriminating signal — its members still pair through their
+    // other, rarer bands); audit what a cap drops with
+    // [[oversizedMinhashBuckets]] — not a silent truncation.
+    val bucketCounts = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bn"))
+    val bounded = banded.join(
+      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bh"))
+    val cand = bounded.as("a")
+      .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -117,6 +130,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Audit companion to minhashLsh's maxBucketSize: the (band, hash)
+    * buckets a given cap would drop, with their sizes — run this when
+    * tuning the cap on a new corpus so the guard never truncates
+    * silently.
+    */
+  def oversizedMinhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16,
+                              maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val exploded = shingleRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
+      "doc_id", textCol, shingleN)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }
+    sig.select(explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** SimHash as 4 x 16-bit band values. Explode-style: one (doc, word)

@@ -30,7 +30,7 @@ class ContractSpec extends AnyFunSuite {
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs
-    assert(SparkEntry.queries.size >= inventory.size + 9) // + round-2 extras
+    assert(SparkEntry.queries.size >= inventory.size + 12) // + r2/r3 extras
   }
 
   test("no duplicate keys in any query-pack Map literal (source-level)") {

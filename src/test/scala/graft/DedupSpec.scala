@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never paired
   }
 
+  test("minhash bucket cap drops degenerate boilerplate buckets, keeps rare-band pairs") {
+    // 6 copies of the same boilerplate put 6 docs in EVERY (band, hash)
+    // bucket; the near-dup pair (101, 102) lives in buckets of size <= 3
+    val boiler = (1 to 6).map(i => (i.toLong, base, "s1"))
+    val pair = Seq((101L, nearDup, "s1"),
+      (102L, nearDup.replace("tok7", "tok7x"), "s1"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text", "source")
+    val capped = Dedup.minhashLsh(corpus, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.contains((101L, 102L))) // rare-band pair survives
+    assert(!capped.exists(p => p._1 <= 6L && p._2 <= 6L)) // boilerplate uncandidated
+    // the audit companion reports exactly what the cap dropped
+    val dropped = Dedup.oversizedMinhashBuckets(corpus, "doc_id", "text",
+      maxBucketSize = 3).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("bucket_size") >= 6L))
+    // with the default cap the boilerplate still pairs (no behavior change)
+    val uncapped = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uncapped.contains((1L, 2L)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
