@@ -184,14 +184,21 @@ object Dedup {
     * (sum of bit_count over the xor'd bands) <= maxHamming.
     */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 8): DataFrame = {
+                     maxHamming: Int = 8,
+                     maxBucketSize: Int = 10000): DataFrame = {
     val sb = simhashBands(docs, idCol, textCol)
-    val banded = sb.select(col("doc_id"), col("band0"), col("band1"),
+    val explodedBands = sb.select(col("doc_id"), col("band0"), col("band1"),
       col("band2"), col("band3"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("bv"))): _*)).as("bb"))
       .select(Seq(col("doc_id")) ++ (0 until 4).map(b => col(s"band$b")) ++
         Seq(col("bb.band").as("band"), col("bb.bv").as("bv")): _*)
+    // same degenerate-bucket guard as minhashLsh: candidate generation
+    // skips buckets whose in-bucket pairing would be quadratic-degenerate
+    val bucketCounts = explodedBands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("_bn"))
+    val banded = explodedBands.join(
+      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bv"))
     val a = banded.as("a")
     val b = banded.as("b")
     val hamming = (0 until 4)

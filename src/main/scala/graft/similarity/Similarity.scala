@@ -48,8 +48,17 @@ object Similarity {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double, numBits: Int = 64,
-                       bitsPerBand: Int = 8): DataFrame = {
-    val bands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
+                       bitsPerBand: Int = 8,
+                       maxBucketSize: Int = 10000): DataFrame = {
+    val allBands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
+    // degenerate-bucket guard (same rationale as Dedup.minhashLsh): a
+    // near-constant embedding region can flood one (band, value) bucket;
+    // pairing is quadratic in bucket size, and an over-cap bucket has no
+    // discriminating signal anyway.
+    val bucketCounts = allBands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("_bn"))
+    val bands = allBands.join(
+      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bv"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bv") === col("b.bv") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -74,6 +74,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize parity: streamed sessions match the batch gap-sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gapMs = 30 * 60 * 1000L
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:20:00", 2.0),
+      (1L, "2024-01-01 02:00:00", 3.0), // >30min gap: new session
+      (2L, "2024-01-01 00:05:00", 5.0),
+      (2L, "2024-01-01 00:25:00", 6.0), (2L, "2024-01-01 03:00:00", 7.0))
+    // batch twin: the q_sessionize shape (lag + running sum of gap flags)
+    val df = events.toDF("user_id", "t", "value")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"), col("value"))
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = df
+      .withColumn("prev", lag(col("ts"), 1).over(byTs))
+      .withColumn("is_new", when(col("prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("prev")) > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select("user_id", "start", "end", "n", "total")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Streaming.sessionize(spark, input.toDS(), gapMillis = gapMs)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.map { case (u, t, v) => SessionEvent(u, ts(t), v) }: _*)
+      q.processAllAvailable()
+      // far-future sentinels advance the watermark so real sessions close
+      input.addData(SessionEvent(1L, ts("2024-02-01 00:00:00"), 0.0),
+        SessionEvent(2L, ts("2024-02-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts("2024-03-01 00:00:00"), 0.0),
+        SessionEvent(2L, ts("2024-03-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .filter(_._2.before(ts("2024-02-01 00:00:00"))) // drop sentinels
+        .toSet
+      assert(streamed === batch,
+        s"stream/batch divergence:\n  stream=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
+
   test("cRollingStream: sliding windows report trailing aggregates at the midpoint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]

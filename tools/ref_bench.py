@@ -146,6 +146,136 @@ def _():
     idx = pd.DatetimeIndex(ev["ts"])
     from utils import DatetimeIndex_to_doy
     DatetimeIndex_to_doy(idx)
-timings = {k: v for k, v in results.items() if not k.startswith("diurnal_extrema_series")}
+
+# A2: rolling median/min/max/sum over the same centered frame
+# (utils.c_rolling once per window_func, as a reference user would)
+@timed("ts_rolling_multi")
+def _():
+    from utils import c_rolling
+    for _, g in ev.groupby("user_id"):
+        s = g.set_index("ts")["value"].sort_index()
+        for fn in ("median", "min", "max", "sum"):
+            c_rolling(s, "2h", window_func=fn)
+
+# A4: as-of backward join per user (merge_asof is pandas' optimized path)
+@timed("ts_asof_join")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        left = g[g.event_type == "click"][["ts", "value"]]
+        right = g[g.event_type == "purchase"][["ts", "value"]]
+        if left.empty or right.empty:
+            continue
+        pd.merge_asof(left, right, on="ts", direction="backward",
+                      suffixes=("", "_r"))
+
+# B2: min-first + max-next-day mode (the reference's per-day loop with
+# the 18h cross-midnight max window)
+@timed("diurnal_minfirst")
+def _():
+    from diurnal import DiurnalExtrema
+    ok = bad = 0
+    for _, g in ev.groupby("user_id"):
+        s = g.set_index(g["ts"].dt.floor("s"))["value"].sort_index()
+        s = s[~s.index.duplicated()]
+        try:
+            DiurnalExtrema(s, min_first=True, max_next_day=True,
+                           generate_figure=False)
+            ok += 1
+        except ValueError:
+            bad += 1
+    results["diurnal_minfirst_series_ok"] = ok
+    results["diurnal_minfirst_series_crashed"] = bad
+
+# C1+C2: flow angle from first/last daily means, then rotation
+@timed("gps_reproject")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        dn = pd.Series(g["value"].values, index=g["ts"])
+        de = pd.Series((g["value"] * 0.5).values, index=g["ts"])
+        daily_n, daily_e = dn.resample("1D").mean(), de.resample("1D").mean()
+        alpha = np.arctan((daily_n.iloc[-1] - daily_n.iloc[0]) /
+                          (daily_e.iloc[-1] - daily_e.iloc[0]))
+        dn * np.sin(alpha) + de * np.cos(alpha)
+        dn * np.cos(alpha) - de * np.sin(alpha)
+
+# C3: OLS detrend vs decimal doy per user (np.polyfit like the reference)
+@timed("gps_detrend")
+def _():
+    from utils import DatetimeIndex_to_doy
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        doy = DatetimeIndex_to_doy(pd.DatetimeIndex(g["ts"]))
+        m, b = np.polyfit(doy, g["value"], 1)
+        g["value"] - (m * doy + b)
+
+# D4: piecewise interval assignment (vectorized pd.cut analogue of the
+# reference's slice-assignment blocks)
+@timed("hydro_piecewise")
+def _():
+    bounds = pd.to_datetime(["2024-01-01", "2024-01-08", "2024-01-15",
+                             "2024-01-22", "2024-02-01"])
+    heights = [299.31, 293.81, 288.99, 284.66]
+    cut = pd.cut(ev["ts"], bounds, right=False,
+                 labels=heights, ordered=False).astype(float)
+    ev["value"] * 0.05 + cut
+
+# E3: enhanced temp-index melt equation, row math (melt_model.py:576)
+@timed("melt_rate")
+def _():
+    T = ev["value"] - 10.0
+    alb = 0.35 + 0.05 * (ev["event_id"] % 16)
+    G = ev["value"] * 2.0
+    np.where(T > 0, 0.05 * T + 0.0094 * (1 - alb) * G, 0.0)
+
+# F6: gap sessionization per user (lag + cumsum, the vectorized form)
+@timed("q_sessionize")
+def _():
+    g = ev.sort_values(["user_id", "ts"])
+    gap = g.groupby("user_id")["ts"].diff() > pd.Timedelta(hours=12)
+    sid = gap.groupby(g["user_id"]).cumsum()
+    g.groupby([g["user_id"], sid])["value"].agg(["min", "max", "count", "sum"])
+
+docs_pd = pd.read_parquet(f"{sf}/documents.parquet")
+
+# G1: exact dedup via content hash (hashlib per row — the single-node way)
+@timed("dedup_exact")
+def _():
+    import hashlib
+    h = docs_pd["text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+    docs_pd.groupby(h)["doc_id"].agg(["min", "count"])
+
+# I1: token counting (pandas str ops)
+@timed("text_tokens")
+def _():
+    docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    docs_pd["text"].str.findall(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]").str.len()
+
+# I3: quality features (pandas str ops)
+@timed("text_quality")
+def _():
+    t = docs_pd["text"]
+    length = t.str.len().astype(float)
+    nw = t.str.strip().str.split(r"\s+").str.len().astype(float)
+    (length - (nw - 1)) / nw
+    (length - t.str.replace(r"[.,;:!?]", "", regex=True).str.len()) / length
+    (length - t.str.replace(r"[0-9]", "", regex=True).str.len()) / length
+    sw = {"the", "and", "of", "to", "a", "in", "is"}
+    t.str.lower().str.split(r"\s+").map(lambda ws: len(sw & set(ws))) / nw
+
+# I4: fingerprint (min md5 over 5-word shingles, per doc)
+@timed("text_fingerprint")
+def _():
+    import hashlib
+    def fp(text):
+        ws = text.split(" ")
+        n = max(len(ws) - 4, 1)
+        return min(hashlib.md5(" ".join(ws[i:i + 5]).encode()).hexdigest()
+                   for i in range(n))
+    docs_pd["text"].map(fp)
+
+timings = {k: v for k, v in results.items() if not k.startswith(
+    ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
                   "total": round(sum(timings.values()), 3)}))
