@@ -104,11 +104,14 @@ object Dedup {
     // dropped from CANDIDATE GENERATION ONLY (a bucket that big carries
     // no discriminating signal — its members still pair through their
     // other, rarer bands); audit what a cap drops with
-    // [[oversizedMinhashBuckets]] — not a silent truncation.
-    val bucketCounts = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("_bn"))
-    val bounded = banded.join(
-      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bh"))
+    // [[oversizedMinhashBuckets]] — not a silent truncation. The count
+    // is a window over (band, bh), whose partitioning the subsequent
+    // self-join reuses — no extra aggregate+join stages.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val bounded = banded
+      .withColumn("_bn", count(lit(1)).over(bw))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
     val cand = bounded.as("a")
       .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -195,10 +198,11 @@ object Dedup {
         Seq(col("bb.band").as("band"), col("bb.bv").as("bv")): _*)
     // same degenerate-bucket guard as minhashLsh: candidate generation
     // skips buckets whose in-bucket pairing would be quadratic-degenerate
-    val bucketCounts = explodedBands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("_bn"))
-    val banded = explodedBands.join(
-      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bv"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    val banded = explodedBands
+      .withColumn("_bn", count(lit(1)).over(bw))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
     val a = banded.as("a")
     val b = banded.as("b")
     val hamming = (0 until 4)

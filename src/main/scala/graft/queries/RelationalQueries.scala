@@ -147,14 +147,19 @@ object RelationalQueries extends QueryPack {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
 
-  /** F+ `q_quantiles` — exact interpolated quartiles per group. */
+  /** F+ `q_quantiles` — exact interpolated quartiles per group. The
+    * array form evaluates ONE percentile aggregate (one sort of each
+    * group's values) for all three quartiles; three scalar percentile
+    * calls would buffer and sort every group three times.
+    */
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        r6(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r6(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("_q"))
+      .select(col("l_returnflag"),
+        r6(col("_q")(0)).as("p25"),
+        r6(col("_q")(1)).as("p50"),
+        r6(col("_q")(2)).as("p75"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup" -> qRollup,

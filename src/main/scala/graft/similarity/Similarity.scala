@@ -54,11 +54,12 @@ object Similarity {
     // degenerate-bucket guard (same rationale as Dedup.minhashLsh): a
     // near-constant embedding region can flood one (band, value) bucket;
     // pairing is quadratic in bucket size, and an over-cap bucket has no
-    // discriminating signal anyway.
-    val bucketCounts = allBands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("_bn"))
-    val bands = allBands.join(
-      bucketCounts.filter(col("_bn") <= maxBucketSize), Seq("band", "bv"))
+    // discriminating signal anyway. Count-over-window: the (band, bv)
+    // partitioning is reused by the candidate self-join.
+    val bw = Window.partitionBy(col("band"), col("bv"))
+    val bands = allBands
+      .withColumn("_bn", count(lit(1)).over(bw))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bv") === col("b.bv") && col(s"a.$idCol") < col(s"b.$idCol"))
