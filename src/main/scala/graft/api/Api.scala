@@ -242,6 +242,25 @@ class OnIce(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
                        xflowCol: String = "xflow"): DataFrame =
     Gps.linearDetrend(reprojectToFlowDirection(), keys, xflowCol, heightCol,
       outCol = s"${heightCol}_xdetrended")
+
+  /** Antenna-lowering correction (gpstools.py:378): shift the vertical
+    * component after the adjustment time, dropping the move window.
+    */
+  def antennaLoweringCorrection(adjustAt: String, adjustment: Double,
+                                dropUntil: String,
+                                heightCol: String = "dheight"): OnIce =
+    new OnIce(Gps.antennaCorrection(data, tsCol, heightCol,
+      adjustAt, adjustment, dropUntil), keys, tsCol, northCol, eastCol)
+
+  /** Measurements expected in a timespan at each series' inferred
+    * sampling rate (gpstools.py:520 samples_in_timespan, distributed
+    * per-key form over the A7 mode-of-deltas inference).
+    */
+  def samplesInTimespan(timespan: String): DataFrame =
+    TimeSeriesOps.inferSampling(data, keys, tsCol)
+      .withColumn("n_samples",
+        round(lit(Durations.parseSeconds(timespan).toDouble) /
+          col("sampling_rate_s")).cast("long"))
 }
 
 /** melt_model.py:273 `WeatherStation` — AWS series to melt rates. */

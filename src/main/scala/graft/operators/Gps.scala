@@ -127,4 +127,22 @@ object Gps {
     val de = col(eastCol) - first(col(eastCol)).over(w)
     df.withColumn("displacement", graft.functions.quadrature(dn, de))
   }
+
+  /** Antenna-lowering correction (gpstools.py:378
+    * `_antenna_lowering_correction` + the antenna_adjustments table,
+    * gpstools.py:166-180): from `adjustAt` on, the vertical position
+    * shifts by -adjustment (positive adjustment = antenna raised);
+    * rows inside [adjustAt, dropUntil) — the physical move itself —
+    * are dropped. Row-local arithmetic plus a scan filter: no shuffle.
+    */
+  def antennaCorrection(df: DataFrame, tsCol: String, heightCol: String,
+                        adjustAt: String, adjustment: Double,
+                        dropUntil: String): DataFrame = {
+    val at = lit(adjustAt).cast("timestamp")
+    val until = lit(dropUntil).cast("timestamp")
+    df.filter(!(col(tsCol) >= at && col(tsCol) < until))
+      .withColumn(heightCol,
+        when(col(tsCol) >= at, col(heightCol) - lit(adjustment))
+          .otherwise(col(heightCol)))
+  }
 }

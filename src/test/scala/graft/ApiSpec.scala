@@ -53,6 +53,37 @@ class ApiSpec extends SparkSpec {
     assert(onIce.smoothed("dnorth", "2H").count() === 48)
   }
 
+  test("antenna correction shifts heights after the move and drops the move window") {
+    val pos = Seq(
+      ("s1", "2018-07-07 10:00:00", 0.0, 0.0, 50.0),
+      ("s1", "2018-07-07 14:00:00", 1.0, 0.5, 51.0), // inside move window: dropped
+      ("s1", "2018-07-08 10:00:00", 2.0, 1.0, 52.0)) // after: height shifted
+      .toDF("k", "ts", "dnorth", "deast", "dheight")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"),
+        col("dnorth"), col("deast"), col("dheight"))
+    val corrected = new OnIce(pos, Seq("k"))
+      .antennaLoweringCorrection("2018-07-07 13:28:00", -2.0, "2018-07-07 21:40:00")
+    val rows = corrected.flowDirectionAngle // facade still composes
+    val data = graft.operators.Gps.antennaCorrection(pos, "ts", "dheight",
+      "2018-07-07 13:28:00", -2.0, "2018-07-07 21:40:00")
+      .orderBy("ts").collect()
+    assert(data.length === 2)
+    assert(data(0).getAs[Double]("dheight") === 50.0) // before: untouched
+    assert(data(1).getAs[Double]("dheight") === 54.0) // 52 - (-2)
+    assert(rows.columns.contains("alpha"))
+  }
+
+  test("OnIce.samplesInTimespan uses the per-key inferred sampling rate") {
+    val pos = (0 until 10).map(i =>
+      ("s1", f"2024-01-01 00:${i * 5}%02d:00", i.toDouble, i.toDouble))
+      .toDF("k", "ts", "dnorth", "deast")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"),
+        col("dnorth"), col("deast"))
+    val out = new OnIce(pos, Seq("k")).samplesInTimespan("2H").collect().head
+    assert(out.getAs[Long]("sampling_rate_s") === 300L)
+    assert(out.getAs[Long]("n_samples") === 24L) // 7200 / 300
+  }
+
   test("calcStageJeme converts both sensors, filters bad readouts, nulls drop-list picks") {
     val readings = Seq(
       ("2024-01-01 00:00:00", 40.0, 20.0),
