@@ -97,6 +97,28 @@ package object functions {
         lit(solarRadiationFactor) * (lit(1.0) - albedo) * incomingSolar)
       .otherwise(lit(0.0))
 
+  // ----- small time utilities (reference: diurnal.py:774-784) -----
+
+  /** Last second of a timestamp's day (diurnal.py:774 make_end_of_day:
+    * replace(hour=23, minute=59, second=59), sub-second dropped).
+    */
+  def endOfDay(ts: Column): Column =
+    timestamp_seconds(unix_seconds(date_trunc("day", ts)) + lit(86399L))
+
+  /** Time-of-day in decimal hours (diurnal.py:778
+    * timestamp_to_decimal_hours: hour + (minute*60 + second)/3600 —
+    * sub-second dropped, matching the reference).
+    */
+  def timestampToDecimalHours(ts: Column): Column =
+    hour(ts) + (minute(ts) * 60 + second(ts)) / lit(3600.0)
+
+  /** Duration between two timestamps in decimal hours (diurnal.py:783
+    * timedelta_to_hours: days*24 + seconds/3600 = whole seconds/3600,
+    * sub-second dropped).
+    */
+  def hoursBetween(later: Column, earlier: Column): Column =
+    floor((unix_micros(later) - unix_micros(earlier)) / lit(1000000.0)) / lit(3600.0)
+
   // ----- vector math (similarity / dedup) -----
 
   /** Dot product of two double-array columns — a native codegen

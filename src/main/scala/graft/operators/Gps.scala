@@ -95,6 +95,13 @@ object Gps {
   def dropLargeErrors(df: DataFrame, errCols: Seq[String], threshold: Double): DataFrame =
     errCols.foldLeft(df)((d, c) => d.filter(col(c) < threshold))
 
+  /** Rows with non-positive along-flow velocity (gpstools.py:673
+    * `filter_zero` — stagnant/retrograde picks, typically inspected or
+    * dropped before velocity statistics).
+    */
+  def filterZero(df: DataFrame, velCol: String = "X_vel"): DataFrame =
+    df.filter(col(velCol) <= 0)
+
   /** Distance between two stations' mean positions over a comparison
     * window (gpstools.py:756 determine_stn_flow_dist): per-station
     * windowed mean northing/easting, then the pairwise quadrature

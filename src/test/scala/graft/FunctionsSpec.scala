@@ -73,4 +73,26 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
     assert(df.select(cosineSimilarity(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("cosineSimilarity/dotProduct yield null on length-mismatched vectors") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(cosineSimilarity(col("a"), col("b")),
+      dotProduct(col("a"), col("b"))).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("small time utilities match the reference's second-resolution math") {
+    val df = Seq("2024-03-05 13:45:30.750").toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    val r = df.select(
+      endOfDay(col("t")).as("eod"),
+      timestampToDecimalHours(col("t")).as("dh"),
+      hoursBetween(col("t"), lit("2024-03-05 10:00:00").cast("timestamp")).as("hb"))
+      .head
+    assert(r.getAs[java.sql.Timestamp]("eod") === ts("2024-03-05 23:59:59"))
+    // 13h + (45*60+30)/3600 — the .750 sub-second is dropped (reference)
+    assert(math.abs(r.getAs[Double]("dh") - (13 + 2730.0 / 3600)) < 1e-12)
+    // 3h45m30s (whole seconds) = 3.7583…h
+    assert(math.abs(r.getAs[Double]("hb") - 13530.0 / 3600) < 1e-12)
+  }
 }
