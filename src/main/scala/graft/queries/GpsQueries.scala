@@ -153,10 +153,11 @@ object GpsQueries extends QueryPack {
          |FROM led WHERE nid = bid + 1""".stripMargin,
     "gps_drop_errors" ->
       """SELECT event_id, user_id,
-        |  (event_id % 13) * 0.08 AS dnorth_err,
-        |  (event_id % 11) * 0.09 AS deast_err
+        |  (event_id % 13) * CAST(0.08 AS DOUBLE) AS dnorth_err,
+        |  (event_id % 11) * CAST(0.09 AS DOUBLE) AS deast_err
         |FROM events
-        |WHERE (event_id % 13) * 0.08 < 0.8 AND (event_id % 11) * 0.09 < 0.8""".stripMargin,
+        |WHERE (event_id % 13) * CAST(0.08 AS DOUBLE) < 0.8
+        |  AND (event_id % 11) * CAST(0.09 AS DOUBLE) < 0.8""".stripMargin,
     "gps_displacement" ->
       s"""$posCte,
          |shifted AS (SELECT event_id, user_id,

@@ -163,7 +163,7 @@ object HydroQueries extends QueryPack {
     "hydro_fob" ->
       """SELECT event_id,
         |  value / ((917.0 / 1000.0) * 503.0) AS fob_wlb,
-        |  ((value + 200.0) - (765.8 - 503.0)) / ((917.0 / 1000.0) * 503.0) AS fob_gwl
+        |  ((value + 200.0) - (CAST(765.8 AS DOUBLE) - CAST(503.0 AS DOUBLE))) / ((917.0 / 1000.0) * 503.0) AS fob_gwl
         |FROM events""".stripMargin,
     "hydro_patm_correct" ->
       s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -74,7 +74,8 @@ object MeltQueries extends QueryPack {
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
       |    (value - 100.0) * 0.1 AS temp,
       |    value * 2.0 AS incoming,
-      |    value * 2.0 * (0.35 + 0.05 * (event_id % 16)) AS reflected
+      |    value * 2.0 * (CAST(0.35 AS DOUBLE)
+      |      + CAST(0.05 AS DOUBLE) * (event_id % 16)) AS reflected
       |  FROM events)""".stripMargin
 
   /** Daily-albedo CTE chain (mirrors Melt.dailyAlbedo). */
@@ -135,7 +136,7 @@ object MeltQueries extends QueryPack {
       s"""$awsCte
          |SELECT event_id, user_id,
          |  CASE WHEN temp > 0.0
-         |       THEN 0.05 * temp + 0.0094 * (1.0 - 0.7) * incoming
+         |       THEN 0.05 * temp + 0.0094 * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * incoming
          |       ELSE 0.0 END AS melt_rate
          |FROM aws""".stripMargin,
     "melt_pipeline" ->
