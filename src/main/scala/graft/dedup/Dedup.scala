@@ -67,16 +67,15 @@ object Dedup {
 
   /** G2: MinHash + banded LSH near-dup pairs.
     *
-    * The signature is computed explode-style: one (doc, shingle) row per
-    * shingle, then `numHashes` codegen'd min-aggregates (one partial-agg
-    * shuffle on doc_id). This deliberately avoids nested higher-order
-    * functions (transform-of-transform), which fall out of whole-stage
-    * codegen into interpreted evaluation — measured 60x slower at sf0.1.
-    *
-    * numHashes signature positions are grouped into `bands` bands; docs
-    * sharing any band-hash become candidates (equi-join on (band,
-    * bandHash) — shuffle bounded by bands x rows); candidates are
-    * verified with exact shingle Jaccard >= threshold.
+    * The whole signature is ONE row-local codegen expression
+    * ([[org.apache.spark.sql.graft.MinHashSignature]]): k minima over
+    * the document's own shingles, computed in a projection — the corpus
+    * is never exploded or shuffled to build signatures. (The previous
+    * formulation — shingle rows + 64 min-aggregates — was codegen'd too
+    * but structurally required a full-corpus doc_id exchange.) Banding
+    * is likewise a projection; the only shuffles left are the bounded
+    * (band, bandHash) candidate join and the candidate-only
+    * exact-Jaccard verify.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -84,14 +83,12 @@ object Dedup {
                  maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val exploded = shingleRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
-      "doc_id", textCol, shingleN)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val sig = docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
     val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val hs = (0 until rowsPerBand).map(r =>
+        element_at(col("_sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
     val banded = sig.select(col("doc_id"),
@@ -118,8 +115,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verify, candidate-bounded: join the shingle rows of
-    // both members and count matches (no full-corpus array rebuilds).
+    // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with
+    // signatures row-local, shingle rows are needed solely here, so
+    // explode just the docs that appear in a candidate pair (a
+    // left-semi join prunes the corpus before the explode).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val exploded = shingleRows(
+      docs.select(col(idCol).as("doc_id"), col(textCol))
+        .join(candDocs, Seq("doc_id"), "left_semi"),
+      "doc_id", textCol, shingleN)
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exB = exploded.select(col("doc_id").as("_doc_b"), col("s").as("_s_b"))
     val inter = cand
@@ -146,14 +151,12 @@ object Dedup {
                               maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val exploded = shingleRows(docs.select(col(idCol).as("doc_id"), col(textCol)),
-      "doc_id", textCol, shingleN)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val sig = docs.select(
+      org.apache.spark.sql.graft.TextExpressions
+        .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
     val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val hs = (0 until rowsPerBand).map(r =>
+        element_at(col("_sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
     sig.select(explode(array(bandStructs: _*)).as("bb"))

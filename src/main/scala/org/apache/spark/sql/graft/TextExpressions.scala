@@ -1,0 +1,94 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole MinHash signature (k minima over word n-gram shingles) as ONE
+  * row-local expression.
+  *
+  * Why: the explode/window/aggregate formulation (shingle rows + 64
+  * min-aggs) is codegen-friendly but structurally needs a doc_id
+  * shuffle to group shingles back into signatures — on a 100 TB corpus
+  * that is a full-data exchange just to compute a projection-shaped
+  * result. This expression computes the same k minima in one pass over
+  * the row's own text, so signatures (and the banding on top) become a
+  * narrow projection; the only shuffle left in MinHash dedup is the
+  * bounded candidate-pair join.
+  *
+  * Hash semantics are IDENTICAL to `xxhash64(lit(i), shingle)` (seed 42
+  * chained through the hash index, then XXH64 over the shingle's UTF-8
+  * bytes), so the output matches the aggregate formulation bit-for-bit
+  * — pinned by DedupSpec.
+  */
+case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], shingleN, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one static call per row: the loop lives in compiled bytecode,
+      // not in an interpreted expression tree
+      s"${ev.value} = org.apache.spark.sql.graft.MinHashSignature" +
+        s".compute($c, $shingleN, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+
+  /** Same shingle construction as Dedup.shingleRows: word n-grams from
+    * split(text, " ") (trailing empties kept, like Spark's split), one
+    * shingle per start position 0..len-n; documents shorter than n
+    * words contribute their whole text. Duplicate shingles need no
+    * dedup — minima are unaffected.
+    */
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val total = words.length
+    val nShingles = math.max(total - n + 1, 1)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder
+      val m = math.min(n, total - i)
+      var j = 0
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val shingle = UTF8String.fromString(sb.toString)
+      var h = 0
+      while (h < k) {
+        // xxhash64(lit(h), shingle): seed 42 -> hash the int index ->
+        // use the result as the seed for the shingle bytes
+        val v = XXH64.hashUTF8String(shingle, XXH64.hashInt(h, 42L))
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object TextExpressions {
+  /** Row-local MinHash signature column (array<long> of length k). */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(text), shingleN, numHashes))
+}

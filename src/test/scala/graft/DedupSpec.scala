@@ -30,6 +30,41 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never paired
   }
 
+  test("MinHashSignature expression matches the explode+min-aggregate formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val k = 16
+    val fixture = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9L, "one two"), (10L, "single"), (11L, "")).toDF("doc_id", "text"))
+    // aggregate formulation (the pre-r3 path)
+    val exploded = Dedup.shingleRows(fixture, "doc_id", "text", 3)
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val aggSig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // expression formulation
+    val exprSig = fixture.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .minhashSignature(col("text"), 3, k).as("sig"))
+    val joined = aggSig.join(exprSig, "doc_id").collect()
+    assert(joined.length === fixture.count())
+    joined.foreach { r =>
+      val sig = r.getAs[scala.collection.Seq[Long]]("sig")
+      (0 until k).foreach { i =>
+        assert(sig(i) === r.getAs[Long](s"h$i"),
+          s"doc ${r.getAs[Long]("doc_id")} position $i")
+      }
+    }
+    // null text -> null signature; works in both codegen and interpreted eval
+    val withNull = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(withNull.select(org.apache.spark.sql.graft.TextExpressions
+      .minhashSignature(col("text"), 3, k)).head.isNullAt(0))
+    val expr = org.apache.spark.sql.graft.MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"),
+        org.apache.spark.sql.types.StringType), 3, 4)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.length === 4)
+  }
+
   test("minhash bucket cap drops degenerate boilerplate buckets, keeps rare-band pairs") {
     // 6 copies of the same boilerplate put 6 docs in EVERY (band, hash)
     // bucket; the near-dup pair (101, 102) lives in buckets of size <= 3
