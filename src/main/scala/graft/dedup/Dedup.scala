@@ -165,24 +165,18 @@ object Dedup {
       .filter(col("bucket_size") > maxBucketSize)
   }
 
-  /** SimHash as 4 x 16-bit band values. Explode-style: one (doc, word)
-    * row per word, then 64 codegen'd sum-aggregates of the +/-1 bit
-    * contributions (higher-order aggregate/zip_with would run
-    * interpreted — same rationale as minhashLsh).
+  /** SimHash as 4 x 16-bit band values — ONE row-local codegen
+    * expression ([[org.apache.spark.sql.graft.SimHashBands]]): each
+    * word hashed once, ±1 contributions accumulated into 64 counters
+    * in-row. A projection, no shuffle. (The previous explode + 64
+    * sum-aggregates shape needed a full-corpus doc_id exchange.)
     */
   def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h")) // hash once, not 64x
-    val sumCols = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"c$j"))
-    val counts = ex.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      (0 until 16).map(j =>
-        when(col(s"c${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"band$b")
-    }
-    counts.select(col("doc_id") +: bandCols: _*)
+    val sig = docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .simhashBands(col(textCol)).as("_sb"))
+    sig.select(col("doc_id") +:
+      (0 until 4).map(b => element_at(col("_sb"), b + 1).as(s"band$b")): _*)
   }
 
   /** G3: SimHash near-dup pairs — candidates share at least one 16-bit

@@ -86,9 +86,70 @@ object MinHashSignature {
   }
 }
 
+/** 64-bit SimHash as 4 x 16-bit band values, one row-local pass.
+  *
+  * Same rationale as [[MinHashSignature]]: the explode(words) + 64
+  * sum-aggregate formulation needed a full-corpus doc_id shuffle;
+  * here each word is hashed once (xxhash64 semantics: seed 42 over the
+  * word's UTF-8 bytes) and its ±1 contributions accumulate into 64
+  * counters in-row. Output: array<long> of 4 band values — identical
+  * to Dedup.simhashBands, pinned by DedupSpec.
+  */
+case class SimHashBands(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBands.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimHashBands.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+}
+
+object SimHashBands {
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(words(w)), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      w += 1
+    }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var bv = 0L
+      var j = 0
+      while (j < 16) {
+        if (counts(b * 16 + j) > 0) bv |= (1L << j)
+        j += 1
+      }
+      bands(b) = bv
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(text), shingleN, numHashes))
+
+  /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
+  def simhashBands(text: Column): Column =
+    ExpressionUtils.column(SimHashBands(ExpressionUtils.expression(text)))
 }

@@ -65,6 +65,31 @@ class DedupSpec extends SparkSpec {
     assert(interp.length === 4)
   }
 
+  test("SimHashBands expression matches the explode+sum-aggregate formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val fixture = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9L, "one two"), (10L, "")).toDF("doc_id", "text"))
+    // aggregate formulation (the pre-r3 path)
+    val ex = fixture.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val sumCols = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"c$j"))
+    val counts = ex.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val aggBands = counts.select(col("doc_id") +: (0 until 4).map { b =>
+      (0 until 16).map(j =>
+        when(col(s"c${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"ab$b")
+    }: _*)
+    val joined = Dedup.simhashBands(fixture, "doc_id", "text")
+      .join(aggBands, "doc_id").collect()
+    assert(joined.length === fixture.count())
+    joined.foreach { r =>
+      (0 until 4).foreach(b =>
+        assert(r.getAs[Long](s"band$b") === r.getAs[Long](s"ab$b"),
+          s"doc ${r.getAs[Long]("doc_id")} band $b"))
+    }
+  }
+
   test("minhash bucket cap drops degenerate boilerplate buckets, keeps rare-band pairs") {
     // 6 copies of the same boilerplate put 6 docs in EVERY (band, hash)
     // bucket; the near-dup pair (101, 102) lives in buckets of size <= 3
