@@ -37,15 +37,15 @@ object TextQueries extends QueryPack {
     docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** I4 `text_fingerprint` — min-of-md5 over 5-word shingles, built on
-    * the codegen shingle-row path (posexplode + lead) rather than
-    * interpreted transform arrays.
+  /** I4 `text_fingerprint` — min-of-md5 over 5-word shingles as ONE
+    * row-local codegen expression: a pure projection over the scan, no
+    * shingle explode, no groupBy shuffle (same structural shift as the
+    * MinHash/SimHash signature expressions).
     */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.shingleRows(
-        docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", 5)
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("s"))).as("fingerprint"))
+    docs(s, dir).select(col("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .minShingleMd5(col("text"), 5).as("fingerprint"))
 
   /** I+ `text_topterms` — corpus vocabulary statistics: top-20 terms by
     * document frequency (ties by term), with collection frequency. The

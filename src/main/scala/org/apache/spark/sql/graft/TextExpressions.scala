@@ -143,6 +143,69 @@ object SimHashBands {
   }
 }
 
+/** Document fingerprint — lexicographic minimum of md5 hex digests over
+  * word n-gram shingles, in one row-local pass (I4). Same shingle
+  * construction as [[MinHashSignature]]; output identical to
+  * min(md5(shingle)) over exploded shingle rows, so the DuckDB oracle
+  * is unchanged while the full-corpus explode + groupBy shuffle
+  * disappears.
+  */
+case class MinShingleMd5(child: Expression, shingleN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinShingleMd5.compute(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.MinShingleMd5" +
+        s".compute($c, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(text: UTF8String, n: Int): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    val total = words.length
+    val nShingles = math.max(total - n + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: String = null
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder
+      val m = math.min(n, total - i)
+      var j = 0
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexDigits((digest(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      val s = new String(hex)
+      if (best == null || s.compareTo(best) < 0) best = s
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -152,4 +215,9 @@ object TextExpressions {
   /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
   def simhashBands(text: Column): Column =
     ExpressionUtils.column(SimHashBands(ExpressionUtils.expression(text)))
+
+  /** Row-local min-of-md5 shingle fingerprint (hex string). */
+  def minShingleMd5(text: Column, shingleN: Int): Column =
+    ExpressionUtils.column(MinShingleMd5(
+      ExpressionUtils.expression(text), shingleN))
 }
