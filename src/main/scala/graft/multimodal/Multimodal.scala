@@ -61,4 +61,40 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
   }
+
+  /** J2+: attach video-container metadata (duration, fps) to a binary
+    * payload — the video twin of [[withMediaSchema]].
+    */
+  def withVideoSchema(docs: DataFrame, idCol: String, textCol: String,
+                      sizeCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        (col(sizeCol) % 30000 + 1000).cast("int").as("duration_ms"),
+        (col(sizeCol) % 3 * 5 + 20).cast("double").as("fps"),
+        lit("mp4").as("format")).as("meta"))
+
+  /** J2+: frame sampling — one output row per sampled frame, every
+    * `everyMs` milliseconds of the clip: frame timestamp, the frame
+    * index a decoder would seek to (round(ts·fps/1000)), and a
+    * deterministic stand-in for the frame bytes (a payload slice; a
+    * real build decodes here). The SELECTION is the real, tested part:
+    * row-local sequence + explode, output bounded by duration/everyMs
+    * per clip — the shape that turns 100 TB of video into a frame
+    * table without any shuffle.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Int): DataFrame = {
+    val durMs = col("meta.duration_ms")
+    val fps = col("meta.fps")
+    val tsMs = explode(sequence(lit(0), durMs - 1, lit(everyMs))).as("frame_ts_ms")
+    media.select(col("doc_id"), col("payload"), durMs.as("_dur"), fps.as("_fps"), tsMs)
+      .select(col("doc_id"), col("frame_ts_ms"),
+        // floor, not round: frame at-or-before the timestamp, and
+        // deterministic across engines (round() differs on .5)
+        floor(col("frame_ts_ms") * col("_fps") / 1000.0).cast("long").as("frame_idx"),
+        // STUB decode: a byte slice stands in for the decoded frame
+        substring(col("payload"), (col("frame_ts_ms") % 32 + 1).cast("int"), lit(16))
+          .as("frame_bytes"))
+  }
 }

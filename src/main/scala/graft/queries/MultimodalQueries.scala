@@ -27,9 +27,40 @@ object MultimodalQueries extends QueryPack {
       .select(col("doc_id"), col("n_bytes"), col("batch_size"),
         round(element_at(col("features"), 1), 4).as("f0"))
 
+  /** J2+ `mm_frames` — video frame-sampling plumbing: one row per
+    * 500 ms of each clip, with the frame index a decoder would seek to
+    * and the (stubbed) frame-byte slice, validated by its exact length.
+    * Fully SQL-expressible, so this multimodal op gets a real DuckDB
+    * oracle (generate_series twin).
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val video = Multimodal.withVideoSchema(
+      Tables.documents(s, dir), "doc_id", "text", "n_chars")
+    Multimodal.sampleFrames(video, everyMs = 500)
+      .select(col("doc_id"),
+        col("frame_ts_ms").cast("long").as("frame_ts_ms"), // DuckDB range is BIGINT
+        col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_schema" -> mmSchema,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames)
 
-  val oracles: Map[String, String] = Map()
+  val oracles: Map[String, String] = Map(
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |    n_chars % 30000 + 1000 AS duration_ms,
+        |    CAST(n_chars % 3 * 5 + 20 AS DOUBLE) AS fps
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_bytes, fps,
+        |        unnest(range(0, duration_ms, 500)) AS frame_ts_ms
+        |      FROM v)
+        |SELECT doc_id, frame_ts_ms,
+        |  CAST(floor(frame_ts_ms * fps / 1000.0) AS BIGINT) AS frame_idx,
+        |  CAST(least(16, greatest(n_bytes - (frame_ts_ms % 32 + 1) + 1, 0)) AS BIGINT)
+        |    AS frame_len
+        |FROM f""".stripMargin)
 }

@@ -67,4 +67,23 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.map(_.batch_size).max === 64) // full batches capped at batchSize
     assert(out.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
   }
+
+  test("multimodal: frame sampling emits one row per interval with decoder seek indices") {
+    // duration 2200 ms at 25 fps -> samples at 0/500/1000/1500/2000 ms
+    val docs = Seq((1L, "0123456789abcdef0123456789abcdef0123456789", 1200L))
+      .toDF("doc_id", "text", "n_chars")
+    val video = Multimodal.withVideoSchema(docs, "doc_id", "text", "n_chars")
+    val meta = video.select(col("meta.duration_ms"), col("meta.fps")).head
+    assert(meta.getInt(0) === 2200 && meta.getDouble(1) === 20.0) // 1200%3=0 -> 20fps
+    val frames = Multimodal.sampleFrames(video, everyMs = 500)
+      .orderBy("frame_ts_ms").collect()
+    assert(frames.map(_.getAs[Int]("frame_ts_ms")).toSeq ===
+      Seq(0, 500, 1000, 1500, 2000))
+    // frame_idx = floor(ts * fps / 1000)
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L, 10L, 20L, 30L, 40L))
+    // stub slice: 16 bytes from (ts % 32) + 1, clamped at payload end
+    assert(frames(0).getAs[Array[Byte]]("frame_bytes").length === 16)
+    assert(frames(1).getAs[Array[Byte]]("frame_bytes") ===
+      "0123456789abcdef0123456789abcdef0123456789".substring(20, 36).getBytes("UTF-8"))
+  }
 }
