@@ -213,6 +213,70 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise dedup output into dedupable CLUSTERS (every doc
+    * labeled with the smallest id reachable through dup pairs).
+    *
+    * Label propagation to fixpoint: each iteration joins current labels
+    * across the (undirected) edge list and takes the min of own and
+    * neighbor labels; stops when no label changed. Iteration count is
+    * bounded by component diameter — near-dup clusters are shallow in
+    * practice (and `maxIter` caps pathological chains). Per iteration:
+    * one join + one aggregate, all label state stays distributed; the
+    * driver only sees the changed-row count.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(true) // edge list scanned every iteration
+    val nodes = sym.select(col("a").as("node")).distinct()
+    // localCheckpoint (eager) each iteration: it materializes the labels
+    // AND truncates the logical plan — without it the plan references
+    // the previous iteration's plan twice (update join + convergence
+    // join) and grows exponentially with iteration count.
+    var labels = nodes.withColumn("component", col("node")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("component")).as("_nbmin"))
+      val stepped = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("_nbmin"), col("component")))
+            .as("component"))
+      // pointer doubling: also jump to the label OF the current label
+      // (label chains halve per iteration -> O(log diameter) rounds,
+      // not O(diameter))
+      val lookup = labels
+        .select(col("node").as("_ln"), col("component").as("_lc"))
+      val updated = stepped.join(lookup, col("component") === col("_ln"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("_lc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changes = updated.join(labels.withColumnRenamed("component", "_old"), "node")
+        .filter(col("component") =!= col("_old")).count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster: given near-dup pairs, the ids to DROP (every
+    * clustered doc except its cluster's smallest id). Anti-join the
+    * corpus against this to materialize the deduplicated dataset.
+    */
+  def dropIdsFromPairs(pairs: DataFrame, aCol: String = "doc_a",
+                       bCol: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("drop_id"))
+
   /** G4: blocked n-gram Jaccard verify — exact Jaccard over word
     * n-grams for candidate pairs inside a blocking key (e.g. source),
     * never across the full corpus.

@@ -42,15 +42,44 @@ object DedupQueries extends QueryPack {
       dim = 64, threshold = 0.3)
       .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
 
+  /** G+ `dedup_clusters` — connected components over a pair list (the
+    * keep-one-per-cluster step). The test graph is deterministic and
+    * oracle-friendly: edges event_id -> 8*event_id form trees whose
+    * component minimum is each id with its trailing base-8 factor
+    * stripped (n >> 3*(v2(n)/3), where v2 = trailing binary zeros =
+    * bit_count((n & -n) - 1)) — so DuckDB states the exact fixpoint in
+    * closed form while the Spark side runs the real pointer-doubling
+    * label-propagation loop to convergence.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(s, dir).select(col("event_id"))
+    val maxId = ids.agg(max(col("event_id"))).head.getLong(0)
+    val edges = ids.filter(col("event_id") * 8 <= maxId && col("event_id") > 0)
+      .select(col("event_id").as("src"), (col("event_id") * 8).as("dst"))
+    Dedup.connectedComponents(edges).select(col("node"), col("component"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard,
-    "dedup_embed" -> dedupEmbed)
+    "dedup_embed" -> dedupEmbed,
+    "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY text""".stripMargin)
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_clusters" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |nodes AS (
+        |  SELECT event_id AS node FROM events, m
+        |  WHERE event_id * 8 <= mx AND event_id > 0
+        |  UNION
+        |  SELECT event_id * 8 FROM events, m
+        |  WHERE event_id * 8 <= mx AND event_id > 0)
+        |SELECT node,
+        |  node >> (3 * (bit_count((node & -node) - 1) // 3)) AS component
+        |FROM nodes""".stripMargin)
 }

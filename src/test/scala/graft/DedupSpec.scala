@@ -112,6 +112,19 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)))
   }
 
+  test("connectedComponents labels every node with its cluster minimum; dropIds keeps one") {
+    // two components: {1,2,3,4,5} (chain + cycle + cross edge) and {10,11}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), (4L, 5L), (11L, 10L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val drops = Dedup.dropIdsFromPairs(edges, "src", "dst").collect()
+      .map(_.getAs[Long]("drop_id")).toSet
+    assert(drops === Set(2L, 3L, 4L, 5L, 11L)) // cluster minima 1 and 10 survive
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
