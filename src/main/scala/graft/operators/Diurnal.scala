@@ -286,39 +286,55 @@ object Diurnal {
     val cand = obs.withColumn("day", candDays).drop("_oday")
       .join(days, keys :+ "day")
     // floor (not cast-truncation) so negative sub-integer bounds round
-    // the same way as the oracle's floor().
-    def pickAgg(base: DataFrame, occCol: String, tag: String,
-                loOverride: Option[Column] = None): DataFrame = {
-      val loPred = unix_micros(col("day")) +
-        floor((col(occCol) - lit(halfWindowHours.toDouble)) * 3600e6)
-      val hi = unix_micros(col("day")) +
-        floor((col(occCol) + lit(halfWindowHours.toDouble)) * 3600e6)
-      val lo = loOverride.map(o => greatest(loPred, o)).getOrElse(loPred)
-      val inWin = base.filter(unix_micros(col(tsCol)) >= lo && unix_micros(col(tsCol)) <= hi)
-      val part = Window.partitionBy(keys.map(col) :+ col("day"): _*)
-      val ext = if (tag == "min") min(col(valCol)).over(part) else max(col(valCol)).over(part)
-      inWin.withColumn("_ext", ext)
-        .groupBy(keys.map(col) :+ col("day"): _*)
-        .agg(first(col("_ext")).as(s"${tag}_val"),
-          min(when(col(valCol) === col("_ext"), col(tsCol))).as(s"${tag}_time"))
+    // the same way as the oracle's floor(). Window membership is a
+    // per-row predicate, so BOTH picks come from one conditional
+    // aggregation over the candidates: min(when(inWin, struct(v, ts)))
+    // is (min value, earliest ts of it) — pandas idxmin — and the max
+    // twin ties to the earliest via (v, -us, ts). One groupBy, no
+    // per-side window+join passes.
+    def bounds(occCol: String): (Column, Column) = (
+      unix_micros(col("day")) +
+        floor((col(occCol) - lit(halfWindowHours.toDouble)) * 3600e6),
+      unix_micros(col("day")) +
+        floor((col(occCol) + lit(halfWindowHours.toDouble)) * 3600e6))
+    val us = unix_micros(col(tsCol))
+    val (minLo, minHi) = bounds("min_occ")
+    val inMin = us >= minLo && us <= minHi
+    def maxCond(lo: Column): Column = {
+      val (maxLo, maxHi) = bounds("max_occ")
+      us >= greatest(maxLo, lo) && us <= maxHi
     }
-    val minPicks = pickAgg(cand, "min_occ", "min")
-    // min_first interplay (diurnal.py:313-316): the max window may not
-    // start before the found minimum of the same day.
-    val maxBase =
-      if (!minFirst) cand
-      else cand.join(
-        minPicks.select(keys.map(k => col(k).as(s"_m_$k")) ++
-          Seq(col("day").as("_m_day"), col("min_time").as("_m_min_time")): _*),
-        keys.map(k => col(k) === col(s"_m_$k")).reduce(_ && _) &&
-          col("day") === col("_m_day"), "left")
-    val maxPicks = pickAgg(maxBase, "max_occ", "max",
-        loOverride = if (minFirst)
-          Some(coalesce(unix_micros(col("_m_min_time")), lit(Long.MinValue)))
-        else None)
+    def agged(base: DataFrame, maxIn: Column): DataFrame =
+      base.groupBy(keys.map(col) :+ col("day"): _*)
+        .agg(
+          min(when(inMin, struct(col(valCol).as("v"), col(tsCol).as("t")))).as("_mn"),
+          max(when(maxIn, struct(col(valCol).as("v"),
+            (-us).as("nu"), col(tsCol).as("t")))).as("_mx"))
+        .select(keys.map(col) ++ Seq(col("day"),
+          col("_mn.v").as("min_val"), col("_mn.t").as("min_time"),
+          col("_mx.v").as("max_val"), col("_mx.t").as("max_time")): _*)
+    val picks =
+      if (!minFirst) agged(cand, maxCond(lit(Long.MinValue)))
+      else {
+        // min_first interplay (diurnal.py:313-316): the max window may
+        // not start before the found minimum of the same day — the min
+        // pick is an aggregate of the same group, so it needs its own
+        // per-(key, day) pass joined back onto the candidates (one row
+        // per series-day: much smaller than the observations but NOT
+        // broadcastable at cluster scale — AQE picks the join strategy).
+        val minPicks = cand.groupBy(keys.map(col) :+ col("day"): _*)
+          .agg(min(when(inMin, struct(col(valCol).as("v"), col(tsCol).as("t"))))
+            .as("_mn0"))
+        val minsR = minPicks.select(keys.map(k => col(k).as(s"_m_$k")) ++
+          Seq(col("day").as("_m_day"), col("_mn0.t").as("_m_min_time")): _*)
+        val withMin = cand.join(minsR,
+          keys.map(k => col(k) === col(s"_m_$k")).reduce(_ && _) &&
+            col("day") === col("_m_day"), "left")
+        agged(withMin,
+          maxCond(coalesce(unix_micros(col("_m_min_time")), lit(Long.MinValue))))
+      }
     days.select(keys.map(col) :+ col("day"): _*)
-      .join(minPicks, keys :+ "day", "left")
-      .join(maxPicks, keys :+ "day", "left")
+      .join(picks, keys :+ "day", "left")
       .filter(col("min_val").isNull || col("max_val").isNull ||
         !(col("min_val") > col("max_val")))
   }
