@@ -44,6 +44,48 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     val cand = assignments.filter(col("cid").isin(probed.map(Long.box): _*))
     Similarity.bruteForceTopK(cand, idCol, vecCol, query, k)
   }
+
+  /** Batch ANN: top-k neighbors for EVERY row of a query table in one
+    * pass — the shape of real retrieval/dedup workloads (score a new
+    * document batch against the corpus).
+    *
+    * Plan: per-query probes come from a broadcast of the k×dim centroid
+    * table (row_number ≤ nProbe — no driver collect, queries stay
+    * distributed); the union of probed cids is still ≤ |centroids|, so
+    * the assignments scan stays partition-prunable via a dynamic filter
+    * (cid semi-join); candidates join probes ON cid — each query's
+    * vectors come only from its own probed buckets — and a per-query
+    * window takes the exact top-k. Shuffles: one on cid (bounded by
+    * nProbe × queries), one for the final per-query ranking.
+    *
+    * @param queryIdCol column naming each query row (output column
+    *        `query_id`)
+    */
+  def topKBatch(queries: DataFrame, queryIdCol: String, k: Int,
+                nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("cid"), col("centroid").cast("array<double>").as("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cid"))
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .crossJoin(cents)
+      .withColumn("_csim", cosineSimilarity(col("_qv"), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("_qv"))
+    val cand = assignments
+      .join(probes.select(col("cid")).distinct(), Seq("cid"), "left_semi")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
+    cand.join(probes, Seq("cid"))
+      .select(col("query_id"), col(idCol),
+        cosineSimilarity(col(vecCol), col("_qv")).as("cosine"))
+      .withColumn("_rk", row_number().over(rankW))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"))
+  }
 }
 
 object IvfIndex {

@@ -83,4 +83,28 @@ class SimilaritySpec extends SparkSpec {
     graft.similarity.IvfIndex.buildOrLoad(corpus, "vec_id", "embedding", dir, k = 2)
     assert(new java.io.File(s"$dir/assignments/_SUCCESS").lastModified() === before)
   }
+
+  test("IvfIndex.topKBatch answers a query TABLE in one pass, matching per-query probes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    // two queries pointing at the two obvious clusters
+    val queries = Seq(
+      (100L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (200L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f)))
+      .toDF("qid", "embedding")
+    val got = idx.topKBatch(queries, "qid", k = 2, nProbe = 1).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(-_.getAs[Double]("cosine"))
+        .map(_.getAs[Long]("vec_id")).toSeq).toMap
+    // each query's results equal its single-query probe
+    Seq(100L -> queries.filter(col("qid") === 100), 200L -> queries.filter(col("qid") === 200))
+      .foreach { case (qid, q) =>
+        val single = idx.topK(q, 2, nProbe = 1)
+          .collect().map(_.getAs[Long]("vec_id")).toSeq
+        assert(got(qid) === single, s"query $qid")
+      }
+    assert(got(100L) === Seq(1L, 2L))
+    assert(got(200L).toSet === Set(3L)) // cluster 2 holds only vec 3 (4 is its own)
+  }
 }
