@@ -237,7 +237,65 @@ def _():
     sid = gap.groupby(g["user_id"]).cumsum()
     g.groupby([g["user_id"], sid])["value"].agg(["min", "max", "count", "sum"])
 
+# A7: sampling-rate inference (mode of consecutive deltas, per user)
+@timed("ts_infer_sampling")
+def _():
+    for _, g in ev.groupby("user_id"):
+        s = g["ts"].sort_values()
+        d = s.diff().dropna().dt.seconds
+        d.mode()
+
+# A9 + A6: time-slice clip then decimal doy (clip_to_window + to_doy)
+@timed("ts_clip_window")
+def _():
+    lo, hi = pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-20")
+    ev[(ev["ts"] >= lo) & (ev["ts"] < hi)]
+
+# A4+: nearest-neighbor upsample onto a 15-minute grid per user
+@timed("ts_upsample_nearest")
+def _():
+    for _, g in ev.groupby("user_id"):
+        s = g.set_index("ts")["value"].sort_index()
+        s = s[~s.index.duplicated()]
+        s.resample("15min").nearest()
+
+# B5: decimal hours of extrema (per-day idxmin/idxmax then hour math)
+@timed("diurnal_dechours")
+def _():
+    for _, g in ev.groupby("user_id"):
+        s = g.set_index("ts")["value"].sort_index()
+        days = s.resample("1D")
+        mn, mx = days.apply(lambda x: x.idxmin() if len(x) else pd.NaT), \
+            days.apply(lambda x: x.idxmax() if len(x) else pd.NaT)
+        (mn - mn.dt.floor("D")).dt.total_seconds() / 3600
+        (mx - mx.dt.floor("D")).dt.total_seconds() / 3600
+
+# C6: displacement from the first position in quadrature
+@timed("gps_displacement")
+def _():
+    from utils import add_in_quadrature
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        dn = g["value"] - g["value"].iloc[0]
+        de = g["value"] * 0.5 - g["value"].iloc[0] * 0.5
+        add_in_quadrature(dn, de)
+
 docs_pd = pd.read_parquet(f"{sf}/documents.parquet")
+
+# I2: language-ID stopword voting (pandas per-row sets)
+@timed("text_langid")
+def _():
+    lists = {"en": {"the", "and", "of", "to", "a", "in", "is"},
+             "fr": {"le", "la", "et", "les", "des", "un", "une"},
+             "es": {"el", "de", "los", "y", "que", "en", "una"},
+             "de": {"der", "die", "und", "das", "ist", "ein", "nicht"},
+             "zh": {"de", "shi", "le", "zai", "he", "you"}}
+    def guess(text):
+        ws = set(text.lower().split())
+        scores = [(len(sw & ws), lang) for lang, sw in lists.items()]
+        best = max(scores)
+        return best[1] if best[0] > 0 else "und"
+    docs_pd["text"].map(guess)
 
 # G1: exact dedup via content hash (hashlib per row — the single-node way)
 @timed("dedup_exact")
