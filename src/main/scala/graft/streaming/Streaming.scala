@@ -46,6 +46,29 @@ object Streaming {
           unix_micros(col("window.end"))) / 2).cast("long")).as("ts_c"),
         col(keyCol), col("mean"), col("n"))
 
+  /** Streaming twin of the diurnal extrema pick (B1): per key and
+    * event-time day, the min/max value with first-occurrence timestamps
+    * — the same struct-encoded tie-breaks as the batch operator
+    * (min(struct(v, ts)) / max(struct(v, -us, ts))), running as a
+    * watermarked tumbling-day aggregation. Late data within the
+    * watermark refines the day's picks; beyond it the day is final.
+    */
+  def diurnalExtremaStream(events: DataFrame, tsCol: String, keyCol: String,
+                           valCol: String,
+                           watermarkDelay: String = "1 day"): DataFrame = {
+    val negUs = -unix_micros(col(tsCol))
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 day"), col(keyCol))
+      .agg(
+        min(struct(col(valCol).as("v"), col(tsCol).as("t"))).as("_mn"),
+        max(struct(col(valCol).as("v"), negUs.as("nu"), col(tsCol).as("t")))
+          .as("_mx"))
+      .select(col("window.start").as("day"), col(keyCol),
+        col("_mn.v").as("min_val"), col("_mn.t").as("min_time"),
+        col("_mx.v").as("max_val"), col("_mx.t").as("max_time"))
+  }
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

@@ -127,6 +127,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diurnalExtremaStream picks per-day extrema with batch tie-breaks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.diurnalExtremaStream(df, "ts", "user_id", "value")
+      .writeStream.format("memory").queryName("diurnal_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 03:00:00"), 1L, 5.0),
+        (ts("2024-01-01 06:00:00"), 1L, 1.0), // min, first occurrence
+        (ts("2024-01-01 09:00:00"), 1L, 1.0), // tied min, later -> ignored
+        (ts("2024-01-01 15:00:00"), 1L, 9.0))
+      q.processAllAvailable()
+      val r = spark.table("diurnal_stream").collect()
+        .filter(_.getAs[java.sql.Timestamp]("day") == ts("2024-01-01 00:00:00"))
+        .maxBy(_.getAs[Double]("max_val")) // latest update wins
+      assert(r.getAs[Double]("min_val") === 1.0)
+      assert(r.getAs[java.sql.Timestamp]("min_time") === ts("2024-01-01 06:00:00"))
+      assert(r.getAs[Double]("max_val") === 9.0)
+      // late-but-in-watermark data refines the day
+      input.addData((ts("2024-01-01 04:00:00"), 1L, 12.0))
+      q.processAllAvailable()
+      val r2 = spark.table("diurnal_stream").collect()
+        .filter(_.getAs[java.sql.Timestamp]("day") == ts("2024-01-01 00:00:00"))
+        .maxBy(_.getAs[Double]("max_val"))
+      assert(r2.getAs[Double]("max_val") === 12.0)
+    } finally q.stop()
+  }
+
   test("cRollingStream: sliding windows report trailing aggregates at the midpoint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
