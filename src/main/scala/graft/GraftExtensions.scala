@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{VectorCosineSimilarity, VectorDotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{MinHashSignature, MinShingleMd5, SimHashBands, VectorCosineSimilarity, VectorDotProduct}
 
 /** SparkSessionExtensions hook: registers graft's native expressions so
   * plain SQL (`SELECT vector_dot(a, b)`) and downstream tools reach the
@@ -29,6 +29,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_cosine expects exactly 2 arguments")
         VectorCosineSimilarity(children.head, children(1))
+      }))
+    def intArg(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects integer literals for its size arguments, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_signature(text, shingleN, numHashes) expects 3 arguments")
+        MinHashSignature(children.head,
+          intArg(children(1), "minhash_signature"),
+          intArg(children(2), "minhash_signature"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bands"),
+      new ExpressionInfo(classOf[SimHashBands].getName, "simhash_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_bands expects exactly 1 argument")
+        SimHashBands(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "min_shingle_md5(text, shingleN) expects 2 arguments")
+        MinShingleMd5(children.head, intArg(children(1), "min_shingle_md5"))
       }))
   }
 }

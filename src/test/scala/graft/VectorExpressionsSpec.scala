@@ -45,6 +45,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
   }
 
+  test("signature expressions are callable from plain SQL via GraftExtensions") {
+    val sig = spark.sql(
+      "SELECT minhash_signature('a b c d e', 3, 8) AS s").head.getSeq[Long](0)
+    assert(sig.length === 8 && sig.forall(_ != Long.MaxValue))
+    val bands = spark.sql(
+      "SELECT simhash_bands('a b c') AS b").head.getSeq[Long](0)
+    assert(bands.length === 4)
+    val fp = spark.sql(
+      "SELECT min_shingle_md5('a b c d e f', 5) AS f").head.getString(0)
+    assert(fp.matches("[0-9a-f]{32}"))
+  }
+
   test("vector_cosine: fused single pass matches composed form, null on zero norm") {
     import spark.implicits._
     val df = Seq(
