@@ -107,17 +107,24 @@ class DiurnalExtrema(timeseries: DataFrame, keys: Seq[String],
     *     only a time and `findNear = true`, the value comes from the
     *     raw series within ±15 min of the new time (value_around_time).
     * Like the reference (which raises on an unknown date), correcting a
-    * day with no pick is an error — validated with a bounded lookup.
+    * day with no pick is an error by default. NOTE the cost model: the
+    * validation is a Spark action that computes the picks plan, and
+    * each chained correction layers its merge on the previous plan — a
+    * human-scale handful of fixes is fine, but a long scripted chain
+    * over a huge keyed frame should pass `validate = false` and/or
+    * batch its fixes through Diurnal.applyCorrections with one
+    * corrections table.
     */
   def changeExtremaPicks(day: String, which: String,
                          newValue: Option[Double] = None,
                          newTime: Option[String] = None,
                          findBetween: Option[(Double, Double)] = None,
-                         findNear: Boolean = false): DiurnalExtrema = {
+                         findNear: Boolean = false,
+                         validate: Boolean = true): DiurnalExtrema = {
     require(Seq("min", "max", "both").contains(which),
       s"which must be min|max|both, got '$which'")
     val dayLit = lit(day).cast("timestamp")
-    if (df.filter(col("day") === dayLit).isEmpty)
+    if (validate && df.filter(col("day") === dayLit).isEmpty)
       throw new IllegalArgumentException(s"date=$day not found in picks")
 
     val corrected = findBetween match {

@@ -77,44 +77,67 @@ object Dedup {
     * (band, bandHash) candidate join and the candidate-only
     * exact-Jaccard verify.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7,
-                 maxBucketSize: Int = 10000): DataFrame = {
+  /** Shared banding for minhashLsh and its audit companion: row-local
+    * signature expression, one (doc_id, band, bh) row per band. Null
+    * texts are excluded up front — the explode formulation never
+    * produced signature rows for them, and a shared null-derived band
+    * hash would otherwise pair every null-text doc with every other.
+    */
+  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, numHashes: Int,
+                            bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      org.apache.spark.sql.graft.TextExpressions
-        .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
     val bandStructs = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r =>
         element_at(col("_sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Degenerate-bucket guard: in-bucket pairing is quadratic, and a
-    // boilerplate-heavy corpus (shared headers/footers) can put a huge
-    // fraction of documents into one (band, hash) bucket — n² pairs from
-    // a single bucket stalls the whole stage. Buckets over the cap are
-    // dropped from CANDIDATE GENERATION ONLY (a bucket that big carries
-    // no discriminating signal — its members still pair through their
-    // other, rarer bands); audit what a cap drops with
-    // [[oversizedMinhashBuckets]] — not a silent truncation. The count
-    // is a window over (band, bh), whose partitioning the subsequent
-    // self-join reuses — no extra aggregate+join stages.
+  }
+
+  /** Degenerate-bucket guard shared by the LSH candidate generators:
+    * in-bucket pairing is quadratic, and a boilerplate-heavy corpus can
+    * put a huge fraction of documents into one bucket — n² pairs from a
+    * single bucket stalls the whole stage. Buckets over the cap degrade
+    * to STAR candidates (every member paired with the bucket's smallest
+    * id) instead of all-pairs: O(n) per bucket, and connectivity
+    * through the downstream clustering step is preserved even when a
+    * giant exact-duplicate cluster fills EVERY band's bucket (where a
+    * drop-the-bucket policy would emit no pairs at all). The bucket
+    * stats are windows over the bucket key, whose partitioning the
+    * all-pairs self-join reuses.
+    */
+  private[graft] def cappedBucketPairs(banded: DataFrame, bucketCols: Seq[String],
+                                       maxBucketSize: Int): DataFrame = {
     val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"))
-    val bounded = banded
+      .partitionBy(bucketCols.map(col): _*)
+    val stats = banded
       .withColumn("_bn", count(lit(1)).over(bw))
-      .filter(col("_bn") <= maxBucketSize).drop("_bn")
-    val cand = bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+      .withColumn("_bmin", min(col("doc_id")).over(bw))
+    val small = stats.filter(col("_bn") <= maxBucketSize)
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = stats
+      .filter(col("_bn") > maxBucketSize && col("doc_id") =!= col("_bmin"))
+      .select(col("_bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 10000): DataFrame = {
+    val banded = minhashBanded(docs, idCol, textCol, shingleN, numHashes, bands)
+    val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
     // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with
     // signatures row-local, shingle rows are needed solely here, so
     // explode just the docs that appear in a candidate pair (a
@@ -148,22 +171,10 @@ object Dedup {
   def oversizedMinhashBuckets(docs: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 3, numHashes: Int = 64,
                               bands: Int = 16,
-                              maxBucketSize: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = docs.select(
-      org.apache.spark.sql.graft.TextExpressions
-        .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
-    val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r =>
-        element_at(col("_sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
-    }
-    sig.select(explode(array(bandStructs: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+                              maxBucketSize: Int = 10000): DataFrame =
+    minhashBanded(docs, idCol, textCol, shingleN, numHashes, bands)
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
-  }
 
   /** SimHash as 4 x 16-bit band values — ONE row-local codegen
     * expression ([[org.apache.spark.sql.graft.SimHashBands]]): each
@@ -186,30 +197,24 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 8,
                      maxBucketSize: Int = 10000): DataFrame = {
-    val sb = simhashBands(docs, idCol, textCol)
-    val explodedBands = sb.select(col("doc_id"), col("band0"), col("band1"),
-      col("band2"), col("band3"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"band$b").as("bv"))): _*)).as("bb"))
-      .select(Seq(col("doc_id")) ++ (0 until 4).map(b => col(s"band$b")) ++
-        Seq(col("bb.band").as("band"), col("bb.bv").as("bv")): _*)
-    // same degenerate-bucket guard as minhashLsh: candidate generation
-    // skips buckets whose in-bucket pairing would be quadratic-degenerate
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bv"))
-    val banded = explodedBands
-      .withColumn("_bn", count(lit(1)).over(bw))
-      .filter(col("_bn") <= maxBucketSize).drop("_bn")
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val sb = simhashBands(docs.filter(col(textCol).isNotNull), idCol, textCol)
+    val banded = sb.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // shared degenerate-bucket guard (over-cap buckets degrade to star
+    // candidates); the Hamming verify joins the band values back onto
+    // the candidate pairs only.
+    val cand = cappedBucketPairs(banded, Seq("band", "bv"), maxBucketSize)
+    val aBands = sb.select(col("doc_id").as("doc_a") +:
+      (0 until 4).map(b => col(s"band$b").as(s"a_band$b")): _*)
+    val bBands = sb.select(col("doc_id").as("doc_b") +:
+      (0 until 4).map(b => col(s"band$b").as(s"b_band$b")): _*)
     val hamming = (0 until 4)
-      .map(i => bit_count(col(s"a.band$i").bitwiseXOR(col(s"b.band$i"))))
+      .map(i => bit_count(col(s"a_band$i").bitwiseXOR(col(s"b_band$i"))))
       .reduce(_ + _)
-    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
-      .distinct()
+    cand.join(aBands, "doc_a").join(bBands, "doc_b")
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -43,9 +43,12 @@ object TextQueries extends QueryPack {
     * MinHash/SimHash signature expressions).
     */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      org.apache.spark.sql.graft.TextExpressions
-        .minShingleMd5(col("text"), 5).as("fingerprint"))
+    // isNotNull keeps the explode formulation's (and the oracle's)
+    // shape: null-text docs produced no shingle rows, hence no output
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .minShingleMd5(col("text"), 5).as("fingerprint"))
 
   /** I+ `text_topterms` — corpus vocabulary statistics: top-20 terms by
     * document frequency (ties by term), with collection frequency. The

@@ -91,9 +91,11 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
 object IvfIndex {
 
   /** Build the index: k-means centroids (Lloyd's, deterministic seeds),
-    * assign every vector to its nearest centroid, write both tables.
-    * One pass over the corpus beyond the k-means iterations; the
-    * assignment join broadcasts the centroid table.
+    * assign every vector to its nearest centroid, write both tables
+    * plus a one-row meta table recording the indexed corpus size (the
+    * staleness handle for [[IvfIndex.isStale]]). One pass over the
+    * corpus beyond the k-means iterations; the assignment join
+    * broadcasts the centroid table.
     */
   def build(df: DataFrame, idCol: String, vecCol: String, path: String,
             k: Int = 16, iterations: Int = 2): IvfIndex = {
@@ -111,6 +113,9 @@ object IvfIndex {
       .filter(col("_rn") === 1)
       .select(col("_cid").as("cid"), col(idCol), col(vecCol))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
+    spark.read.parquet(s"$path/assignments")
+      .agg(count(lit(1)).as("n_vectors"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     new IvfIndex(spark, path, idCol, vecCol)
   }
 
@@ -119,13 +124,36 @@ object IvfIndex {
            vecCol: String): IvfIndex =
     new IvfIndex(spark, path, idCol, vecCol)
 
-  /** Load if the index exists on disk, else build and persist — the
-    * ingest-once/query-many lifecycle.
+  /** True when a completed index exists at `path` — checked through the
+    * Hadoop filesystem of the path, so it works on HDFS/S3/etc., not
+    * just the local disk.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Load if the index exists, else build and persist — the
+    * ingest-once/query-many lifecycle. NOTE the contract: the index is
+    * an ingest artifact keyed by `path`; this does NOT detect that the
+    * corpus changed underneath an existing index (that check is a full
+    * corpus count — call [[IvfIndex.isStale]] explicitly when the
+    * source may have been rewritten, and rebuild with [[build]]).
     */
   def buildOrLoad(df: DataFrame, idCol: String, vecCol: String, path: String,
-                  k: Int = 16, iterations: Int = 2): IvfIndex = {
-    val done = new java.io.File(s"$path/assignments/_SUCCESS")
-    if (done.exists()) load(df.sparkSession, path, idCol, vecCol)
+                  k: Int = 16, iterations: Int = 2): IvfIndex =
+    if (exists(df.sparkSession, path)) load(df.sparkSession, path, idCol, vecCol)
     else build(df, idCol, vecCol, path, k, iterations)
+
+  /** Cheap-but-not-free staleness probe: compares the indexed vector
+    * count recorded at build time with the current corpus count (one
+    * count scan of each). A matching count does not PROVE freshness —
+    * an equal-size rewrite slips through — but it catches the common
+    * regenerated/filtered-dataset case the path-only contract misses.
+    */
+  def isStale(index: IvfIndex, corpus: DataFrame): Boolean = {
+    val indexed = index.spark.read.parquet(s"${index.path}/meta")
+      .head.getLong(0)
+    indexed != corpus.count()
   }
 }

@@ -50,21 +50,15 @@ object Similarity {
                        threshold: Double, numBits: Int = 64,
                        bitsPerBand: Int = 8,
                        maxBucketSize: Int = 10000): DataFrame = {
-    val allBands = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
-    // degenerate-bucket guard (same rationale as Dedup.minhashLsh): a
-    // near-constant embedding region can flood one (band, value) bucket;
-    // pairing is quadratic in bucket size, and an over-cap bucket has no
-    // discriminating signal anyway. Count-over-window: the (band, bv)
-    // partitioning is reused by the candidate self-join.
-    val bw = Window.partitionBy(col("band"), col("bv"))
-    val bands = allBands
-      .withColumn("_bn", count(lit(1)).over(bw))
-      .filter(col("_bn") <= maxBucketSize).drop("_bn")
-    val cand = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
-        col("a.bv") === col("b.bv") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    val banded = lshBands(df, idCol, vecCol, dim, numBits, bitsPerBand)
+      .select(col(idCol).as("doc_id"), col("band"), col("bv"))
+    // shared degenerate-bucket guard (Dedup.cappedBucketPairs): a
+    // near-constant embedding region can flood one (band, value)
+    // bucket; over-cap buckets degrade to star candidates around the
+    // bucket minimum instead of quadratic all-pairs.
+    val cand = graft.dedup.Dedup
+      .cappedBucketPairs(banded, Seq("band", "bv"), maxBucketSize)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
     cand.join(va, "id_a").join(vb, "id_b")

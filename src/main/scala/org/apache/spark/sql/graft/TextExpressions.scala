@@ -145,10 +145,12 @@ object SimHashBands {
 
 /** Document fingerprint — lexicographic minimum of md5 hex digests over
   * word n-gram shingles, in one row-local pass (I4). Same shingle
-  * construction as [[MinHashSignature]]; output identical to
-  * min(md5(shingle)) over exploded shingle rows, so the DuckDB oracle
-  * is unchanged while the full-corpus explode + groupBy shuffle
-  * disappears.
+  * construction as [[MinHashSignature]]; for non-null text the output
+  * is identical to min(md5(shingle)) over exploded shingle rows, so the
+  * DuckDB oracle is unchanged while the full-corpus explode + groupBy
+  * shuffle disappears. Null text yields a null fingerprint ROW (the
+  * explode formulation dropped such docs entirely) — callers wanting
+  * the old shape filter nulls first, as textFingerprint does.
   */
 case class MinShingleMd5(child: Expression, shingleN: Int)
   extends UnaryExpression with ExpectsInputTypes {

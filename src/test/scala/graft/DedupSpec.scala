@@ -101,8 +101,12 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5, maxBucketSize = 3)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(capped.contains((101L, 102L))) // rare-band pair survives
-    assert(!capped.exists(p => p._1 <= 6L && p._2 <= 6L)) // boilerplate uncandidated
-    // the audit companion reports exactly what the cap dropped
+    // over-cap buckets degrade to STAR candidates around the bucket min:
+    // the boilerplate cluster keeps exactly (1, j) pairs — O(n), never
+    // the n² all-pairs, but connectivity for clustering is preserved
+    assert((2L to 6L).forall(j => capped.contains((1L, j))))
+    assert(!capped.exists(p => p._1 >= 2L && p._1 <= 6L && p._2 <= 6L))
+    // the audit companion reports exactly which buckets were degraded
     val dropped = Dedup.oversizedMinhashBuckets(corpus, "doc_id", "text",
       maxBucketSize = 3).collect()
     assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("bucket_size") >= 6L))
