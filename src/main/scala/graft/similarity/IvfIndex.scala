@@ -45,6 +45,31 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     Similarity.bruteForceTopK(cand, idCol, vecCol, query, k)
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing
+    * centroids and append them to the cid-partitioned assignments (no
+    * rebuild — appended files land inside the right cid= directories,
+    * so probes keep pruning). Centroids do drift as the corpus grows;
+    * when [[IvfIndex.isStale]]-style monitoring says the drift matters,
+    * rebuild with [[IvfIndex.build]]. The meta row count is refreshed
+    * so staleness probes stay meaningful.
+    */
+  def addVectors(newVectors: DataFrame): Unit = {
+    val centB = broadcast(centroids
+      .select(col("cid").as("_cid"), col("centroid").as("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    newVectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .crossJoin(centB)
+      .withColumn("_csim", cosineSimilarity(col(vecCol), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_cid").as("cid"), col(idCol), col(vecCol))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assignments")
+    assignments.agg(count(lit(1)).as("n_vectors"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Batch ANN: top-k neighbors for EVERY row of a query table in one
     * pass — the shape of real retrieval/dedup workloads (score a new
     * document batch against the corpus).

@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(s"$dir/assignments/_SUCCESS").lastModified() === before)
   }
 
+  test("IvfIndex.addVectors appends into existing buckets; probes find the new vector") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfadd").toString
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    val before = idx.assignments.count()
+    // a new vector identical to the query direction
+    val nv = Seq((99L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    idx.addVectors(nv)
+    assert(idx.assignments.count() === before + 1)
+    // meta refreshed for staleness probes
+    assert(!graft.similarity.IvfIndex.isStale(idx, corpus.union(nv)))
+    // the appended vector is immediately probe-visible and ranks first
+    val got = idx.topK(query, 3, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got.take(2).toSet === Set(1L, 99L)) // both cosine 1.0
+  }
+
   test("IvfIndex.topKBatch answers a query TABLE in one pass, matching per-query probes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
     val idx = graft.similarity.IvfIndex.buildOrLoad(
