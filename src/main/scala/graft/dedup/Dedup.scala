@@ -105,30 +105,44 @@ object Dedup {
     * in-bucket pairing is quadratic, and a boilerplate-heavy corpus can
     * put a huge fraction of documents into one bucket — n² pairs from a
     * single bucket stalls the whole stage. Buckets over the cap degrade
-    * to STAR candidates (every member paired with the bucket's smallest
-    * id) instead of all-pairs: O(n) per bucket, and connectivity
-    * through the downstream clustering step is preserved even when a
-    * giant exact-duplicate cluster fills EVERY band's bucket (where a
-    * drop-the-bucket policy would emit no pairs at all). The bucket
+    * to STAR candidates around `numAnchors` anchor members instead of
+    * all-pairs: O(numAnchors × n) per bucket. Anchors are the members
+    * with the smallest xxhash64(doc_id) — a deterministic pseudo-random
+    * sample, so when a giant bucket holds SEVERAL distinct near-dup
+    * clusters, each cluster covering fraction p of the bucket keeps its
+    * pairs with probability 1-(1-p)^numAnchors (an anchor landing
+    * inside it connects the cluster through verify + downstream
+    * clustering). A single-cluster bucket — the common exact-duplicate
+    * boilerplate case — is always preserved, where a drop-the-bucket
+    * policy would emit no pairs at all. Residual risk: a cluster that
+    * is a small sliver of every oversized bucket it appears in can
+    * still lose its pairs unless rescued by another band — run the
+    * oversizedMinhashBuckets audit when tuning the cap. The bucket
     * stats are windows over the bucket key, whose partitioning the
-    * all-pairs self-join reuses.
+    * all-pairs self-join and the anchor join both reuse.
     */
   private[graft] def cappedBucketPairs(banded: DataFrame, bucketCols: Seq[String],
-                                       maxBucketSize: Int): DataFrame = {
+                                       maxBucketSize: Int,
+                                       numAnchors: Int = 4): DataFrame = {
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
     val stats = banded
       .withColumn("_bn", count(lit(1)).over(bw))
-      .withColumn("_bmin", min(col("doc_id")).over(bw))
+      .withColumn("_ar", row_number().over(
+        bw.orderBy(xxhash64(col("doc_id")), col("doc_id"))))
     val small = stats.filter(col("_bn") <= maxBucketSize)
     val smallPairs = small.as("a")
       .join(small.as("b"),
         bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val starPairs = stats
-      .filter(col("_bn") > maxBucketSize && col("doc_id") =!= col("_bmin"))
-      .select(col("_bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    val big = stats.filter(col("_bn") > maxBucketSize)
+    val anchors = big.filter(col("_ar") <= numAnchors)
+      .select(bucketCols.map(col) :+ col("doc_id").as("_anchor"): _*)
+    val starPairs = big.join(anchors, bucketCols)
+      .filter(col("doc_id") =!= col("_anchor"))
+      .select(least(col("_anchor"), col("doc_id")).as("doc_a"),
+        greatest(col("_anchor"), col("doc_id")).as("doc_b"))
     smallPairs.union(starPairs).distinct()
   }
 
@@ -269,6 +283,16 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
+    // With pointer doubling, 50 rounds covers diameter ~2^50 — hitting
+    // maxIter is practically unreachable. But returning non-converged
+    // labels would be SILENT data corruption downstream (dropIdsFromPairs
+    // would under-drop duplicates with no signal), so fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations; " +
+          "labels are partial — raise maxIter (component diameter exceeds " +
+          "2^maxIter under pointer doubling, which indicates a pathological " +
+          "edge list)")
     labels
   }
 

@@ -33,11 +33,14 @@ object SimilarityQueries extends QueryPack {
     * cid-partitioned assignments) is an ingest artifact persisted under
     * spark-warehouse and reused across invocations — a query pays
     * probe-only cost: rank 16 centroids, partition-pruned scan of 4 of
-    * 16 buckets, exact top-k within (SURVEY §8 #3).
+    * 16 buckets, exact top-k within (SURVEY §8 #3). buildOrRefresh (not
+    * buildOrLoad): a dataset regenerated in place at the same sf dir
+    * must not be served from the stale index, and the count probe it
+    * costs is trivial at harness scale.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val idx = graft.similarity.IvfIndex.buildOrLoad(
+    val idx = graft.similarity.IvfIndex.buildOrRefresh(
       corpus(s, dir), "vec_id", "embedding",
       s"spark-warehouse/ivf_${san}_k16")
     idx.topK(query(s, dir), 10, nProbe = 4)

@@ -52,6 +52,13 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     * when [[IvfIndex.isStale]]-style monitoring says the drift matters,
     * rebuild with [[IvfIndex.build]]. The meta row count is refreshed
     * so staleness probes stay meaningful.
+    *
+    * Ids already present in the index are SKIPPED (anti-join against
+    * the assignments' id column — a columnar one-column scan): blindly
+    * appending a re-sent id would duplicate the vector in its bucket,
+    * skewing topK ranks and double-counting in meta. To UPDATE a
+    * vector, rebuild (the partitioned-append file layout cannot rewrite
+    * a row in place).
     */
   def addVectors(newVectors: DataFrame): Unit = {
     val centB = broadcast(centroids
@@ -60,6 +67,7 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
       .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
     newVectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .join(assignments.select(col(idCol)), Seq(idCol), "left_anti")
       .crossJoin(centB)
       .withColumn("_csim", cosineSimilarity(col(vecCol), col("_cv")))
       .withColumn("_rn", row_number().over(w))
@@ -170,6 +178,23 @@ object IvfIndex {
     if (exists(df.sparkSession, path)) load(df.sparkSession, path, idCol, vecCol)
     else build(df, idCol, vecCol, path, k, iterations)
 
+  /** [[buildOrLoad]] plus the [[isStale]] count probe on the load path:
+    * an existing index whose recorded vector count no longer matches
+    * the corpus is REBUILT instead of served. This closes the
+    * regenerated-dataset-at-the-same-path hole in buildOrLoad's
+    * path-keyed contract at the cost of one corpus count per call —
+    * the right default for harness/entry-point callers; ingest
+    * pipelines that own the index lifecycle can keep the cheaper
+    * buildOrLoad.
+    */
+  def buildOrRefresh(df: DataFrame, idCol: String, vecCol: String, path: String,
+                     k: Int = 16, iterations: Int = 2): IvfIndex =
+    if (exists(df.sparkSession, path)) {
+      val idx = load(df.sparkSession, path, idCol, vecCol)
+      if (isStale(idx, df)) build(df, idCol, vecCol, path, k, iterations)
+      else idx
+    } else build(df, idCol, vecCol, path, k, iterations)
+
   /** Cheap-but-not-free staleness probe: compares the indexed vector
     * count recorded at build time with the current corpus count (one
     * count scan of each). A matching count does not PROVE freshness —
@@ -177,6 +202,12 @@ object IvfIndex {
     * regenerated/filtered-dataset case the path-only contract misses.
     */
   def isStale(index: IvfIndex, corpus: DataFrame): Boolean = {
+    // an index with no meta record (pre-meta build, partial write)
+    // cannot prove freshness — report stale rather than crash
+    val metaSuccess = new org.apache.hadoop.fs.Path(s"${index.path}/meta/_SUCCESS")
+    val fs = metaSuccess.getFileSystem(
+      index.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaSuccess)) return true
     val indexed = index.spark.read.parquet(s"${index.path}/meta")
       .head.getLong(0)
     indexed != corpus.count()

@@ -101,11 +101,12 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5, maxBucketSize = 3)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(capped.contains((101L, 102L))) // rare-band pair survives
-    // over-cap buckets degrade to STAR candidates around the bucket min:
-    // the boilerplate cluster keeps exactly (1, j) pairs — O(n), never
-    // the n² all-pairs, but connectivity for clustering is preserved
-    assert((2L to 6L).forall(j => capped.contains((1L, j))))
-    assert(!capped.exists(p => p._1 >= 2L && p._1 <= 6L && p._2 <= 6L))
+    // over-cap buckets degrade to STAR candidates around hash-sampled
+    // anchors: every boilerplate doc stays connected for clustering
+    // (reachable through an anchor), with fewer than the n² all-pairs
+    val boilerPairs = capped.filter(p => p._1 <= 6L && p._2 <= 6L)
+    assert(boilerPairs.flatMap(p => Seq(p._1, p._2)).toSet === (1L to 6L).toSet)
+    assert(boilerPairs.size < 15) // C(6,2) = 15 would be uncapped all-pairs
     // the audit companion reports exactly which buckets were degraded
     val dropped = Dedup.oversizedMinhashBuckets(corpus, "doc_id", "text",
       maxBucketSize = 3).collect()
@@ -114,6 +115,35 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(uncapped.contains((1L, 2L)))
+  }
+
+  test("cappedBucketPairs stars over-cap buckets around K anchors, rescuing non-anchor clusters") {
+    // one giant bucket of 40 members (cap 10): pairs must degrade to
+    // anchor stars, not C(40,2) = 780 all-pairs
+    val banded = (1L to 40L).map(i => (i, 0, 0L)).toDF("doc_id", "band", "bh")
+    val pairs = Dedup.cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // anchors pair with every other member (degree 39); non-anchors only
+    // with the 4 anchors — recover the anchor set from the degrees
+    val degree = pairs.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (id, xs) => id -> xs.size }
+    val anchors = degree.filter(_._2 == 39).keySet
+    assert(anchors.size === 4, s"expected 4 anchors, got $anchors")
+    // the multi-cluster rescue property: EVERY member is a candidate
+    // with EVERY anchor, so any cluster containing >=1 anchor keeps its
+    // (verifiable) in-cluster pairs — not just the bucket-minimum's
+    val members = (1L to 40L).toSet
+    assert(anchors.forall(a => (members - a).forall(m =>
+      pairs.contains((math.min(a, m), math.max(a, m))))))
+    // bounded: K*(n-K) + C(K,2) = 150, far under all-pairs 780
+    assert(pairs.size === 4 * 36 + 6)
+  }
+
+  test("connectedComponents fails loudly instead of returning partial labels") {
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 0)
+    }
   }
 
   test("connectedComponents labels every node with its cluster minimum; dropIds keeps one") {

@@ -100,6 +100,28 @@ class SimilaritySpec extends SparkSpec {
     val got = idx.topK(query, 3, nProbe = 1)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(got.take(2).toSet === Set(1L, 99L)) // both cosine 1.0
+    // re-sending an already-indexed id is a no-op (anti-join guard):
+    // no duplicate row in the bucket, no meta double-count
+    idx.addVectors(nv)
+    assert(idx.assignments.count() === before + 1)
+    assert(idx.assignments.filter($"vec_id" === 99L).count() === 1)
+  }
+
+  test("IvfIndex.buildOrRefresh rebuilds when the corpus changed under the path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrefresh").toString
+    graft.similarity.IvfIndex.buildOrRefresh(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    val before = new java.io.File(s"$dir/assignments/_SUCCESS").lastModified()
+    // same corpus -> served from the existing index, no rebuild
+    graft.similarity.IvfIndex.buildOrRefresh(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    assert(new java.io.File(s"$dir/assignments/_SUCCESS").lastModified() === before)
+    // regenerated (filtered) corpus at the same path -> stale, rebuilt
+    val shrunk = corpus.filter($"vec_id" =!= 4L)
+    val idx = graft.similarity.IvfIndex.buildOrRefresh(
+      shrunk, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    assert(idx.assignments.count() === shrunk.count())
+    assert(!graft.similarity.IvfIndex.isStale(idx, shrunk))
   }
 
   test("IvfIndex.topKBatch answers a query TABLE in one pass, matching per-query probes") {
