@@ -139,6 +139,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size === 4 * 36 + 6)
   }
 
+  test("large-star/small-star CC matches pointer doubling on chains, cycles, stars, forests") {
+    def labels(e: org.apache.spark.sql.DataFrame) = {
+      val lsss = Dedup.connectedComponentsLargeSmallStar(e).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      val pd = Dedup.connectedComponents(e).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      assert(lsss === pd)
+      lsss
+    }
+    // long chain — the high-diameter case LS/SS is for
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(labels(chain).values.toSet === Set(1L))
+    // cycle + cross edge + separate pair (the pointer-doubling fixture)
+    val mixed = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), (4L, 5L), (11L, 10L))
+      .toDF("src", "dst")
+    assert(labels(mixed) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L))
+    // power-law-ish forest: every id links to id/8 (the dedup_clusters
+    // oracle shape)
+    val forest = (8L to 200L).map(i => (i, i / 8L)).toDF("src", "dst")
+    val lf = labels(forest)
+    assert(lf.values.toSet === (1L to 7L).toSet) // 7 trees rooted at 1..7
+    assert((8L to 200L).forall(i => lf(i) === lf(i / 8L)))
+  }
+
   test("connectedComponents fails loudly instead of returning partial labels") {
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
     intercept[IllegalStateException] {
