@@ -78,6 +78,77 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Centroid drift after incremental [[addVectors]] appends: per
+    * bucket, the cosine between the STORED centroid and the current
+    * mean of the bucket's members, plus the member count. One
+    * aggregation pass over assignments (posexplode + per-dimension
+    * mean, the same shape k-means iterations use) joined against the
+    * k-row centroid table — no driver materialization beyond the k-row
+    * result the caller reads.
+    *
+    * Drift is the re-centering signal: appended vectors land in their
+    * nearest EXISTING bucket, so as the corpus grows the stored
+    * centroids stop being the members' means and probe ranking quality
+    * decays. cosine ≈ 1 → fresh; lower → stale.
+    */
+  def centroidDrift(): DataFrame = {
+    val memberMeans = assignments
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
+      .select(col("cid"), expr("transform(_dm, s -> s._m)").as("mean_vec"))
+    val counts = assignments.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    centroids.join(memberMeans, Seq("cid"), "left")
+      .join(counts, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        cosineSimilarity(col("centroid"), col("mean_vec")).as("centroid_cosine"))
+  }
+
+  /** Re-center WITHOUT re-bucketing: overwrite each stored centroid
+    * with its bucket's current member mean (one aggregation pass), so
+    * probe ranking reflects the corpus that actually lives in each
+    * bucket. Membership — and therefore the partition layout — is
+    * untouched: this is the cheap periodic maintenance step between
+    * incremental appends. When drift is severe enough that vectors
+    * belong in DIFFERENT buckets (centroid_cosine low and appends
+    * dominated the corpus), a full [[IvfIndex.build]] re-bucket is the
+    * honest fix; re-centering cannot move a vector.
+    */
+  def recenter(): Unit = {
+    val memberMeans = assignments
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
+      .select(col("cid"), expr("transform(_dm, s -> s._m)").as("centroid"))
+    // keep empty buckets' stored centroids (no members to mean over)
+    val updated = centroids.select(col("cid"), col("centroid").as("_old"))
+      .join(memberMeans, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("centroid"), col("_old")).as("centroid"))
+    // two-step write: parquet cannot overwrite the path it is reading
+    val tmp = s"$path/centroids_next"
+    updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+  }
+
+  /** Drift-triggered maintenance policy (SURVEY §9 #4): re-center when
+    * any non-empty bucket's stored centroid has drifted below
+    * `minCosine` against its member mean. Returns true when a re-center
+    * ran. The drift probe is one aggregation over assignments; callers
+    * run this after append batches, not per query.
+    */
+  def recenterIfDrifted(minCosine: Double = 0.995): Boolean = {
+    val drifted = centroidDrift()
+      .filter(col("n_members") > 0 && col("centroid_cosine") < minCosine)
+      .limit(1).count() > 0
+    if (drifted) recenter()
+    drifted
+  }
+
   /** Batch ANN: top-k neighbors for EVERY row of a query table in one
     * pass — the shape of real retrieval/dedup workloads (score a new
     * document batch against the corpus).

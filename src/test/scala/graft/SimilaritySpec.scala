@@ -124,6 +124,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!graft.similarity.IvfIndex.isStale(idx, shrunk))
   }
 
+  test("IvfIndex drift probe flags append-skewed buckets; recenter restores centroid means") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    // fresh index: every non-empty bucket's centroid IS its member mean
+    val fresh = idx.centroidDrift().collect()
+    assert(fresh.forall(r => r.isNullAt(1) ||
+      r.getAs[Double]("centroid_cosine") > 0.999999))
+    assert(!idx.recenterIfDrifted()) // no-op on a fresh index
+    // skew one bucket with appends pointing off its centroid
+    val nv = Seq(
+      (50L, Array(1f, 0f, 1f, 0f, 1f, 0f, 0f, 0f)),
+      (51L, Array(1f, 0f, 1f, 0f, 1f, 0f, 0f, 0f)),
+      (52L, Array(1f, 0f, 1f, 0f, 1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    idx.addVectors(nv)
+    val skewed = idx.centroidDrift().collect()
+      .filter(r => !r.isNullAt(1) && r.getAs[Long]("n_members") >= 3)
+    assert(skewed.exists(_.getAs[Double]("centroid_cosine") < 0.999),
+      s"expected drift after skewed appends, got ${skewed.toSeq}")
+    // policy fires, and afterwards centroids equal member means again
+    assert(idx.recenterIfDrifted(minCosine = 0.999))
+    val after = idx.centroidDrift().collect()
+    assert(after.forall(r => r.isNullAt(1) ||
+      r.getAs[Double]("centroid_cosine") > 0.999999))
+    // probes still rank correctly against the re-centered index
+    val got = idx.topK(query, 2, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got.head === 1L)
+  }
+
   test("IvfIndex.topKBatch answers a query TABLE in one pass, matching per-query probes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
     val idx = graft.similarity.IvfIndex.buildOrLoad(
