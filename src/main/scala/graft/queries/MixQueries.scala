@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.mix.Mix
+import graft.text.TextAnalysis
+
+/** L1-L3 — dataset-assembly (sampling / mixing / packing) over the
+  * documents table. All exact integer arithmetic (Knuth multiplicative
+  * hash, token-count prefix sums), so every query here carries a full
+  * DuckDB oracle — reproducibility across engines is the point of
+  * hash-based curation.
+  */
+object MixQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** The mixture-weight dim: sources cycle through four rates. Shared
+    * verbatim (via [[ratesValuesSql]]) with the oracle so the two
+    * engines can never disagree on the weights.
+    */
+  private val sourceRates: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", Seq(1.0, 0.5, 0.25, 0.1)(i % 4)))
+  private def ratesValuesSql: String =
+    sourceRates.map { case (s, r) => s"('$s', CAST($r AS DOUBLE))" }.mkString(", ")
+
+  /** L1 `ds_sample` — reproducible 25% Bernoulli sample by id hash. A
+    * pure row-local filter over the scan: no shuffle, no rand().
+    */
+  def dsSample(s: SparkSession, dir: String): DataFrame =
+    Mix.sampleByHash(docs(s, dir), "doc_id", 0.25)
+      .select(col("doc_id"), col("source"))
+
+  /** L2 `ds_mix` — per-source mixture weighting: broadcast the 20-row
+    * rates dim, stratified hash-Bernoulli per row.
+    */
+  def dsMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = sourceRates.toDF("source", "rate")
+    Mix.mixBySourceRates(docs(s, dir), "doc_id", "source", rates)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** L3 `ds_pack` — offset-based sequence packing into 512-token packs,
+    * sharded by source: one window prefix-sum per shard.
+    */
+  def dsPack(s: SparkSession, dir: String): DataFrame =
+    Mix.packSequences(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "doc_id", "n_toks", 512)
+      .select(col("doc_id"), col("source"), col("tok_offset"), col("pack_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_sample" -> dsSample,
+    "ds_mix" -> dsMix,
+    "ds_pack" -> dsPack)
+
+  /** The Knuth hash-uniform, verbatim in SQL: exact BIGINT arithmetic,
+    * bit-identical to [[Mix.hashUniform]] in any 64-bit engine.
+    */
+  private val hashU = "((doc_id * 2654435761) % 4294967296) / 4294967296.0"
+
+  val oracles: Map[String, String] = Map(
+    "ds_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $hashU < CAST(0.25 AS DOUBLE)""".stripMargin,
+    "ds_mix" ->
+      s"""SELECT d.doc_id, d.source
+         |FROM documents d
+         |JOIN (VALUES $ratesValuesSql) AS r(source, rate)
+         |  ON d.source = r.source
+         |WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.rate""".stripMargin,
+    "ds_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |o AS (SELECT doc_id, source,
+         |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, source, tok_offset, tok_offset // 512 AS pack_id
+         |FROM o""".stripMargin)
+}

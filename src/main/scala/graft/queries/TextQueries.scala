@@ -65,7 +65,18 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(20)
 
+  /** I+ `text_normalize` — whitespace/case canonicalization (the pass
+    * before hashing/dedup) plus the post-normalization token count. The
+    * normalized column is projected once and shared by the count.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.normalizeWs(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        TextAnalysis.wsTokenCount(col("norm_text")).cast("long").as("n_tokens"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> textNormalize,
     "text_topterms" -> textTopTerms,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
@@ -73,6 +84,13 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(string_split_regex(trim(norm_text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM n""".stripMargin,
     "text_topterms" ->
       """SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t

@@ -53,6 +53,33 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = langIdFromWords(langIdWords(text))
 
+  /** Whitespace/case normalization (I+): lowercase, collapse every
+    * whitespace run (incl. newlines/tabs) to a single space, trim. The
+    * canonicalization pass that runs before hashing/dedup so formatting
+    * variants of the same content collide. Row-local codegen regex.
+    */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII redaction (I+): mask emails, then unbroken digit runs of 7+
+    * (account/card numbers and unseparated phones), then
+    * separator-style phone shapes — the standard pre-training scrub
+    * pass. Order matters twice: emails first so their local parts are
+    * not half-eaten by the digit rules, and long runs before the phone
+    * shape so a 16-digit card number becomes one <NUM> instead of a
+    * 15-digit <PHONE> plus a stray digit. Row-local codegen regex;
+    * patterns are RE2-compatible (no backrefs/lookarounds) so the same
+    * scrub is portable to other engines.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val num = regexp_replace(email, "[0-9]{7,}", "<NUM>")
+    regexp_replace(num,
+      "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}",
+      "<PHONE>")
+  }
+
   /** Quality-scoring feature columns (I3): length, word count, mean
     * word length, punctuation ratio, stopword ratio, digit ratio.
     */

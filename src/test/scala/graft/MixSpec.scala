@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mix.Mix
+
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 10000L).toDF("doc_id")
+
+  test("hashUniform is deterministic, in [0,1), and roughly uniform") {
+    val u = ids.select(Mix.hashUniform($"doc_id").as("u"))
+    val stats = u.agg(min($"u"), max($"u"), avg($"u")).head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
+    assert(math.abs(stats.getDouble(2) - 0.5) < 0.02) // uniform mean
+    // deterministic: two evaluations agree exactly
+    val again = ids.select(Mix.hashUniform($"doc_id").as("u"))
+    assert(u.except(again).isEmpty && again.except(u).isEmpty)
+  }
+
+  test("sampleByHash keeps ~rate and is monotone in rate (nested samples)") {
+    val s25 = Mix.sampleByHash(ids, "doc_id", 0.25)
+    val s50 = Mix.sampleByHash(ids, "doc_id", 0.50)
+    val n25 = s25.count().toDouble / 10000
+    assert(math.abs(n25 - 0.25) < 0.03, s"got $n25")
+    // the 25% sample is a strict subset of the 50% sample — the
+    // property rand()-sampling cannot give you
+    assert(s25.except(s50).isEmpty)
+    assert(s50.count() > s25.count())
+  }
+
+  test("sampleByHash is a pure pushed filter — no shuffle in the plan") {
+    val plan = Mix.sampleByHash(ids, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("mixBySourceRates keeps everything at rate 1.0, nothing at 0.0, strata independent") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Seq(("src0", 1.0), ("src1", 0.0), ("src2", 0.5)).toDF("source", "rate")
+    val out = Mix.mixBySourceRates(docs, "doc_id", "source", rates)
+    val bySrc = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 1000L)
+    assert(!bySrc.contains("src1"))
+    assert(math.abs(bySrc("src2") - 500L) < 60)
+    // broadcast dim join: the corpus side must not shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("packSequences: offsets are per-shard prefix sums; packs bounded by capacity + straddle") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 150L), ("a", 4L, 300L),
+      ("a", 5L, 50L), ("b", 1L, 400L), ("b", 2L, 400L))
+      .toDF("source", "doc_id", "n_toks")
+    val out = Mix.packSequences(docs, "source", "doc_id", "n_toks", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("pack_id")))
+      .sortBy(t => (t._1, t._2))
+    // shard a: offsets 0,100,300,450,750 -> packs 0,0,0,0,1
+    assert(out.filter(_._1 == "a").map(t => (t._4, t._5)).toSeq ===
+      Seq((0L, 0L), (100L, 0L), (300L, 0L), (450L, 0L), (750L, 1L)))
+    // shard b restarts at 0: offsets 0,400 -> packs 0,0
+    assert(out.filter(_._1 == "b").map(t => (t._4, t._5)).toSeq ===
+      Seq((0L, 0L), (400L, 0L)))
+    // every doc STARTS inside its pack's capacity window (straddle only
+    // past the end, never the start)
+    assert(out.forall(t => t._4 >= t._5 * 512 && t._4 < (t._5 + 1) * 512))
+  }
+}

@@ -51,6 +51,27 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("normalizeWs lowercases, collapses whitespace runs, trims") {
+    val out = Seq("  Hello\t\tWorld \n and  MORE  ")
+      .toDF("text").select(TextAnalysis.normalizeWs($"text").as("n"))
+      .head.getString(0)
+    assert(out === "hello world and more")
+  }
+
+  test("redactPii masks emails, phones, and long digit runs; leaves prose alone") {
+    val fixtures = Seq(
+      ("mail me at jane.doe+x@example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("call +1 (555) 123-4567 or 555.123.4567",
+        "call <PHONE> or <PHONE>"),
+      ("card 4111111111111111 leaked", "card <NUM> leaked"),
+      ("version 3 of chapter 12 in 2024", "version 3 of chapter 12 in 2024"))
+    val out = fixtures.map(_._1).toDF("text")
+      .select(TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === fixtures.map(_._2))
+  }
+
   test("multimodal: media schema carries binary payload + typed metadata") {
     val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
     val m = Multimodal.withMediaSchema(docs, "doc_id", "text", "n_chars").head
