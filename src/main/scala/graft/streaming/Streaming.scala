@@ -69,6 +69,25 @@ object Streaming {
         col("_mx.v").as("max_val"), col("_mx.t").as("max_time"))
   }
 
+  /** Streaming twin of exact dedup (G1): keep the first document per
+    * content hash, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts a hash from the state store
+    * once the watermark passes its event time, so state size tracks the
+    * watermark window, not the unbounded stream. That is the honest
+    * streaming-dedup contract: duplicates further apart than the
+    * watermark delay are NOT caught (global exact dedup over an
+    * unbounded stream requires unbounded state — that is the batch
+    * operator's job over the accumulated corpus). The hash is computed
+    * row-local before the stateful operator, so only the 32-byte digest
+    * (not the document) enters state.
+    */
+  def dedupExactStream(docs: DataFrame, tsCol: String, textCol: String,
+                       watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

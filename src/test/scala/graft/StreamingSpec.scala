@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactStream keeps first doc per content hash, within-watermark state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.dedupExactStream(df, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 00:10:00"), 2L, "alpha beta"), // dup within watermark
+        (ts("2024-01-01 00:20:00"), 3L, "gamma delta"))
+      q.processAllAvailable()
+      // a later batch re-sends the same content, still inside the window
+      input.addData((ts("2024-01-01 00:30:00"), 4L, "gamma delta"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(1L, 3L)) // one survivor per distinct content
+      // digest column is part of the output (state keys off it)
+      assert(spark.table("dedup_stream").columns.contains("content_hash"))
+    } finally q.stop()
+  }
+
   test("sessionize: stateful gap sessions close on gap and emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
