@@ -19,7 +19,21 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 runs a subset; SPARK_GRAFT_REPEAT=N times
+    // each query N times and reports the minimum (JIT-stable local
+    // iteration aids; the driver sets neither, so driver benches always
+    // cover everything, once, cold-ordered)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      // untimed warm runs (repeat > 1): takes JIT/order effects out of
+      // the measured pass
+      (1 until repeat).foreach { _ =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -5,8 +5,9 @@ object PlanDump {
     val spark = GraftSession.builder("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val picks = Seq("q1_agg", "q3_join", "ts_rolling_center", "ts_asof_join",
-      "diurnal_minfirst", "dedup_minhash", "ann_ivf", "q_sessionize")
+    val picks = sys.env.get("SPARK_GRAFT_PLANS").map(_.split(",").toSeq)
+      .getOrElse(Seq("q1_agg", "q3_join", "ts_rolling_center", "ts_asof_join",
+        "diurnal_minfirst", "dedup_minhash", "ann_ivf", "q_sessionize"))
     val sb = new StringBuilder
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -155,13 +155,18 @@ object Dedup {
     // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with
     // signatures row-local, shingle rows are needed solely here, so
     // explode just the docs that appear in a candidate pair (a
-    // left-semi join prunes the corpus before the explode).
+    // left-semi join prunes the corpus before the explode). The
+    // candidate set is bounded (banded equi-join output), so the
+    // row-local shingles() projection wins over shingleRows here: the
+    // higher-order transform is interpreted, but it is shuffle-FREE,
+    // versus shingleRows' posexplode + lead-window + distinct (two
+    // exchanges of the shingle rows) — the right trade for the pruned
+    // verify side, and the opposite of the full-corpus case.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val exploded = shingleRows(
-      docs.select(col(idCol).as("doc_id"), col(textCol))
-        .join(candDocs, Seq("doc_id"), "left_semi"),
-      "doc_id", textCol, shingleN)
+    val exploded = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles(col(textCol), shingleN)).as("s"))
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exB = exploded.select(col("doc_id").as("_doc_b"), col("s").as("_s_b"))
     val inter = cand

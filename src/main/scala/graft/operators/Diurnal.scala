@@ -24,19 +24,29 @@ object Diurnal {
     * (B1; diurnal.py:301).
     * Output: keys..., day (timestamp at midnight), min_val, min_time,
     * max_val, max_time.
+    *
+    * ONE hash aggregation, no window: min(struct(v, ts)) is (min value,
+    * earliest ts of it) — pandas idxmin — and the max twin ties to the
+    * earliest via (v, -us, ts). The previous window+groupBy formulation
+    * computed the same thing but WindowExec sorts the full observation
+    * set within the exchange and defeats partial aggregation; the
+    * struct-agg form map-side-combines observations down to one row per
+    * (key, day) BEFORE the shuffle — at 100 TB that is the difference
+    * between shuffling the corpus and shuffling a row per series-day.
+    * Null observations are excluded via when(): a struct with a null
+    * field would otherwise participate in the comparison.
     */
   def extrema(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String): DataFrame = {
-    val dayCol = date_trunc("day", col(tsCol))
-    val part = Window.partitionBy(keys.map(col) :+ dayCol: _*)
-    df.withColumn("_day", dayCol)
-      .withColumn("_minv", min(col(valCol)).over(part))
-      .withColumn("_maxv", max(col(valCol)).over(part))
-      .groupBy(keys.map(col) :+ col("_day").as("day"): _*)
+    val negUs = -unix_micros(col(tsCol))
+    val v = col(valCol).isNotNull
+    df.groupBy(keys.map(col) :+ date_trunc("day", col(tsCol)).as("day"): _*)
       .agg(
-        first(col("_minv")).as("min_val"),
-        min(when(col(valCol) === col("_minv"), col(tsCol))).as("min_time"),
-        first(col("_maxv")).as("max_val"),
-        min(when(col(valCol) === col("_maxv"), col(tsCol))).as("max_time"))
+        min(when(v, struct(col(valCol).as("v"), col(tsCol).as("t")))).as("_mn"),
+        max(when(v, struct(col(valCol).as("v"), negUs.as("nu"),
+          col(tsCol).as("t")))).as("_mx"))
+      .select(keys.map(col) ++ Seq(col("day"),
+        col("_mn.v").as("min_val"), col("_mn.t").as("min_time"),
+        col("_mx.v").as("max_val"), col("_mx.t").as("max_time")): _*)
   }
 
   /** Min-first + max-next-day variant (B2; diurnal.py:325-330): the
@@ -47,12 +57,14 @@ object Diurnal {
   def extremaMinFirst(df: DataFrame, keys: Seq[String], tsCol: String,
                       valCol: String, maxWindowHours: Int = 18): DataFrame = {
     val dayCol = date_trunc("day", col(tsCol))
-    val part = Window.partitionBy(keys.map(col) :+ dayCol: _*)
-    val mins = df.withColumn("_day", dayCol)
-      .withColumn("_minv", min(col(valCol)).over(part))
-      .groupBy(keys.map(col) :+ col("_day").as("day"): _*)
-      .agg(first(col("_minv")).as("min_val"),
-        min(when(col(valCol) === col("_minv"), col(tsCol))).as("min_time"))
+    // same struct-min shape as [[extrema]]: one partial-aggregating
+    // groupBy, no window sort of the observations
+    val mins = df
+      .groupBy(keys.map(col) :+ dayCol.as("day"): _*)
+      .agg(min(when(col(valCol).isNotNull,
+        struct(col(valCol).as("v"), col(tsCol).as("t")))).as("_mn"))
+      .select(keys.map(col) ++ Seq(col("day"),
+        col("_mn.v").as("min_val"), col("_mn.t").as("min_time")): _*)
 
     // Bounded candidate duplication: an observation at ts can fall in the
     // [min_time, min_time+18h] window only for day(ts) or day(ts)-1.
@@ -69,13 +81,14 @@ object Diurnal {
       .select(keys.map(col) ++
         Seq(col("day"), col("min_val"), col("min_time"), col(tsCol), col(valCol)): _*)
 
-    val candPart = Window.partitionBy(keys.map(col) :+ col("day"): _*)
-    cand.withColumn("_maxv", max(col(valCol)).over(candPart))
-      .groupBy(keys.map(col) :+ col("day"): _*)
+    val negUs = -unix_micros(col(tsCol))
+    cand.groupBy(keys.map(col) :+ col("day"): _*)
       .agg(first(col("min_val")).as("min_val"),
         first(col("min_time")).as("min_time"),
-        first(col("_maxv")).as("max_val"),
-        min(when(col(valCol) === col("_maxv"), col(tsCol))).as("max_time"))
+        max(when(col(valCol).isNotNull, struct(col(valCol).as("v"),
+          negUs.as("nu"), col(tsCol).as("t")))).as("_mx"))
+      .select(keys.map(col) ++ Seq(col("day"), col("min_val"), col("min_time"),
+        col("_mx.v").as("max_val"), col("_mx.t").as("max_time")): _*)
       .filter(!(col("min_val") > col("max_val")))
   }
 

@@ -26,8 +26,13 @@ object TextQueries extends QueryPack {
     docs(s, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         TextAnalysis.langIdWords(col("text")).as("_words"))
+      // the argmax struct is projected once too: langIdFromWords inline
+      // would evaluate all five intersects twice (CASE branch duplication)
       .select(col("doc_id"), col("labeled_lang"),
-        TextAnalysis.langIdFromWords(col("_words")).as("predicted_lang"))
+        TextAnalysis.langIdBest(col("_words")).as("_best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        when(col("_best").getField("score") > 0, col("_best").getField("lang"))
+          .otherwise(lit("und")).as("predicted_lang"))
 
   /** I3 `text_quality` — length/punct/stopword quality features. All
     * exact integer-derived arithmetic: no rounding needed.

@@ -38,11 +38,22 @@ object TextAnalysis {
     * scan (~5x the tokenization work, measured in BENCH_r02).
     */
   def langIdFromWords(words: Column): Column = {
+    val best = langIdBest(words)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** The argmax struct behind [[langIdFromWords]]: (score, lang) of the
+    * best-scoring stopword list. Expose it so callers can project it
+    * ONCE and decide on the projected column — inlining
+    * langIdFromWords evaluates this (all 5 array_intersects) twice,
+    * once for the score test and once for the winning lang, because
+    * CASE WHEN duplicates its branch expressions.
+    */
+  def langIdBest(words: Column): Column = {
     val scored = stopwordLists.map { case (lang, sw) =>
       struct(stopwordHits(words, sw).as("score"), lit(lang).as("lang"))
     }
-    val best = array_max(array(scored.reverse: _*)) // reverse: ties -> earliest list
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    array_max(array(scored.reverse: _*)) // reverse: ties -> earliest list
   }
 
   /** The words array langIdFromWords expects. */

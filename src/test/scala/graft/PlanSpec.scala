@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"asof should be join-free:\n$plan")
   }
 
+  test("plain extrema is one partial-aggregating hash agg: no window, one exchange") {
+    val plan = planOf(DiurnalQueries.diurnalExtrema(spark, dir))
+    // the struct-min/max form must not sort observations in a WindowExec
+    assert(!plan.contains("Window"), s"extrema regressed to a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"extrema should shuffle once, post-combine:\n$plan")
+    // partial aggregation below the exchange (map-side combine)
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
+
   test("boundary-checked extrema are join-free: one obs pass, two exchanges") {
     val plan = planOf(DiurnalQueries.diurnalBoundary(spark, dir))
     assert(!plan.contains("Join"),

@@ -333,6 +333,275 @@ def _():
                    for i in range(n))
     docs_pd["text"].map(fp)
 
+# ---- round-4 widening: relational substrate, dedup/ANN, dataset
+# assembly — the single-node (pandas/numpy) way, mirroring each graft
+# query's oracle semantics without the cross-engine rounding cosmetics.
+# Tables are loaded OUTSIDE the timed sections (generous to the
+# reference, same convention as `ev` above).
+
+li = pd.read_parquet(f"{sf}/lineitem.parquet")
+orders = pd.read_parquet(f"{sf}/orders.parquet")
+cust = pd.read_parquet(f"{sf}/customer.parquet")
+nation = pd.read_parquet(f"{sf}/nation.parquet")
+emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+
+# F1: scan+filter+aggregate (TPC-H Q1 shape)
+@timed("q1_agg")
+def _():
+    d = li[li["l_shipdate"] < pd.Timestamp("1999-01-01")].copy()
+    d["disc_price"] = d["l_extendedprice"] * (1.0 - d["l_discount"])
+    d["charge"] = d["disc_price"] * (1.0 + d["l_tax"])
+    d.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("l_quantity", "sum"), sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"), sum_charge=("charge", "sum"),
+        avg_qty=("l_quantity", "mean"), avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "size"))
+
+# F2: multi-way join + aggregate (TPC-H Q3 shape)
+@timed("q3_join")
+def _():
+    c = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    o = orders[orders["o_orderdate"] < pd.Timestamp("1999-01-01")]
+    l2 = li[li["l_shipdate"] >= pd.Timestamp("1996-01-01")].copy()
+    m = l2.merge(o, left_on="l_orderkey", right_on="o_orderkey") \
+          .merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["rev"] = m["l_extendedprice"] * (1.0 - m["l_discount"])
+    m.groupby(["l_orderkey", "o_orderdate"])["rev"].sum()
+
+# F5: grouped top-k by sort + head
+@timed("q_topk")
+def _():
+    li.sort_values(["l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"],
+                   ascending=[True, False, True, True]) \
+      .groupby("l_suppkey").head(5)
+
+# F3: rank-in-group
+@timed("q_window_topk")
+def _():
+    m = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    m["rnk"] = m.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]) \
+                .groupby("n_nationkey").cumcount() + 1
+    m[m["rnk"] <= 3]
+
+# F4: anti join
+@timed("q_antijoin")
+def _():
+    active = orders[orders["o_orderdate"] >= pd.Timestamp("2000-01-01")]["o_custkey"]
+    cust[~cust["c_custkey"].isin(active)][["c_custkey", "c_name"]]
+
+# F+: pivot and exact quartiles
+@timed("q_pivot")
+def _():
+    d = li.copy()
+    d["rev"] = d["l_extendedprice"] * (1.0 - d["l_discount"])
+    d.pivot_table(values="rev", index="l_returnflag",
+                  columns="l_linestatus", aggfunc="sum")
+
+@timed("q_quantiles")
+def _():
+    li.groupby("l_returnflag")["l_extendedprice"].quantile([0.25, 0.5, 0.75])
+
+# B3/B4: per-day extrema amplitude + threshold filter
+@timed("diurnal_amplitude")
+def _():
+    d = ev.copy()
+    d["day"] = d["ts"].dt.floor("D")
+    g = d.groupby(["user_id", "day"])["value"]
+    ext = g.agg(minv="min", maxv="max")
+    ext["amplitude"] = ext["maxv"] - ext["minv"]
+    mn = d.loc[g.transform("min").eq(d["value"])].groupby(
+        ["user_id", "day"])["ts"].min()
+    mx = d.loc[g.transform("max").eq(d["value"])].groupby(
+        ["user_id", "day"])["ts"].min()
+    ext.join(mn.rename("min_time")).join(mx.rename("max_time"))
+
+@timed("diurnal_threshold")
+def _():
+    d = ev.copy()
+    d["day"] = d["ts"].dt.floor("D")
+    ext = d.groupby(["user_id", "day"])["value"].agg(minv="min", maxv="max")
+    ext[(ext["maxv"] - ext["minv"]) >= 190.0]
+
+# C1: flow angle from first/last daily-mean positions
+@timed("gps_flow_angle")
+def _():
+    d = ev.copy()
+    hrs = (d["ts"].astype("int64") // 1000 - 1704067200000000) / 3600000000.0
+    d["dnorth"] = d["value"] * 0.1 + hrs * 0.05
+    d["deast"] = d["value"] * 0.07 + hrs * 0.08
+    d["day"] = d["ts"].dt.floor("D")
+    daily = d.groupby(["user_id", "day"])[["dnorth", "deast"]].mean().reset_index()
+    f = daily.loc[daily.groupby("user_id")["day"].idxmin()].set_index("user_id")
+    l = daily.loc[daily.groupby("user_id")["day"].idxmax()].set_index("user_id")
+    np.arctan((l["dnorth"] - f["dnorth"]) / (l["deast"] - f["deast"]))
+
+# C5/C7: error filter and scalar normalize
+@timed("gps_drop_errors")
+def _():
+    dn = (ev["event_id"] % 13) * 0.08
+    de = (ev["event_id"] % 11) * 0.09
+    ev[(dn < 0.8) & (de < 0.8)]
+
+@timed("gps_normalize")
+def _():
+    ev["value"] / 250.0
+
+# C+: pairwise station distances from windowed mean positions
+@timed("gps_station_dist")
+def _():
+    d = ev[(ev["ts"] >= pd.Timestamp("2024-01-05")) &
+           (ev["ts"] < pd.Timestamp("2024-01-15"))].copy()
+    hrs = (d["ts"].astype("int64") // 1000 - 1704067200000000) / 3600000000.0
+    d["dnorth"] = d["value"] * 0.1 + hrs * 0.05
+    d["deast"] = d["value"] * 0.07 + hrs * 0.08
+    m = d.groupby("user_id")[["dnorth", "deast"]].mean()
+    a = m.to_numpy()
+    np.sqrt(((a[:, None, :] - a[None, :, :]) ** 2).sum(-1))
+
+# D1/D2/D5: unit conversions, overburden fractions, stream stage
+@timed("hydro_units")
+def _():
+    v = ev["value"]
+    pd.DataFrame({"mbar_to_mh2o": v * 0.0102, "mbar_to_fth2o": v * 0.03346,
+                  "ft_to_m": v * 0.3048, "in_to_mm": v * 25.4,
+                  "mh2o_to_mbar": v / 0.0102})
+
+@timed("hydro_fob")
+def _():
+    v = ev["value"]
+    ob = (917.0 / 1000.0) * 503.0
+    pd.DataFrame({"fob_wlb": v / ob, "fob_gwl": ((v + 200.0) - (765.8 - 503.0)) / ob})
+
+@timed("hydro_stage")
+def _():
+    d = ev[ev["value"] < 67.0]
+    pd.DataFrame({"stage": 4.0 - d["value"] * 0.0254,
+                  "logger_to_stream": d["value"] * 0.0254})
+
+# I+: corpus top terms, normalization
+@timed("text_topterms")
+def _():
+    t = docs_pd[["doc_id", "text"]].copy()
+    t["term"] = t["text"].str.split(" ")
+    x = t.explode("term")
+    x.groupby("term").agg(doc_freq=("doc_id", "nunique"),
+                          coll_freq=("doc_id", "size")) \
+     .sort_values(["doc_freq", "term"], ascending=[False, True]).head(20)
+
+@timed("text_normalize")
+def _():
+    n = docs_pd["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    n.str.split(" ").str.len()
+
+# G2: MinHash+LSH near-dup, single-node (crc32 shingles + 64 numpy
+# permutations, 16-band buckets, exact-jaccard verify of candidates)
+@timed("dedup_minhash")
+def _():
+    import zlib, itertools
+    P = (1 << 61) - 1
+    rng = np.random.RandomState(7)
+    A = rng.randint(1, P, size=64, dtype=np.int64)
+    B = rng.randint(0, P, size=64, dtype=np.int64)
+    shingle_sets, sigs = {}, {}
+    for did, text in zip(docs_pd["doc_id"], docs_pd["text"]):
+        ws = text.split(" ")
+        sh = {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+        shingle_sets[did] = sh
+        h = np.fromiter((zlib.crc32(s.encode()) for s in sh),
+                        dtype=np.int64, count=len(sh))
+        sigs[did] = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+    buckets = {}
+    for did, sig in sigs.items():
+        for b in range(16):
+            buckets.setdefault((b, tuple(sig[b * 4:(b + 1) * 4])), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        for a, bb in itertools.combinations(sorted(members), 2):
+            cand.add((a, bb))
+    for a, bb in cand:
+        sa, sb = shingle_sets[a], shingle_sets[bb]
+        inter = len(sa & sb)
+        inter / (len(sa) + len(sb) - inter)
+
+# G3: SimHash near-dup, single-node
+@timed("dedup_simhash")
+def _():
+    import zlib
+    sigs = {}
+    for did, text in zip(docs_pd["doc_id"], docs_pd["text"]):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in text.split(" "):
+            h = np.uint64((zlib.crc32(w.encode()) << 32) | zlib.crc32((w + "x").encode()))
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        sigs[did] = int("".join("1" if x > 0 else "0" for x in acc), 2)
+    ids = sorted(sigs)
+    by_band = {}
+    for did in ids:
+        for b in range(4):
+            by_band.setdefault((b, (sigs[did] >> (16 * b)) & 0xFFFF), []).append(did)
+    import itertools
+    for members in by_band.values():
+        for a, bb in itertools.combinations(members, 2):
+            bin(sigs[a] ^ sigs[bb]).count("1")
+
+# G+: connected components over the dup-pair forest (union-find — the
+# single-node answer to dedup_clusters' label propagation)
+@timed("dedup_clusters")
+def _():
+    mx = int(ev["event_id"].max())
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for i in ev["event_id"]:
+        i = int(i)
+        if i > 0 and i * 8 <= mx:
+            a, b = find(i), find(i * 8)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    {n: find(int(n)) for n in ev["event_id"] if int(n) * 8 <= mx and int(n) > 0}
+
+# H1: brute-force cosine top-10 (numpy)
+@timed("ann_brute")
+def _():
+    v = np.stack(emb["embedding"].to_numpy())
+    q = v[emb["vec_id"].to_numpy() == 0][0]
+    rest = v[emb["vec_id"].to_numpy() != 0]
+    cos = rest @ q / (np.linalg.norm(rest, axis=1) * np.linalg.norm(q))
+    np.argsort(-cos)[:10]
+
+# G5: embedding near-dup — all-pairs cosine above threshold (numpy;
+# the single-node way has no LSH shortcut worth its constant at this n)
+@timed("dedup_embed")
+def _():
+    v = np.stack(emb["embedding"].to_numpy())
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = n @ n.T
+    np.argwhere(np.triu(sims, 1) > 0.95)
+
+# L1-L3: dataset assembly (hash sample / source mix / sequence packing)
+@timed("ds_sample")
+def _():
+    u = (docs_pd["doc_id"] * 2654435761) % 4294967296 / 4294967296.0
+    docs_pd[u < 0.25]
+
+@timed("ds_mix")
+def _():
+    rates = {f"src{i}": [1.0, 0.5, 0.25, 0.1][i % 4] for i in range(20)}
+    u = (docs_pd["doc_id"] * 2654435761) % 4294967296 / 4294967296.0
+    docs_pd[u < docs_pd["source"].map(rates)]
+
+@timed("ds_pack")
+def _():
+    d = docs_pd[["doc_id", "source"]].copy()
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    d = d.sort_values(["source", "doc_id"])
+    d["tok_offset"] = d.groupby("source")["n_toks"].cumsum() - d["n_toks"]
+    d["pack_id"] = d["tok_offset"] // 512
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
