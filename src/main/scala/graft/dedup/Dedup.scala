@@ -126,10 +126,13 @@ object Dedup {
                                        numAnchors: Int = 4): DataFrame = {
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
-    val stats = banded
-      .withColumn("_bn", count(lit(1)).over(bw))
-      .withColumn("_ar", row_number().over(
-        bw.orderBy(xxhash64(col("doc_id")), col("doc_id"))))
+    // Bucket size via a SORT-FREE count window on every row; the anchor
+    // rank (a per-bucket sort) runs only on the over-cap subset, which
+    // is empty on a healthy corpus — the common path pays one hash
+    // shuffle and zero sorts. (Ranking before the filter sorted every
+    // bucket for anchors nothing used — a measured ~1.5x wall-time
+    // regression at sf0.1.)
+    val stats = banded.withColumn("_bn", count(lit(1)).over(bw))
     val small = stats.filter(col("_bn") <= maxBucketSize)
     val smallPairs = small.as("a")
       .join(small.as("b"),
@@ -137,7 +140,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val big = stats.filter(col("_bn") > maxBucketSize)
-    val anchors = big.filter(col("_ar") <= numAnchors)
+    val anchors = big
+      .withColumn("_ar", row_number().over(
+        bw.orderBy(xxhash64(col("doc_id")), col("doc_id"))))
+      .filter(col("_ar") <= numAnchors)
       .select(bucketCols.map(col) :+ col("doc_id").as("_anchor"): _*)
     val starPairs = big.join(anchors, bucketCols)
       .filter(col("doc_id") =!= col("_anchor"))
@@ -160,8 +166,9 @@ object Dedup {
     // row-local shingles() projection wins over shingleRows here: the
     // higher-order transform is interpreted, but it is shuffle-FREE,
     // versus shingleRows' posexplode + lead-window + distinct (two
-    // exchanges of the shingle rows) — the right trade for the pruned
-    // verify side, and the opposite of the full-corpus case.
+    // exchanges of the shingle rows). A/B-measured at sf0.1 (min-of-3,
+    // local[32]): shingles() 2.52s vs shingleRows 2.58s end-to-end —
+    // a tie on the pruned verify side, so keep the shuffle-free shape.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val exploded = docs.select(col(idCol).as("doc_id"), col(textCol))
