@@ -11,23 +11,45 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): sampling and mixing are pure row-local
   * filters (no shuffle — the predicate is pushable work over the scan);
-  * packing is one window prefix-sum per shard. Everything is exact
-  * integer arithmetic, so a re-run over the same corpus reproduces the
-  * same dataset bit-for-bit — reproducibility is a correctness
-  * requirement for training-data lineage, which is why none of these
-  * use `rand()`.
+  * packing is a window prefix-sum — per shard in [[packSequences]], per
+  * (shard, sub-shard) with broadcast-globalized offsets in
+  * [[packSequencesScalable]]. Everything is exact integer arithmetic,
+  * so a re-run over the same corpus reproduces the same dataset
+  * bit-for-bit — reproducibility is a correctness requirement for
+  * training-data lineage, which is why none of these use `rand()`.
   */
 object Mix {
 
-  /** Deterministic uniform in [0,1) from an integer id: Knuth
-    * multiplicative hashing (TAOCP vol. 3 §6.4) — `(id * 2654435761)
-    * mod 2^32`, scaled. Exact 64-bit integer arithmetic, so the value
-    * is portable across engines (unlike engine-native hash builtins,
-    * which differ between Spark, DuckDB, and pandas and would make
-    * sampled datasets irreproducible off-Spark).
+  private val KnuthC = 2654435761L // golden-ratio multiplier, TAOCP vol. 3 §6.4
+  private val M32 = 4294967296L    // 2^32
+
+  /** Deterministic hash of an integer id into [0, 2^32): Knuth
+    * multiplicative hashing (TAOCP vol. 3 §6.4), `(id * 2654435761)
+    * mod 2^32`. Valid for the FULL int64 domain: the id is first
+    * reduced mod 2^32 (which cannot change the result — 2^32 divides
+    * 2^64) and the multiply is split at 16 bits so every intermediate
+    * stays under 2^49. That matters for portability: engines that
+    * RAISE on int64 overflow instead of wrapping (e.g. DuckDB) compute
+    * the identical value from the identical SQL, where the naive
+    * `(id * C) % 2^32` overflows past id ≈ 3.47e9 and goes negative
+    * for negative ids under C-style `%`.
     */
-  def hashUniform(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L)) / lit(4294967296.0)
+  def hashU32(id: Column): Column = {
+    val idn = pmod(id.cast("long"), lit(M32))         // [0, 2^32)
+    val hi = shiftright(idn, 16)                      // [0, 2^16)
+    val lo = idn.bitwiseAND(lit(65535L))              // [0, 2^16)
+    // (hi*2^16 + lo) * C mod 2^32 = ((hi*C mod 2^16)*2^16 + lo*C) mod 2^32
+    pmod(pmod(hi * lit(KnuthC), lit(65536L)) * lit(65536L) + lo * lit(KnuthC),
+      lit(M32))
+  }
+
+  /** [[hashU32]] scaled to a uniform double in [0,1). Exact integer
+    * arithmetic underneath, so the value is portable across engines
+    * (unlike engine-native hash builtins, which differ between Spark,
+    * DuckDB, and pandas and would make sampled datasets irreproducible
+    * off-Spark).
+    */
+  def hashUniform(id: Column): Column = hashU32(id) / lit(M32.toDouble)
 
   /** Reproducible Bernoulli sampling: keep rows whose [[hashUniform]]
     * falls under `rate`. A pure filter — no shuffle, no state, stable
@@ -44,12 +66,26 @@ object Mix {
     * broadcast (sources number in the hundreds, never corpus-scale) so
     * the whole operator is scan + broadcast-hash-join + row-local
     * filter: no shuffle of the corpus.
+    *
+    * Unmatched-source semantics are EXPLICIT because a silently
+    * vanishing source is indistinguishable from an intentional rate of
+    * 0: with `defaultRate = None` (the default) sources absent from the
+    * dim are DROPPED — by design, and now by contract; pass
+    * `Some(rate)` to instead keep unlisted sources at that rate (1.0 =
+    * pass through, 0.0 = drop but via the same code path a listed 0.0
+    * would take). Callers that consider an unlisted source an error
+    * should anti-join `df` against `rates` first and fail on non-empty.
     */
   def mixBySourceRates(df: DataFrame, idCol: String, sourceCol: String,
-                       rates: DataFrame): DataFrame =
-    df.join(broadcast(rates), Seq(sourceCol))
-      .filter(hashUniform(col(idCol)) < col("rate"))
-      .drop("rate")
+                       rates: DataFrame,
+                       defaultRate: Option[Double] = None): DataFrame = {
+    val joined = defaultRate match {
+      case None => df.join(broadcast(rates), Seq(sourceCol))
+      case Some(d) => df.join(broadcast(rates), Seq(sourceCol), "left")
+        .withColumn("rate", coalesce(col("rate"), lit(d)))
+    }
+    joined.filter(hashUniform(col(idCol)) < col("rate")).drop("rate")
+  }
 
   /** Sequence packing: assign documents to fixed-capacity token bins
     * ("packs") for training-batch assembly. Per shard, documents are
@@ -64,6 +100,18 @@ object Mix {
     * when the next doc would overflow") is inherently a sequential scan
     * per shard — at 100 TB that is the wrong trade against a single
     * codegen'd window pass.
+    *
+    * CONTRACTS — read before wiring:
+    *   - Shard granularity: the window partitions by `shardCol`, so
+    *     EACH SHARD IS ONE TASK (one sort, one prefix scan). This is
+    *     the right shape only when shards are plentiful and bounded —
+    *     thousands of date/file shards, not "20 sources over 100 TB"
+    *     (a 5 TB single-threaded sort per shard). For low-cardinality
+    *     or skewed shard keys use [[packSequencesScalable]].
+    *   - Determinism: requires `idCol` UNIQUE within each shard. On a
+    *     duplicate id the window's tie order is partition-dependent and
+    *     `tok_offset`/`pack_id` can differ across runs. Pass a unique
+    *     id (or pre-compose one: `concat(file, '#', rownum)`).
     */
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
                     tokenCol: String, capacity: Long): DataFrame = {
@@ -73,5 +121,50 @@ object Mix {
     df.withColumn("tok_offset",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("long"))
       .withColumn("pack_id", (col("tok_offset") / capacity).cast("long"))
+  }
+
+  /** Scale-safe sequence packing for LOW-CARDINALITY shard keys: the
+    * two-pass global-offset formulation. Within each shard, rows are
+    * hash-split into `numSubShards` sub-shards by [[hashU32]] of the
+    * id; pass 1 computes a local prefix-sum per (shard, sub-shard) —
+    * parallelism is shards × numSubShards tasks instead of one task
+    * per shard; pass 2 globalizes offsets by adding each sub-shard's
+    * base (the summed token totals of all lower-numbered sub-shards in
+    * the same shard), computed on the tiny (shards × numSubShards)-row
+    * totals table and broadcast back. No corpus-scale sort ever sees a
+    * whole shard.
+    *
+    * The deterministic layout order is (shard, subShard(id), id) —
+    * a DIFFERENT (still deterministic, still reproducible) order than
+    * [[packSequences]]' plain id order, which is the price of
+    * splitting the prefix-sum; packing semantics only need a stable
+    * order, not a specific one. Sub-shard assignment uses the portable
+    * Knuth hash, so the layout reproduces bit-for-bit off-Spark.
+    * Same unique-`idCol`-within-shard determinism precondition as
+    * [[packSequences]].
+    */
+  def packSequencesScalable(df: DataFrame, shardCol: String, idCol: String,
+                            tokenCol: String, capacity: Long,
+                            numSubShards: Int = 64): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(numSubShards > 0, "numSubShards must be positive")
+    val withSS = df.withColumn("_ss", pmod(hashU32(col(idCol)), lit(numSubShards.toLong)))
+    // pass 1: local prefix-sum within (shard, sub-shard)
+    val lw = Window.partitionBy(col(shardCol), col("_ss")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withSS.withColumn("_local_off",
+      coalesce(sum(col(tokenCol)).over(lw), lit(0L)).cast("long"))
+    // pass 2: per-sub-shard totals → exclusive running base per shard.
+    // The totals table has shards × numSubShards rows — broadcast it.
+    val bw = Window.partitionBy(col(shardCol)).orderBy(col("_ss"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withSS.groupBy(col(shardCol), col("_ss"))
+      .agg(sum(col(tokenCol)).cast("long").as("_ss_total"))
+      .withColumn("_base", coalesce(sum(col("_ss_total")).over(bw), lit(0L)))
+      .select(col(shardCol), col("_ss"), col("_base"))
+    local.join(broadcast(bases), Seq(shardCol, "_ss"))
+      .withColumn("tok_offset", (col("_base") + col("_local_off")).cast("long"))
+      .withColumn("pack_id", (col("tok_offset") / capacity).cast("long"))
+      .drop("_ss", "_local_off", "_base")
   }
 }

@@ -43,7 +43,11 @@ object MixQueries extends QueryPack {
   }
 
   /** L3 `ds_pack` — offset-based sequence packing into 512-token packs,
-    * sharded by source: one window prefix-sum per shard.
+    * sharded by source: one window prefix-sum per shard. Fine at test
+    * scale; `source` has only 20 distinct values, so at corpus scale
+    * this wiring would single-thread each shard — which is exactly what
+    * [[dsPackGlobal]] exists for (see the shard-granularity contract on
+    * [[Mix.packSequences]]).
     */
   def dsPack(s: SparkSession, dir: String): DataFrame =
     Mix.packSequences(
@@ -52,26 +56,50 @@ object MixQueries extends QueryPack {
         "source", "doc_id", "n_toks", 512)
       .select(col("doc_id"), col("source"), col("tok_offset"), col("pack_id"))
 
+  /** L3b `ds_pack_global` — the scale-safe two-pass packing over the
+    * same low-cardinality shard key: 64 hash sub-shards per source,
+    * local prefix-sums, broadcast-globalized offsets. The layout order
+    * is (source, subShard(id), id) — deterministic and fully oracled
+    * in DuckDB because sub-sharding uses the portable Knuth hash.
+    */
+  def dsPackGlobal(s: SparkSession, dir: String): DataFrame =
+    Mix.packSequencesScalable(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "doc_id", "n_toks", 512, numSubShards = 64)
+      .select(col("doc_id"), col("source"), col("tok_offset"), col("pack_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sample" -> dsSample,
     "ds_mix" -> dsMix,
-    "ds_pack" -> dsPack)
+    "ds_pack" -> dsPack,
+    "ds_pack_global" -> dsPackGlobal)
 
-  /** The Knuth hash-uniform, verbatim in SQL: exact BIGINT arithmetic,
-    * bit-identical to [[Mix.hashUniform]] in any 64-bit engine.
+  /** The Knuth hash, verbatim in overflow-free SQL — bit-identical to
+    * [[Mix.hashU32]] in any 64-bit engine for the FULL int64 id
+    * domain. The id is normalized to [0, 2^32) with a non-negative mod
+    * first (DuckDB's `%` is C-style and goes negative for negative
+    * ids) and the multiply is split at 16 bits (DuckDB RAISES on
+    * int64 overflow rather than wrapping, and the naive `id * C`
+    * overflows past id ≈ 3.47e9).
     */
-  private val hashU = "((doc_id * 2654435761) % 4294967296) / 4294967296.0"
+  private def hashU32Sql(idExpr: String): String = {
+    val idn = s"((($idExpr) % 4294967296 + 4294967296) % 4294967296)"
+    s"(((($idn // 65536) * 2654435761) % 65536) * 65536 + ($idn % 65536) * 2654435761) % 4294967296"
+  }
+  private def hashUSql(idExpr: String): String =
+    s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
     "ds_sample" ->
       s"""SELECT doc_id, source FROM documents
-         |WHERE $hashU < CAST(0.25 AS DOUBLE)""".stripMargin,
+         |WHERE ${hashUSql("doc_id")} < CAST(0.25 AS DOUBLE)""".stripMargin,
     "ds_mix" ->
       s"""SELECT d.doc_id, d.source
          |FROM documents d
          |JOIN (VALUES $ratesValuesSql) AS r(source, rate)
          |  ON d.source = r.source
-         |WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.rate""".stripMargin,
+         |WHERE ${hashUSql("d.doc_id")} < r.rate""".stripMargin,
     "ds_pack" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
@@ -82,5 +110,25 @@ object MixQueries extends QueryPack {
          |      AS tok_offset
          |  FROM t)
          |SELECT doc_id, source, tok_offset, tok_offset // 512 AS pack_id
-         |FROM o""".stripMargin)
+         |FROM o""".stripMargin,
+    "ds_pack_global" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    (${hashU32Sql("doc_id")}) % 64 AS ss
+         |  FROM documents),
+         |lo AS (SELECT doc_id, source, ss,
+         |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source, ss ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS local_off
+         |  FROM t),
+         |b AS (SELECT source, ss, sum(n_toks) AS ss_total FROM t GROUP BY 1, 2),
+         |bb AS (SELECT source, ss,
+         |    CAST(COALESCE(sum(ss_total) OVER (PARTITION BY source ORDER BY ss
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS base
+         |  FROM b)
+         |SELECT lo.doc_id, lo.source,
+         |  CAST(lo.local_off + bb.base AS BIGINT) AS tok_offset,
+         |  CAST((lo.local_off + bb.base) // 512 AS BIGINT) AS pack_id
+         |FROM lo JOIN bb ON lo.source = bb.source AND lo.ss = bb.ss""".stripMargin)
 }

@@ -68,4 +68,65 @@ class MixSpec extends SparkSpec {
     // past the end, never the start)
     assert(out.forall(t => t._4 >= t._5 * 512 && t._4 < (t._5 + 1) * 512))
   }
+
+  test("hashU32 matches the wrapping formula on the full int64 domain") {
+    // the overflow-free split multiply must equal pmod(id * C, 2^32)
+    // (Spark longs wrap, so the naive form is valid HERE — it is the
+    // oracle engines that cannot compute it) on negatives and on ids
+    // past the naive formula's 3.47e9 overflow point
+    val hard = Seq(Long.MinValue, Long.MinValue + 1, -3470000000L, -1L, 0L,
+      1L, 3469999999L, 3470000001L, Int.MaxValue.toLong, Long.MaxValue)
+    val df = (hard ++ (0 until 1000).map(i => i * 9007199254740993L))
+      .toDF("doc_id")
+    val bad = df.select(
+        Mix.hashU32($"doc_id").as("split"),
+        pmod($"doc_id" * lit(2654435761L), lit(4294967296L)).as("naive"))
+      .filter($"split" =!= $"naive")
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    val range = df.select(Mix.hashU32($"doc_id").as("h"))
+      .agg(min($"h"), max($"h")).head
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 4294967296L)
+  }
+
+  test("mixBySourceRates defaultRate keeps unlisted sources; default None drops them") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Seq(("src0", 1.0), ("src1", 0.5)).toDF("source", "rate")
+    val dropped = Mix.mixBySourceRates(docs, "doc_id", "source", rates)
+    assert(dropped.filter($"source" === "src2").isEmpty)
+    val kept = Mix.mixBySourceRates(docs, "doc_id", "source", rates, Some(1.0))
+    assert(kept.filter($"source" === "src2").count() === 1000L)
+    // listed sources behave identically under either mode
+    assert(kept.filter($"source" =!= "src2").except(dropped).isEmpty)
+  }
+
+  test("packSequencesScalable: conserves totals, equals packSequences at 1 sub-shard, no whole-shard window") {
+    val docs = (0L until 2000L)
+      .map(i => (s"src${i % 3}", i, (i % 37) + 1)).toDF("source", "doc_id", "n_toks")
+    // with ONE sub-shard the layout order degenerates to plain id order
+    // → bit-identical to the single-pass operator
+    val one = Mix.packSequencesScalable(docs, "source", "doc_id", "n_toks", 512, 1)
+      .select($"doc_id", $"source", $"tok_offset", $"pack_id")
+    val ref = Mix.packSequences(docs, "source", "doc_id", "n_toks", 512)
+      .select($"doc_id", $"source", $"tok_offset", $"pack_id")
+    assert(one.except(ref).isEmpty && ref.except(one).isEmpty)
+    // with many sub-shards: per-shard offsets are still a dense prefix
+    // layout — max(offset + n_toks) == shard token total, all offsets
+    // distinct, every doc starts inside its pack
+    val out = Mix.packSequencesScalable(docs, "source", "doc_id", "n_toks", 512, 16)
+    val perShard = out.groupBy($"source")
+      .agg(max($"tok_offset" + $"n_toks").as("end"), sum($"n_toks").as("total"),
+        count(lit(1)).as("n"), countDistinct($"tok_offset").as("nd"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("end") === r.getAs[Long]("total"))
+      assert(r.getAs[Long]("n") === r.getAs[Long]("nd"))
+    }
+    assert(out.filter(!($"tok_offset" >= $"pack_id" * 512 &&
+      $"tok_offset" < ($"pack_id" + 1) * 512)).isEmpty)
+    // scale shape: the corpus-side windows partition by (shard, _ss),
+    // never by the shard alone
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("partitionBy: [source]") || plan.contains("_ss"),
+      s"whole-shard window found:\n$plan")
+  }
 }
