@@ -202,12 +202,12 @@ object Diurnal {
     * @param keyCol the single series-id column
     * @param lagFrom the reference series' key value
     */
-  def extremaLag(picks: DataFrame, keyCol: String, lagFrom: String,
+  def extremaLag(picks: DataFrame, keyCol: String, lagFrom: Any,
                  which: String = "max"): DataFrame = {
     val hrs = decimalHours(col(s"${which}_time"), col("day"))
-    val ref = picks.filter(col(keyCol) === lagFrom)
+    val ref = picks.filter(col(keyCol) === lit(lagFrom))
       .select(col("day").as("_ref_day"), hrs.as("_ref_hrs"))
-    picks.filter(col(keyCol) =!= lagFrom)
+    picks.filter(col(keyCol) =!= lit(lagFrom))
       .join(broadcast(ref), col("day") === col("_ref_day"), "left")
       .select(col(keyCol), col("day"),
         (hrs - col("_ref_hrs")).as(s"${which}_lag_hrs"))

@@ -260,4 +260,37 @@ object TimeSeriesOps {
                  endExclusive: String): DataFrame =
     df.filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
       col(tsCol) < lit(endExclusive).cast("timestamp"))
+
+  /** Multi-window subset (gpstools.py:746 `_subset_from_windows`, the
+    * engine behind gpstools.py:411 `drop_positions`): rows whose
+    * timestamp falls inside ANY of the closed [start, end] windows —
+    * pandas label slicing is inclusive on BOTH ends, unlike
+    * [[clipWindow]]'s half-open single window; a single-point entry in
+    * the reference's droplist is the degenerate (p, p) window. The
+    * window list is a small manual-QC artifact, so it compiles to a
+    * literal OR-of-BETWEENs predicate: row-local, pushed to the parquet
+    * scan (row-group min/max pruning), no join.
+    */
+  def subsetFromWindows(df: DataFrame, tsCol: String,
+                        windows: Seq[(String, String)]): DataFrame = {
+    require(windows.nonEmpty, "windows must be non-empty")
+    df.filter(windowsPred(col(tsCol), windows))
+  }
+
+  /** Droplist QC (gpstools.py:411 `drop_positions` with
+    * `apply_to_instance=True` → gpstools.py:431 `drop_from_instance`):
+    * REMOVE every observation inside the windows — the complement of
+    * [[subsetFromWindows]] over non-null timestamps (null timestamps
+    * are kept: no droplist entry can name them).
+    */
+  def dropPositions(df: DataFrame, tsCol: String,
+                    windows: Seq[(String, String)]): DataFrame = {
+    require(windows.nonEmpty, "windows must be non-empty")
+    df.filter(!coalesce(windowsPred(col(tsCol), windows), lit(false)))
+  }
+
+  private def windowsPred(ts: Column, windows: Seq[(String, String)]): Column =
+    windows.map { case (a, b) =>
+      ts.between(lit(a).cast("timestamp"), lit(b).cast("timestamp"))
+    }.reduce(_ || _)
 }

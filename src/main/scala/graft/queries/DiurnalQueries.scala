@@ -66,7 +66,20 @@ object DiurnalQueries extends QueryPack {
     formatted(Diurnal.extremaPredicted(e(s, dir), K, "ts", "value",
       "2024-01-09", minFirst = true))
 
+  /** B5+ `diurnal_lag` — cross-series extrema-timing lag against the
+    * reference series, user 0 (diurnal.py:24 `lag_df`): hours by which
+    * each user's daily maximum trails user 0's. One broadcastable
+    * per-day join on the tiny picks table; days where the reference has
+    * no pick lag null (pandas' aligned-subtraction NaN).
+    */
+  def diurnalLag(s: SparkSession, dir: String): DataFrame =
+    Diurnal.extremaLag(Diurnal.extrema(e(s, dir), K, "ts", "value"),
+        "user_id", 0, "max")
+      .select(col("user_id"), fmtDay(col("day")).as("day"),
+        col("max_lag_hrs"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diurnal_lag" -> diurnalLag,
     "diurnal_boundary" -> diurnalBoundary,
     "diurnal_predict_minfirst" -> diurnalPredictMinFirst,
     "diurnal_extrema" -> diurnalExtrema,
@@ -94,6 +107,16 @@ object DiurnalQueries extends QueryPack {
        |        FROM w GROUP BY user_id, d, minv, maxv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "diurnal_lag" ->
+      s"""$extCte,
+         |hrs AS (SELECT user_id, d,
+         |    (epoch_us(max_time) - epoch_us(d)) / (3600.0 * 1000000) AS h
+         |  FROM ext)
+         |SELECT a.user_id, strftime(a.d, '%Y-%m-%d') AS day,
+         |  a.h - r.h AS max_lag_hrs
+         |FROM hrs a LEFT JOIN (SELECT d, h FROM hrs WHERE user_id = 0) r
+         |  ON a.d = r.d
+         |WHERE a.user_id <> 0""".stripMargin,
     "diurnal_boundary" ->
       s"""$extCte,
          |obs AS (SELECT user_id, ts, value,

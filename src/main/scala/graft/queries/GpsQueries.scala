@@ -77,7 +77,22 @@ object GpsQueries extends QueryPack {
         "2024-01-05", "2024-01-15")
       .select(col("a_user_id"), col("b_user_id"), r6(col("distance")).as("distance"))
 
+  /** C5+ `gps_drop_windows` — droplist manual QC (gpstools.py:411
+    * `drop_positions` applied to the instance): remove two bad-fix time
+    * windows from the position series. The droplist compiles to a
+    * row-local NOT(any BETWEEN) predicate — a complement filter keeps
+    * most of the corpus, so the full scan is inherent; no join, no
+    * shuffle.
+    */
+  def gpsDropWindows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeriesOps.dropPositions(pos(s, dir), "ts", Seq(
+        ("2024-01-03 00:00:00", "2024-01-04 12:00:00"),
+        ("2024-01-10 06:00:00", "2024-01-10 18:00:00")))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        r6(col("dnorth")).as("dnorth"), r6(col("deast")).as("deast"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gps_drop_windows" -> gpsDropWindows,
     "gps_station_dist" -> gpsStationDist,
     "gps_flow_angle" -> gpsFlowAngle,
     "gps_reproject" -> gpsReproject,
@@ -102,6 +117,16 @@ object GpsQueries extends QueryPack {
        |  JOIN daily l ON l.user_id = fl.user_id AND l.d = fl.d1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gps_drop_windows" ->
+      s"""$posCte
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts,
+         |  floor(dnorth * 1000000 + 0.5001) / 1000000 AS dnorth,
+         |  floor(deast * 1000000 + 0.5001) / 1000000 AS deast
+         |FROM pos
+         |WHERE NOT (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+         |             AND TIMESTAMP '2024-01-04 12:00:00'
+         |        OR ts BETWEEN TIMESTAMP '2024-01-10 06:00:00'
+         |             AND TIMESTAMP '2024-01-10 18:00:00')""".stripMargin,
     "gps_station_dist" ->
       s"""$posCte,
          |means AS (SELECT user_id, avg(dnorth) AS mn, avg(deast) AS me

@@ -80,7 +80,18 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("norm_text"),
         TextAnalysis.wsTokenCount(col("norm_text")).cast("long").as("n_tokens"))
 
+  /** I+ `text_redact` — the PII scrub pass (emails → digit runs →
+    * phone shapes, in that order). The rules are RE2-portable by
+    * design, so the oracle pins the exact same regexes in DuckDB —
+    * scrub semantics are cross-engine-verified the same way the
+    * normalization pass is.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> textRedact,
     "text_normalize" -> textNormalize,
     "text_topterms" -> textTopTerms,
     "text_tokens" -> textTokens,
@@ -89,6 +100,14 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g'),
+        |    '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}',
+        |    '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text

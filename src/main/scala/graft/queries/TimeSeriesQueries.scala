@@ -105,7 +105,24 @@ object TimeSeriesQueries extends QueryPack {
       .select(col("user_id"), fmtTs(col("ts")).as("ts"), col("value"))
   }
 
+  /** A9+ `ts_subset_windows` — multi-window subset (gpstools.py:746
+    * `_subset_from_windows`): the envelope [min start, past max end)
+    * goes through [[Tables.eventsClipped]] so a raw-nanos range reaches
+    * the parquet scan as a PushedFilter, then the exact inclusive
+    * windows (including a degenerate single-point one) apply row-local.
+    */
+  def tsSubsetWindows(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.subsetFromWindows(
+        Tables.eventsClipped(s, dir, "2024-01-05", "2024-01-23"),
+        "ts", Seq(
+          ("2024-01-05 00:00:00", "2024-01-07 23:59:59"),
+          ("2024-01-12 00:00:00", "2024-01-12 00:00:00"),
+          ("2024-01-20 00:00:00", "2024-01-22 12:00:00")))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_subset_windows" -> tsSubsetWindows,
     "ts_upsample_nearest" -> tsUpsampleNearest,
     "ts_rolling_center" -> tsRollingCenter,
     "ts_rolling_multi" -> tsRollingMulti,
@@ -239,5 +256,15 @@ object TimeSeriesQueries extends QueryPack {
          |  strftime(CAST(ts AS TIMESTAMP), '$fmt') AS ts, value
          |FROM events
          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
-         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'""".stripMargin)
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'""".stripMargin,
+    "ts_subset_windows" ->
+      s"""SELECT event_id, user_id,
+         |  strftime(CAST(ts AS TIMESTAMP), '$fmt') AS ts, value
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+         |        AND TIMESTAMP '2024-01-07 23:59:59'
+         |   OR CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-12 00:00:00'
+         |        AND TIMESTAMP '2024-01-12 00:00:00'
+         |   OR CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+         |        AND TIMESTAMP '2024-01-22 12:00:00'""".stripMargin)
 }

@@ -132,4 +132,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val out = TimeSeriesOps.inferSampling(df, Seq("k"), "t").collect()
     assert(out.head.getAs[Long]("sampling_rate_s") === 30L)
   }
+
+  test("subsetFromWindows: inclusive both ends, single-point windows, union of windows") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", 2.0),
+      ("a", "2024-01-01 02:00:00", 3.0),
+      ("a", "2024-01-01 03:00:00", 4.0),
+      ("a", "2024-01-01 04:00:00", 5.0))
+    // [00:00, 01:00] closed both ends (pandas label-slice), plus the
+    // degenerate single-point window at 03:00
+    val out = TimeSeriesOps.subsetFromWindows(df, "t", Seq(
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ("2024-01-01 03:00:00", "2024-01-01 03:00:00")))
+      .orderBy("t").collect().map(_.getAs[Double]("v"))
+    assert(out === Array(1.0, 2.0, 4.0))
+  }
+
+  test("dropPositions is the complement of subsetFromWindows and keeps null timestamps") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", 2.0),
+      ("a", null, 3.0))
+    val windows = Seq(("2024-01-01 01:00:00", "2024-01-01 02:00:00"))
+    val dropped = TimeSeriesOps.dropPositions(df, "t", windows)
+      .collect().map(_.getAs[Double]("v")).sorted
+    assert(dropped === Array(1.0, 3.0)) // null ts survives the droplist
+    val subset = TimeSeriesOps.subsetFromWindows(df, "t", windows)
+      .collect().map(_.getAs[Double]("v"))
+    assert(subset === Array(2.0))
+  }
 }
