@@ -56,6 +56,10 @@ object DedupQueries extends QueryPack {
     val maxId = ids.agg(max(col("event_id"))).head.getLong(0)
     val edges = ids.filter(col("event_id") * 8 <= maxId && col("event_id") > 0)
       .select(col("event_id").as("src"), (col("event_id") * 8).as("dst"))
+    // pointer doubling, not large-small-star: A/B on this graph at
+    // sf0.1 (min-of-3, local[32]) measured 2.04s vs 4.90s — LS/SS pays
+    // an extra distinct + per-round symmetrize that only wins when the
+    // edge multiset itself is too hot to re-join (see PLANS.md).
     Dedup.connectedComponents(edges).select(col("node"), col("component"))
   }
 
