@@ -602,6 +602,65 @@ def _():
     d["tok_offset"] = d.groupby("source")["n_toks"].cumsum() - d["n_toks"]
     d["pack_id"] = d["tok_offset"] // 512
 
+# ---- round-5 widening: PII scrub, scalable packing, window droplists,
+# extrema lag — the new graft queries' single-node twins.
+
+# I+: PII redaction (pandas str.replace chain, same rule order)
+@timed("text_redact")
+def _():
+    t = docs_pd["text"].str.replace(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", regex=True)
+    t = t.str.replace(r"[0-9]{7,}", "<NUM>", regex=True)
+    t.str.replace(
+        r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}",
+        "<PHONE>", regex=True)
+
+# L3b: two-pass packing's layout (single-node: one sort over the
+# (source, subshard, id) order; the overflow-free Knuth hash verbatim)
+@timed("ds_pack_global")
+def _():
+    d = docs_pd[["doc_id", "source"]].copy()
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    idn = d["doc_id"] % 4294967296
+    h = ((idn // 65536 * 2654435761) % 65536 * 65536
+         + (idn % 65536) * 2654435761) % 4294967296
+    d["ss"] = h % 64
+    d = d.sort_values(["source", "ss", "doc_id"])
+    d["tok_offset"] = d.groupby("source")["n_toks"].cumsum() - d["n_toks"]
+    d["pack_id"] = d["tok_offset"] // 512
+
+# A9+: multi-window subset and droplist complement (boolean masks)
+@timed("ts_subset_windows")
+def _():
+    m = (((ev["ts"] >= pd.Timestamp("2024-01-05"))
+          & (ev["ts"] <= pd.Timestamp("2024-01-07 23:59:59")))
+         | (ev["ts"] == pd.Timestamp("2024-01-12"))
+         | ((ev["ts"] >= pd.Timestamp("2024-01-20"))
+            & (ev["ts"] <= pd.Timestamp("2024-01-22 12:00:00"))))
+    ev[m]
+
+@timed("gps_drop_windows")
+def _():
+    m = (((ev["ts"] >= pd.Timestamp("2024-01-03"))
+          & (ev["ts"] <= pd.Timestamp("2024-01-04 12:00:00")))
+         | ((ev["ts"] >= pd.Timestamp("2024-01-10 06:00:00"))
+            & (ev["ts"] <= pd.Timestamp("2024-01-10 18:00:00"))))
+    ev[~m]
+
+# B5+: extrema-timing lag vs reference series — the literal lag_df
+# shape (diurnal.py:24): unstack the per-(user, day) hours, subtract
+# the reference column
+@timed("diurnal_lag")
+def _():
+    d = ev.copy()
+    d["day"] = d["ts"].dt.floor("D")
+    g = d.groupby(["user_id", "day"])["value"]
+    mx = d.loc[g.transform("max").eq(d["value"])].groupby(
+        ["user_id", "day"])["ts"].min()
+    hrs = (mx - mx.dt.normalize()).dt.total_seconds() / 3600
+    w = hrs.unstack(0)
+    w.sub(w[0], axis=0).drop(columns=[0])
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
