@@ -154,6 +154,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head === 1L)
   }
 
+  test("recenterIfDrifted restores probe recall after appends dominate a bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrecall").toString
+    // build on two clean clusters around e1 and e2
+    val base = ((1 to 5).map(i => (i.toLong,
+        Array(1f, 0f, 0.01f * i, 0f, 0f, 0f, 0f, 0f))) ++
+      (11 to 15).map(i => (i.toLong,
+        Array(0f, 1f, 0f, 0.01f * (i - 10), 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      base, "vec_id", "embedding", dir, k = 2, iterations = 3)
+    // 50 appends in a direction that buckets with e1 (cos .8 vs .59) and
+    // comes to DOMINATE that bucket's member mean
+    val appends = (100 to 149).map(i => (i.toLong,
+        Array(0.8f, 0.59f, 0f, 0f, 0.001f * (i - 100), 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    idx.addVectors(appends)
+    // query between the appended mass and e2: against the STALE stored
+    // centroids it ranks the e2 bucket first (cos .8 vs .6) even though
+    // every true neighbor lives in the appended-to bucket
+    val q = Seq((0L, Array(0.6f, 0.8f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(
+        base.union(appends), "vec_id", "embedding", q, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(truth.forall(_ >= 100L)) // fixture: brute-force top-5 is appends
+    def recall(): Double = {
+      val got = idx.topK(q, 5, nProbe = 1).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val before = recall()
+    assert(before === 0.0,
+      s"fixture: stale centroids should mis-probe, got recall $before")
+    assert(idx.recenterIfDrifted(minCosine = 0.99)) // drift detected, recenter ran
+    val after = recall()
+    assert(after === 1.0, s"recall after recenter: $after")
+  }
+
   test("IvfIndex.topKBatch answers a query TABLE in one pass, matching per-query probes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfbatch").toString
     val idx = graft.similarity.IvfIndex.buildOrLoad(
