@@ -90,7 +90,17 @@ object TextQueries extends QueryPack {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.redactPii(col("text")).as("redacted"))
 
+  /** I5 `text_repetition` — Gopher-style within-document duplication
+    * fractions (dup-line chars, dup-2-gram instances): the standard
+    * repetition quality gate of pre-training pipelines. Exact
+    * integer-count fractions, fully oracled.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("dup_line_frac"), col("dup_2gram_frac"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
     "text_normalize" -> textNormalize,
     "text_topterms" -> textTopTerms,
@@ -100,6 +110,29 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |lc AS (SELECT doc_id, line, count(*) AS n,
+        |    CAST(length(line) AS BIGINT) AS len
+        |  FROM l GROUP BY doc_id, line),
+        |lf AS (SELECT doc_id,
+        |    sum(CASE WHEN n > 1 THEN n * len ELSE 0 END) / sum(n * len)
+        |      AS dup_line_frac
+        |  FROM lc GROUP BY doc_id),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |gc AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+        |gf AS (SELECT doc_id,
+        |    sum(CASE WHEN n > 1 THEN n ELSE 0 END) / sum(n) AS dup_2gram_frac
+        |  FROM gc GROUP BY doc_id)
+        |SELECT d.doc_id, lf.dup_line_frac, gf.dup_2gram_frac
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN lf ON d.doc_id = lf.doc_id
+        |LEFT JOIN gf ON d.doc_id = gf.doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-pipeline curation (SURVEY §2 I1-I4).
@@ -108,6 +108,53 @@ object TextAnalysis {
       "punct_ratio" -> punct / len,
       "digit_ratio" -> digits / len,
       "stopword_ratio" -> sw / nWords)
+  }
+
+  /** Repetition signals (I5) — the within-document duplication
+    * fractions used as pre-training quality gates (the style of rule
+    * popularized by the Gopher/MassiveText filtering pipeline, Rae et
+    * al. 2021, table A1):
+    *
+    *   - `dup_line_frac`: fraction of line-characters belonging to a
+    *     line that occurs 2+ times in the document;
+    *   - `dup_2gram_frac`: fraction of word-2-gram instances whose gram
+    *     occurs 2+ times (null when the document has fewer than 2
+    *     words — no gram instances to take a fraction of).
+    *
+    * Scale shape: two explode → partial-aggregate passes keyed by
+    * (doc_id, line|gram), then per-doc sums — every shuffle key is the
+    * doc id, aggregates combine map-side, and nothing is quadratic in
+    * document length (the row-local alternative — counting each
+    * element's occurrences with a nested filter() — is O(len²) per
+    * document and falls over on long documents). Fractions are exact
+    * integer-count divisions, so the DuckDB oracle matches bit-for-bit.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("_l"))
+      .groupBy(col(idCol), col("_l"))
+      .agg(count(lit(1)).as("_n"), length(col("_l")).cast("long").as("_len"))
+      .groupBy(col(idCol))
+      .agg((sum(when(col("_n") > 1, col("_n") * col("_len")).otherwise(0L)) /
+        sum(col("_n") * col("_len"))).as("dup_line_frac"))
+    // adjacent word pairs built ROW-LOCALLY (no lead() window — that
+    // shape would sort every document's words inside a shuffle; this
+    // one only hash-aggregates the exploded grams)
+    val wordsArr = split(col(textCol), " ")
+    val gramArr = when(size(wordsArr) >= 2,
+      transform(sequence(lit(1), size(wordsArr) - 1),
+        i => concat_ws(" ", element_at(wordsArr, i), element_at(wordsArr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(col(idCol), explode(gramArr).as("_g"))
+      .groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol))
+      .agg((sum(when(col("_n") > 1, col("_n")).otherwise(0L)) /
+        sum(col("_n"))).as("dup_2gram_frac"))
+    docs.select(col(idCol)).distinct()
+      .join(lines, Seq(idCol), "left")
+      .join(grams, Seq(idCol), "left")
   }
 
   /** Document fingerprint (I4): min of md5 over 5-word shingles — a

@@ -72,6 +72,25 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out === fixtures.map(_._2))
   }
 
+  test("repetitionSignals computes Gopher-style dup-line and dup-2gram fractions") {
+    val docs = Seq(
+      // "a b" occurs twice among 3 grams -> 2/3; line "x" twice among
+      // lines (x:1ch x2 dup, y:1ch) -> 2/3 of line chars
+      (1L, "x\ny\nx"),
+      (2L, "a b a b"), // grams: "a b","b a","a b" -> 2 dup of 3
+      (3L, "solo"),    // one word: no grams -> null; one line -> 0.0
+      (4L, "p q r"))   // all unique -> 0.0, 0.0
+    val out = TextAnalysis.repetitionSignals(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._1.get === 2.0 / 3)
+    assert(out(2L)._2.get === 2.0 / 3)
+    assert(out(3L) === (Some(0.0), None))
+    assert(out(4L) === (Some(0.0), Some(0.0)))
+  }
+
   test("multimodal: media schema carries binary payload + typed metadata") {
     val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
     val m = Multimodal.withMediaSchema(docs, "doc_id", "text", "n_chars").head
