@@ -393,6 +393,36 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("drop_id"))
 
+  /** Eval-set decontamination: training documents sharing at least
+    * `minOverlap` DISTINCT word n-gram shingles with the benchmark set
+    * — the step that keeps eval questions out of the training corpus
+    * (run before training, after dedup). Output: (doc_id, n_overlap)
+    * for contaminated docs; anti-join the corpus against it to scrub.
+    *
+    * Scale shape: eval sets are tiny next to the corpus (thousands of
+    * docs vs billions), so the benchmark's distinct shingle hashes are
+    * BROADCAST and the corpus side is a row-local shingle projection +
+    * explode + broadcast-hash-join + one partial-aggregating count by
+    * doc id — the corpus is never shuffled except by its own id for
+    * the final count, and rows with no benchmark hit die at the join
+    * before that shuffle.
+    */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                      benchmark: DataFrame, benchTextCol: String,
+                      shingleN: Int = 5, minOverlap: Int = 3): DataFrame = {
+    val benchShingles = broadcast(
+      benchmark.filter(col(benchTextCol).isNotNull)
+        .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
+        .select(xxhash64(col("_bs")).as("_bh")).distinct())
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("_s"))
+      .join(benchShingles, xxhash64(col("_s")) === col("_bh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** G4: blocked n-gram Jaccard verify — exact Jaccard over word
     * n-grams for candidate pairs inside a blocking key (e.g. source),
     * never across the full corpus.

@@ -87,6 +87,33 @@ object Mix {
     joined.filter(hashUniform(col(idCol)) < col("rate")).drop("rate")
   }
 
+  /** Token-budget downsampling: reduce each source to an EXPECTED
+    * `budgetTokens` total tokens by hash-Bernoulli sampling at
+    * `rate_s = min(1, budget / source_tokens)` — the "cap the
+    * over-represented domains" step of corpus assembly when the mixture
+    * target is a token count rather than a hand-set rate (rates then
+    * follow from the data). Under-budget sources pass through whole.
+    *
+    * Two passes, both scale-clean: (1) per-source token totals — a
+    * map-side-combining aggregate producing one row per source; (2) the
+    * totals (tiny) broadcast back and the same row-local [[hashUniform]]
+    * filter [[sampleByHash]] uses. Deterministic: same corpus, same
+    * budget → the same sampled ids, reproducible off-Spark (the rate is
+    * an exact int/int division and the hash is [[hashU32]]).
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                          tokenCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("_src_toks"))
+      .withColumn("_rate",
+        least(lit(1.0), lit(budgetTokens.toDouble) / col("_src_toks")))
+      .select(col(sourceCol), col("_rate"))
+    df.join(broadcast(totals), Seq(sourceCol))
+      .filter(hashUniform(col(idCol)) < col("_rate"))
+      .drop("_rate")
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins
     * ("packs") for training-batch assembly. Per shard, documents are
     * laid out in deterministic `idCol` order; each doc's `tok_offset`

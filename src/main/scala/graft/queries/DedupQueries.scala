@@ -63,7 +63,21 @@ object DedupQueries extends QueryPack {
     Dedup.connectedComponents(edges).select(col("node"), col("component"))
   }
 
+  /** G6 `dedup_decontam` — eval-set decontamination: docs sharing >= 3
+    * distinct 5-gram shingles with the benchmark slice (every 97th doc
+    * standing in for an eval set). The benchmark's shingles broadcast;
+    * the oracle joins on the shingle strings (identical result barring
+    * an xxhash64 collision, same convention as dedup_exact's sha2).
+    */
+  def dedupDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminatedIds(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "text",
+      shingleN = 5, minOverlap = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontam" -> dedupDecontam,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -75,6 +89,20 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_decontam" ->
+      """WITH b AS (SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS s
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE doc_id % 97 = 0)),
+        |d AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+        |      i -> array_to_string(ws[i:i+4], ' ')))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT d.doc_id, count(*) AS n_overlap
+        |FROM d JOIN b ON d.s = b.s
+        |GROUP BY d.doc_id
+        |HAVING count(*) >= 3""".stripMargin,
     "dedup_clusters" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |nodes AS (

@@ -69,9 +69,23 @@ object MixQueries extends QueryPack {
         "source", "doc_id", "n_toks", 512, numSubShards = 64)
       .select(col("doc_id"), col("source"), col("tok_offset"), col("pack_id"))
 
+  /** L2b `ds_budget` — token-budget downsampling: cap every source at
+    * an expected 500 tokens; the per-source rates FOLLOW from the data
+    * (tiny totals aggregate, broadcast back) instead of being hand-set
+    * like ds_mix's. Fully oracled: the rate is an exact int/int double
+    * division in both engines.
+    */
+  def dsBudget(s: SparkSession, dir: String): DataFrame =
+    Mix.sampleToTokenBudget(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id", "source", "n_toks", 500)
+      .select(col("doc_id"), col("source"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sample" -> dsSample,
     "ds_mix" -> dsMix,
+    "ds_budget" -> dsBudget,
     "ds_pack" -> dsPack,
     "ds_pack_global" -> dsPackGlobal)
 
@@ -100,6 +114,16 @@ object MixQueries extends QueryPack {
          |JOIN (VALUES $ratesValuesSql) AS r(source, rate)
          |  ON d.source = r.source
          |WHERE ${hashUSql("d.doc_id")} < r.rate""".stripMargin,
+    "ds_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |r AS (SELECT source,
+         |    least(CAST(1.0 AS DOUBLE), CAST(500 AS DOUBLE) / sum(n_toks)) AS rate
+         |  FROM t GROUP BY source)
+         |SELECT t.doc_id, t.source
+         |FROM t JOIN r ON t.source = r.source
+         |WHERE ${hashUSql("t.doc_id")} < r.rate""".stripMargin,
     "ds_pack" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks

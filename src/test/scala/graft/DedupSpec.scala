@@ -205,4 +205,21 @@ class DedupSpec extends SparkSpec {
     val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).head.getDouble(0)
     assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // 4 of its 5-grams appear in the benchmark
+      (2L, "z y x w v u t s"),   // disjoint vocabulary
+      (3L, "a b c d e q r s t")) // exactly one shared 5-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h i")).toDF("bid", "text")
+    val m = Dedup.contaminatedIds(docs, "doc_id", "text", bench, "text",
+        shingleN = 5, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 4L)) // doc 3's single overlap is under the floor
+    // the benchmark side is the broadcast build side
+    val plan = Dedup.contaminatedIds(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }

@@ -99,6 +99,22 @@ class MixSpec extends SparkSpec {
     assert(kept.filter($"source" =!= "src2").except(dropped).isEmpty)
   }
 
+  test("sampleToTokenBudget caps over-budget sources, passes under-budget sources whole") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i < 900) "big" else "small", 10L))
+      .toDF("doc_id", "source", "n_toks")
+    // big: 9000 tokens -> rate 1/3; small: 1000 tokens -> rate 1.0
+    val out = Mix.sampleToTokenBudget(docs, "doc_id", "source", "n_toks", 3000L)
+    val by = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("small") === 100L) // under budget: whole source kept
+    assert(math.abs(by("big") - 300L) < 60, s"got ${by("big")}")
+    // the derived rate reproduces plain hash sampling exactly
+    val manual = Mix.sampleByHash(
+      docs.filter($"source" === "big"), "doc_id", 3000.0 / 9000.0).count()
+    assert(by("big") === manual)
+  }
+
   test("packSequencesScalable: conserves totals, equals packSequences at 1 sub-shard, no whole-shard window") {
     val docs = (0L until 2000L)
       .map(i => (s"src${i % 3}", i, (i % 37) + 1)).toDF("source", "doc_id", "n_toks")
