@@ -68,6 +68,26 @@ object Gps {
       .drop("_slope", "_intercept")
   }
 
+  /** Vertical detrend in sample order (gpstools.py:498
+    * `z_detrend_wrt_xflow`): the reference re-indexes z by xflow and
+    * calls scipy.signal.detrend(type='linear') — which fits against
+    * EQUALLY SPACED SAMPLE POSITIONS, not the index values it was just
+    * given (signal.detrend ignores the index). The faithful
+    * counterpart is therefore OLS of z against the 0..n-1 row position
+    * per key, reusing [[linearDetrend]]. `orderCols` must make the
+    * order total (include a tie-breaker after the timestamp) or the
+    * fitted positions are nondeterministic under ties.
+    */
+  def zDetrendSampleOrder(df: DataFrame, keys: Seq[String],
+                          orderCols: Seq[String], zCol: String,
+                          outCol: String = "z_detrended"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    linearDetrend(
+      df.withColumn("_pos", (row_number().over(w) - 1).cast("double")),
+      keys, "_pos", zCol, outCol).drop("_pos")
+  }
+
   /** Velocity from paired binned medians (C4; gpstools.py:524-608):
     * median position per fixed time bucket, velocity between
     * consecutive buckets divided by the bucket length as a fraction of

@@ -261,6 +261,32 @@ object TimeSeriesOps {
     df.filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
       col(tsCol) < lit(endExclusive).cast("timestamp"))
 
+  /** Boundary-mode time slice (gpstools.py:729 `subset_from_bounds`
+    * with gpstools.py:907 `_set_window_bounds`): one [start, end]
+    * window whose endpoints are individually open or closed. The
+    * reference implements exclusivity by shifting a bound to the
+    * next/previous observation when the bound is an observation label;
+    * that is strict comparison, expressed here directly (with one
+    * documented divergence: multiple observations SHARING an excluded
+    * boundary timestamp are all excluded, where the reference's
+    * index[1] shift would keep the later duplicates — label-slicing
+    * trivia, not semantics worth reproducing).
+    */
+  def clipWindowClosed(df: DataFrame, tsCol: String, start: String,
+                       end: String, closed: String = "both"): DataFrame = {
+    val s = lit(start).cast("timestamp")
+    val e = lit(end).cast("timestamp")
+    val pred = closed match {
+      case "both"    => col(tsCol) >= s && col(tsCol) <= e
+      case "left"    => col(tsCol) >= s && col(tsCol) < e
+      case "right"   => col(tsCol) > s && col(tsCol) <= e
+      case "neither" => col(tsCol) > s && col(tsCol) < e
+      case other => throw new IllegalArgumentException(
+        s"closed must be both/left/right/neither, got '$other'")
+    }
+    df.filter(pred)
+  }
+
   /** Multi-window subset (gpstools.py:746 `_subset_from_windows`, the
     * engine behind gpstools.py:411 `drop_positions`): rows whose
     * timestamp falls inside ANY of the closed [start, end] windows —

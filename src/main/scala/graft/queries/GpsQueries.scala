@@ -91,7 +91,19 @@ object GpsQueries extends QueryPack {
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
         r6(col("dnorth")).as("dnorth"), r6(col("deast")).as("deast"))
 
+  /** C3+ `gps_zdetrend` — vertical detrend in sample order
+    * (gpstools.py:498 z_detrend_wrt_xflow; see zDetrendSampleOrder for
+    * why the fit is against row position, mirroring signal.detrend).
+    * (ts, event_id) makes the per-user order total.
+    */
+  def gpsZDetrend(s: SparkSession, dir: String): DataFrame =
+    Gps.zDetrendSampleOrder(pos(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "value")
+      .select(col("event_id"), col("user_id"),
+        r4(col("z_detrended")).as("z_detrended"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gps_zdetrend" -> gpsZDetrend,
     "gps_drop_windows" -> gpsDropWindows,
     "gps_station_dist" -> gpsStationDist,
     "gps_flow_angle" -> gpsFlowAngle,
@@ -150,6 +162,18 @@ object GpsQueries extends QueryPack {
          |  floor((cos(a.alpha) * s.de + sin(a.alpha) * s.dn) * 1000000 + 0.5001) / 1000000 AS xflow,
          |  floor((-sin(a.alpha) * s.de + cos(a.alpha) * s.dn) * 1000000 + 0.5001) / 1000000 AS xtran
          |FROM shifted s JOIN alphas a ON s.user_id = a.user_id""".stripMargin,
+    "gps_zdetrend" ->
+      s"""$posCte,
+         |p2 AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS DOUBLE) AS pos
+         |  FROM pos),
+         |fit AS (SELECT user_id, regr_slope(value, pos) AS slope,
+         |          regr_intercept(value, pos) AS icept
+         |        FROM p2 GROUP BY user_id)
+         |SELECT p2.event_id, p2.user_id,
+         |  floor((p2.value - fit.icept - fit.slope * p2.pos) * 10000 + 0.5001) / 10000 AS z_detrended
+         |FROM p2 JOIN fit ON p2.user_id = fit.user_id""".stripMargin,
     "gps_detrend" ->
       s"""$posCte,
          |p2 AS (SELECT *,

@@ -73,6 +73,19 @@ class ApiSpec extends SparkSpec {
     assert(rows.columns.contains("alpha"))
   }
 
+  test("zDetrendSampleOrder fits against row position like signal.detrend") {
+    import org.apache.spark.sql.functions._
+    // z = 2*pos + 1 exactly -> detrended is identically 0
+    val pos = (0 until 20).map(i =>
+        ("s1", f"2024-01-01 ${i}%02d:00:00", 2.0 * i + 1.0))
+      .toDF("k", "t", "z")
+      .select($"k", $"t".cast("timestamp").as("t"), $"z")
+    val out = graft.operators.Gps.zDetrendSampleOrder(
+        pos, Seq("k"), Seq("t"), "z")
+      .agg(max(abs($"z_detrended"))).head.getDouble(0)
+    assert(out < 1e-9, s"perfect linear trend should detrend to 0, got $out")
+  }
+
   test("OnIce.samplesInTimespan uses the per-key inferred sampling rate") {
     val pos = (0 until 10).map(i =>
       ("s1", f"2024-01-01 00:${i * 5}%02d:00", i.toDouble, i.toDouble))

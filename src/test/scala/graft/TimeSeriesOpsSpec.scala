@@ -149,6 +149,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out === Array(1.0, 2.0, 4.0))
   }
 
+  test("clipWindowClosed honors each boundary mode like subset_from_bounds") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", 2.0),
+      ("a", "2024-01-01 02:00:00", 3.0))
+    def vals(closed: String) = TimeSeriesOps.clipWindowClosed(
+        df, "t", "2024-01-01 00:00:00", "2024-01-01 02:00:00", closed)
+      .orderBy("t").collect().map(_.getAs[Double]("v")).toSeq
+    assert(vals("both") === Seq(1.0, 2.0, 3.0))
+    assert(vals("left") === Seq(1.0, 2.0))
+    assert(vals("right") === Seq(2.0, 3.0))
+    assert(vals("neither") === Seq(2.0))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.clipWindowClosed(df, "t", "2024-01-01", "2024-01-02", "sideways")
+    }
+  }
+
   test("dropPositions is the complement of subsetFromWindows and keeps null timestamps") {
     val df = series(
       ("a", "2024-01-01 00:00:00", 1.0),
