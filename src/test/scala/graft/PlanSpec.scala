@@ -74,4 +74,54 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"boundary check re-shuffles:\n$plan")
   }
+
+  test("ds_sample / ds_budget / ds_mix never shuffle the corpus rows") {
+    // L-family filters are scan + (broadcast join +) row-local predicate;
+    // the only exchanges allowed are the tiny dim/totals aggregations
+    // and broadcasts — never a hashpartitioning of the documents rows.
+    Seq("ds_sample" -> MixQueries.dsSample(spark, dir),
+        "ds_mix" -> MixQueries.dsMix(spark, dir)).foreach { case (n, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$n shuffles the corpus:\n$plan")
+    }
+    val budget = planOf(MixQueries.dsBudget(spark, dir))
+    assert(budget.contains("BroadcastHashJoin"),
+      s"ds_budget should broadcast the rates:\n$budget")
+    // the one allowed exchange aggregates per-source totals (20 rows),
+    // not the corpus join key
+    assert("Exchange hashpartitioning".r.findAllIn(budget).size <= 1,
+      s"ds_budget re-shuffles:\n$budget")
+  }
+
+  test("ds_pack_global windows partition by (shard, sub-shard); bases broadcast back") {
+    val plan = planOf(MixQueries.dsPackGlobal(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sub-shard bases should broadcast:\n$plan")
+    // no window partitioned by the shard column alone — every corpus
+    // window key includes the sub-shard
+    assert(!"hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(plan).isDefined ||
+      plan.contains("_ss"),
+      s"whole-shard window survives in ds_pack_global:\n$plan")
+  }
+
+  test("dedup_decontam broadcasts the benchmark; corpus shuffles only for its own count") {
+    val plan = planOf(DedupQueries.dedupDecontam(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark side should be a broadcast semi-join:\n$plan")
+    // two exchanges only: the benchmark's distinct (tiny, under the
+    // BroadcastExchange) and the corpus's own doc_id count after the join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"decontam shuffles more than bench-distinct + final count:\n$plan")
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"the corpus exchange should be the doc_id count:\n$plan")
+  }
+
+  test("text_repetition aggregates with map-side partials and no sort window") {
+    val plan = planOf(TextQueries.textRepetition(spark, dir))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+      s"repetition signals regressed to a window:\n$plan")
+    assert(plan.contains("partial"),
+      s"no partial aggregation before the shuffle:\n$plan")
+  }
 }
