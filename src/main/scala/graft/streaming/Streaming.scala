@@ -88,6 +88,58 @@ object Streaming {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming ingestion quality gate — the curation steps that are
+    * pure row-local projections/filters in batch stay exactly that on a
+    * stream (stateless, no watermark needed): normalize, redact PII,
+    * count tokens, score quality, drop rows under the floors. The point
+    * of having a named twin is the CONTRACT: same expressions as the
+    * batch operators, so a doc admitted by the stream gate is admitted
+    * by the batch gate.
+    */
+  def qualityGateStream(docs: DataFrame, textCol: String,
+                        minTokens: Int = 5,
+                        maxDigitRatio: Double = 0.5): DataFrame = {
+    val norm = graft.text.TextAnalysis.normalizeWs(col(textCol))
+    val len = length(col(textCol)).cast("double")
+    val digits = (len - length(regexp_replace(col(textCol), "[0-9]", ""))
+      .cast("double")) / len
+    docs
+      .withColumn("norm_text", norm)
+      .withColumn("redacted", graft.text.TextAnalysis.redactPii(col("norm_text")))
+      .withColumn("n_tokens",
+        graft.text.TextAnalysis.wsTokenCount(col("norm_text")).cast("long"))
+      .filter(col("n_tokens") >= minTokens && digits <= maxDigitRatio)
+  }
+
+  /** Streaming decontamination (G6's stream twin): drop stream docs
+    * sharing ANY shingle with a STATIC benchmark set. Stateless by
+    * construction — the doc's shingle hashes are one row-local
+    * projection, the benchmark's hashes broadcast, and the overlap test
+    * is a broadcast LEFT ANTI join on `array_contains`, which
+    * short-circuits on the first matching bench shingle: no explode of
+    * the stream, no per-doc re-grouping, no state store, no watermark.
+    * The graded `minOverlap >= k` threshold needs a per-doc count
+    * across shingle rows (a streaming aggregation with state) — that
+    * counted form is the batch operator's job
+    * ([[graft.dedup.Dedup.contaminatedIds]] over the accumulated
+    * corpus); the stream gate is the k=1 boolean, which is the usual
+    * ingestion contract anyway.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          shingleN: Int = 5): DataFrame = {
+    val benchShingles = broadcast(
+      benchmark.filter(col(benchTextCol).isNotNull)
+        .select(explode(graft.dedup.Dedup.shingles(col(benchTextCol), shingleN)).as("_bs"))
+        .select(xxhash64(col("_bs")).as("_bh")).distinct())
+    docs
+      .withColumn("_sh",
+        transform(graft.dedup.Dedup.shingles(col(textCol), shingleN),
+          s => xxhash64(s)))
+      .join(benchShingles, array_contains(col("_sh"), col("_bh")), "left_anti")
+      .drop("_sh")
+  }
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

@@ -230,4 +230,53 @@ class StreamingSpec extends SparkSpec {
         (ts("2024-01-01 03:00:00"), 30.0, Some(100.0))))
     } finally q.stop()
   }
+
+  test("qualityGateStream normalizes, redacts, and filters rows statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", minTokens = 3)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "  Contact me at A@B.COM  for   the report today "),
+        (2L, "too short"),                   // 2 tokens: dropped
+        (3L, "4111111111111111 2222222 333333333 444444"))  // digit-heavy: dropped
+      q.processAllAvailable()
+      val rows = spark.table("quality_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted")).toMap
+      assert(rows.keySet === Set(1L))
+      assert(rows(1L) === "contact me at <EMAIL> for the report today")
+    } finally q.stop()
+  }
+
+  test("decontaminateStream drops docs overlapping a static benchmark (stateless anti-join)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f g")).toDF("bid", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "text", bench, "text", shingleN = 5)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "a b c d e x y"),      // shares "a b c d e": dropped
+        (2L, "p q r s t u v"))      // disjoint: kept
+      q.processAllAvailable()
+      input.addData((3L, "c d e f g tail words")) // later batch, still caught
+      q.processAllAvailable()
+      val ids = spark.table("decontam_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(2L))
+      // contract parity with the batch operator at minOverlap = 1
+      val batchDocs = Seq((1L, "a b c d e x y"), (2L, "p q r s t u v"),
+        (3L, "c d e f g tail words")).toDF("doc_id", "text")
+      val batchContaminated = graft.dedup.Dedup.contaminatedIds(
+          batchDocs, "doc_id", "text", bench, "text", shingleN = 5, minOverlap = 1)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(batchContaminated === Set(1L, 3L))
+    } finally q.stop()
+  }
 }
