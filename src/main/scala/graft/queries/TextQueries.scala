@@ -99,7 +99,26 @@ object TextQueries extends QueryPack {
     TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("dup_line_frac"), col("dup_2gram_frac"))
 
+  /** I+ `text_curate` — the end-to-end curation composite (the text
+    * family's hydro_wlb_pipeline): normalize → PII-redact → token
+    * floor → exact dedup keep-one over the REDACTED content. One scan,
+    * row-local codegen projections, and a single hash-shuffle groupBy
+    * on the content — the whole ingestion gate as one plan.
+    */
+  def textCurate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.normalizeWs(col("text")).as("norm"))
+      .withColumn("redacted", TextAnalysis.redactPii(col("norm")))
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("norm")).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .groupBy(col("redacted"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("n_tokens")).as("n_tokens"))
+      .select(col("keep_id"), col("redacted"), col("n_dups"), col("n_tokens"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curate" -> textCurate,
     "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
     "text_normalize" -> textNormalize,
@@ -110,6 +129,22 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_curate" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(norm,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g'),
+        |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}',
+        |      '<PHONE>', 'g') AS redacted,
+        |    CAST(len(string_split_regex(trim(norm), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM n)
+        |SELECT min(doc_id) AS keep_id, redacted,
+        |  count(*) AS n_dups, max(n_tokens) AS n_tokens
+        |FROM r WHERE n_tokens >= 5
+        |GROUP BY redacted""".stripMargin,
     "text_repetition" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
         |  FROM documents),
