@@ -293,6 +293,18 @@ class WeatherStation(data: DataFrame, keys: Seq[String], tsCol: String = "ts",
   def calcAlbedo(): DataFrame =
     Melt.dailyAlbedo(data, keys, tsCol, solarCol, reflectedCol)
 
+  /** Select a series by column-name substring (melt_model.py:350
+    * `get_data_with`): the LAST matching column wins, case-insensitive,
+    * like the reference's loop; None when nothing matches. A Spark
+    * frame has no standalone Series, so the match comes back with the
+    * keys + timestamp that identify its rows.
+    */
+  def getDataWith(containsString: String): Option[DataFrame] =
+    data.columns
+      .filter(_.toLowerCase.contains(containsString.toLowerCase))
+      .lastOption
+      .map(c => data.select((keys :+ tsCol :+ c).distinct.map(col): _*))
+
   /** Shadow-correct the incoming series first, then run the melt
     * pipeline on the corrected series (the reference's calc_melt uses
     * solar_corrected when apply_shadow_correction has run,

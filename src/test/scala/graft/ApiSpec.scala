@@ -73,6 +73,15 @@ class ApiSpec extends SparkSpec {
     assert(rows.columns.contains("alpha"))
   }
 
+  test("WeatherStation.getDataWith picks the last case-insensitive column match") {
+    val df = Seq(("s1", "2024-01-01 00:00:00", 1.0, 2.0, 3.0))
+      .toDF("k", "ts", "Temp_air", "temp_surface", "incoming")
+    val ws = new graft.api.WeatherStation(df, Seq("k"))
+    assert(ws.getDataWith("TEMP").get.columns.toSeq ===
+      Seq("k", "ts", "temp_surface")) // last match, case-insensitive
+    assert(ws.getDataWith("nonexistent").isEmpty)
+  }
+
   test("zDetrendSampleOrder fits against row position like signal.detrend") {
     import org.apache.spark.sql.functions._
     // z = 2*pos + 1 exactly -> detrended is identically 0
