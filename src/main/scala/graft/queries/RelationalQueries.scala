@@ -161,7 +161,29 @@ object RelationalQueries extends QueryPack {
         r6(col("_q")(1)).as("p50"),
         r6(col("_q")(2)).as("p75"))
 
+  /** F+ `q_approx` — the sketch aggregates that replace their exact
+    * twins at 100 TB: HyperLogLog++ distinct counts
+    * (approx_count_distinct) and a single-pass approximate percentile
+    * trio. Both are bounded-memory, map-side-combining sketches — the
+    * exact forms (countDistinct's dedup shuffle, percentile's full
+    * per-group sort buffer) scale with DATA, the sketches with
+    * ACCURACY. Sketch outputs are implementation-defined, so this is a
+    * rows-only query; RelationalSketchSpec pins the error against the
+    * exact aggregates instead.
+    */
+  def qApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("nd_orders"),
+        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("_q"))
+      .select(col("l_returnflag"), col("nd_orders"), col("nd_parts"),
+        col("_q")(0).as("p25"), col("_q")(1).as("p50"), col("_q")(2).as("p75"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx" -> qApprox,
     "q_rollup" -> qRollup,
     "q_pivot" -> qPivot,
     "q_quantiles" -> qQuantiles,

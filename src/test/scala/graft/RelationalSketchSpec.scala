@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.RelationalQueries
+import graft.tables.Tables
+
+/** Accuracy contract for the q_approx sketch aggregates: sketch
+  * outputs are implementation-defined (hence rows-only at the driver),
+  * so the guarantee that matters — tracking the exact aggregates
+  * within tolerance — is pinned here instead.
+  */
+class RelationalSketchSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_approx sketches track the exact aggregates within tolerance") {
+    val approx = RelationalQueries.qApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd_orders"),
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // HLL++ default relative standard deviation is 5%; allow 2 sigma
+      Seq("nd_orders", "nd_parts").foreach { c =>
+        val ev = e.getAs[Long](c).toDouble
+        assert(math.abs(a.getAs[Long](c) - ev) <= math.max(2.0, ev * 0.10),
+          s"$k.$c: ${a.getAs[Long](c)} vs $ev")
+      }
+      // approx_percentile(accuracy=1000): rank error <= n/1000; on this
+      // price distribution that is well within 5% of the exact value
+      val eq = e.getSeq[Double](3)
+      Seq("p25" -> eq(0), "p50" -> eq(1), "p75" -> eq(2)).foreach {
+        case (c, ev) =>
+          assert(math.abs(a.getAs[Double](c) - ev) <= math.abs(ev) * 0.05,
+            s"$k.$c: ${a.getAs[Double](c)} vs $ev")
+      }
+    }
+  }
+}
