@@ -54,7 +54,8 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("dedup_minhash", "dedup_simhash", "dedup_jaccard",
       "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_langid",
-      "mm_schema", "mm_features")
+      "mm_schema", "mm_features",
+      "q_approx") // sketch outputs are implementation-defined (r5)
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
