@@ -414,10 +414,14 @@ object Dedup {
       benchmark.filter(col(benchTextCol).isNotNull)
         .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
         .select(xxhash64(col("_bs")).as("_bh")).distinct())
+    // corpus side: codegen'd shingle-hash array (bit-identical to
+    // xxhash64 over the exploded distinct shingles, ShingleHashes
+    // Scaladoc) — the explode carries 8-byte longs, never the strings
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("_s"))
-      .join(benchShingles, xxhash64(col("_s")) === col("_bh"), "left_semi")
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), shingleN)).as("_sh"))
+      .join(benchShingles, col("_sh") === col("_bh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

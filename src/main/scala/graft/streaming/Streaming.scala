@@ -133,9 +133,8 @@ object Streaming {
         .select(explode(graft.dedup.Dedup.shingles(col(benchTextCol), shingleN)).as("_bs"))
         .select(xxhash64(col("_bs")).as("_bh")).distinct())
     docs
-      .withColumn("_sh",
-        transform(graft.dedup.Dedup.shingles(col(textCol), shingleN),
-          s => xxhash64(s)))
+      .withColumn("_sh", org.apache.spark.sql.graft.TextExpressions
+        .shingleHashes(col(textCol), shingleN))
       .join(benchShingles, array_contains(col("_sh"), col("_bh")), "left_anti")
       .drop("_sh")
   }

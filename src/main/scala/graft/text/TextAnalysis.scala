@@ -122,37 +122,39 @@ object TextAnalysis {
     *     words — no gram instances to take a fraction of).
     *
     * Scale shape: two explode → partial-aggregate passes keyed by
-    * (doc_id, line|gram), then per-doc sums — every shuffle key is the
-    * doc id, aggregates combine map-side, and nothing is quadratic in
-    * document length (the row-local alternative — counting each
-    * element's occurrences with a nested filter() — is O(len²) per
-    * document and falls over on long documents). Fractions are exact
-    * integer-count divisions, so the DuckDB oracle matches bit-for-bit.
+    * (doc_id, hash), then per-doc sums — every shuffle key is the doc
+    * id plus an 8-byte hash (never the line/gram strings), aggregates
+    * combine map-side, and nothing is quadratic in document length
+    * (the row-local alternative — counting each element's occurrences
+    * with a nested filter() — is O(len²) per document and falls over
+    * on long documents). Grams come from the codegen'd
+    * [[org.apache.spark.sql.graft.ShingleHashes]] (strict 2-gram mode),
+    * not an interpreted transform. Counting by hash equals counting by
+    * string barring an xxhash64 collision within one document — the
+    * same accepted convention as exact dedup's sha2. Fractions are
+    * exact integer-count divisions, so the DuckDB oracle matches
+    * bit-for-bit. Requires `idCol` unique (it is the output key).
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val lines = docs
       .select(col(idCol), explode(split(col(textCol), "\n")).as("_l"))
-      .groupBy(col(idCol), col("_l"))
-      .agg(count(lit(1)).as("_n"), length(col("_l")).cast("long").as("_len"))
+      .select(col(idCol), xxhash64(col("_l")).as("_lh"),
+        length(col("_l")).cast("long").as("_len"))
+      .groupBy(col(idCol), col("_lh"), col("_len"))
+      .agg(count(lit(1)).as("_n"))
       .groupBy(col(idCol))
       .agg((sum(when(col("_n") > 1, col("_n") * col("_len")).otherwise(0L)) /
         sum(col("_n") * col("_len"))).as("dup_line_frac"))
-    // adjacent word pairs built ROW-LOCALLY (no lead() window — that
-    // shape would sort every document's words inside a shuffle; this
-    // one only hash-aggregates the exploded grams)
-    val wordsArr = split(col(textCol), " ")
-    val gramArr = when(size(wordsArr) >= 2,
-      transform(sequence(lit(1), size(wordsArr) - 1),
-        i => concat_ws(" ", element_at(wordsArr, i), element_at(wordsArr, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = docs.select(col(idCol), explode(gramArr).as("_g"))
+    val grams = docs.select(col(idCol),
+        explode(org.apache.spark.sql.graft.TextExpressions.shingleHashes(
+          col(textCol), 2, distinct = false, padShort = false)).as("_g"))
       .groupBy(col(idCol), col("_g"))
       .agg(count(lit(1)).as("_n"))
       .groupBy(col(idCol))
       .agg((sum(when(col("_n") > 1, col("_n")).otherwise(0L)) /
         sum(col("_n"))).as("dup_2gram_frac"))
-    docs.select(col(idCol)).distinct()
+    docs.select(col(idCol))
       .join(lines, Seq(idCol), "left")
       .join(grams, Seq(idCol), "left")
   }

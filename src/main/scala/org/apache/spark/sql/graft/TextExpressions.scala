@@ -208,11 +208,92 @@ object MinShingleMd5 {
   }
 }
 
+/** xxhash64 values of a document's word n-gram shingles as one
+  * row-local array — the shared front end of shingle-overlap operators
+  * (decontamination, repetition signals, candidate verify).
+  *
+  * Semantics are pinned to the existing column formulations so callers
+  * can swap without changing results:
+  *   - `distinct = true, padShort = true` ≡
+  *     `transform(Dedup.shingles(text, n), s => xxhash64(s))` —
+  *     first-occurrence order, dedup on the STRING (a hash collision
+  *     cannot drop a distinct shingle), short docs contribute their
+  *     whole text (the reference slice-clamp).
+  *   - `distinct = false, padShort = false` ≡ xxhash64 over strict
+  *     n-gram instances in order, empty array when the doc has fewer
+  *     than n words (the repetition-signal gram contract).
+  *
+  * Why an Expression: the transform/higher-order form is interpreted —
+  * per shingle it allocates the string AND walks an expression tree;
+  * this is one compiled pass per row, and the shuffle that follows
+  * (explode + count) carries 8-byte longs instead of shingle strings.
+  */
+case class ShingleHashes(child: Expression, shingleN: Int,
+                         distinct: Boolean, padShort: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], shingleN,
+      distinct, padShort)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashes" +
+        s".compute($c, $shingleN, $distinct, $padShort);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(text: UTF8String, n: Int, distinct: Boolean,
+              padShort: Boolean): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val total = words.length
+    val nShingles =
+      if (total - n + 1 >= 1) total - n + 1
+      else if (padShort) 1
+      else 0
+    val out = new Array[Long](nShingles)
+    var outLen = 0
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder
+      val m = math.min(n, total - i)
+      var j = 0
+      while (j < m) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen == null || seen.add(s)) {
+        out(outLen) = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+        outLen += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen))
+  }
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(text), shingleN, numHashes))
+
+  /** Row-local shingle-hash array (see [[ShingleHashes]]). */
+  def shingleHashes(text: Column, shingleN: Int, distinct: Boolean = true,
+                    padShort: Boolean = true): Column =
+    ExpressionUtils.column(ShingleHashes(
+      ExpressionUtils.expression(text), shingleN, distinct, padShort))
 
   /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
   def simhashBands(text: Column): Column =

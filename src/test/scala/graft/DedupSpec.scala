@@ -206,6 +206,28 @@ class DedupSpec extends SparkSpec {
     assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("ShingleHashes matches transform(shingles, xxhash64) bit-for-bit; strict mode drops short docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y"), (3L, "solo"),
+      (4L, "a b a b a b"), // duplicate shingles exercise the distinct path
+      (5L, "")).toDF("doc_id", "text")
+    val bad = docs.select(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col("text"), 3).as("expr"),
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("ho"))
+      .filter(not(col("expr") === col("ho")))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+    // strict mode: exact n-gram instances, no whole-text pad, with
+    // multiplicity (doc 4: "a b","b a","a b","b a","a b" = 5 grams)
+    val strict = docs.select(col("doc_id"),
+        size(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col("text"), 2, distinct = false, padShort = false))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(strict === Map(1L -> 5, 2L -> 1, 3L -> 0, 4L -> 5, 5L -> 0))
+  }
+
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
     val docs = Seq(
       (1L, "a b c d e f g h"),   // 4 of its 5-grams appear in the benchmark
