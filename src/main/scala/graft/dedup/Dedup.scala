@@ -162,18 +162,19 @@ object Dedup {
     // signatures row-local, shingle rows are needed solely here, so
     // explode just the docs that appear in a candidate pair (a
     // left-semi join prunes the corpus before the explode). The
-    // candidate set is bounded (banded equi-join output), so the
-    // row-local shingles() projection wins over shingleRows here: the
-    // higher-order transform is interpreted, but it is shuffle-FREE,
-    // versus shingleRows' posexplode + lead-window + distinct (two
-    // exchanges of the shingle rows). A/B-measured at sf0.1 (min-of-3,
-    // local[32]): shingles() 2.52s vs shingleRows 2.58s end-to-end —
-    // a tie on the pruned verify side, so keep the shuffle-free shape.
+    // shingle rows are codegen'd HASHES ([[ShingleHashes]], row-local
+    // and shuffle-free like the interpreted shingles() form this
+    // replaced — r5 A/B measured shingles() 2.52s vs shingleRows'
+    // two-exchange shape 2.58s, and the hash explode beats both by
+    // carrying 8-byte longs through the intersection join). Jaccard
+    // over hash sets equals Jaccard over shingle strings barring an
+    // xxhash64 collision inside a candidate pair.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val exploded = docs.select(col(idCol).as("doc_id"), col(textCol))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft
+        .TextExpressions.shingleHashes(col(textCol), shingleN)).as("s"))
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exB = exploded.select(col("doc_id").as("_doc_b"), col("s").as("_s_b"))
     val inter = cand
@@ -440,12 +441,15 @@ object Dedup {
   def blockedJaccard(docs: DataFrame, idCol: String, textCol: String,
                      blockCol: String, shingleN: Int = 3,
                      threshold: Double = 0.3): DataFrame = {
-    // codegen shingle rows; join on the shingle's 64-bit hash, not the
-    // string (narrower shuffle rows, long comparisons)
-    val ex = shingleRows(
-        docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"), col(textCol)),
-        "doc_id", textCol, shingleN, carryCols = Seq("blk"))
-      .select(col("doc_id"), col("blk"), xxhash64(col("s")).as("s"))
+    // row-local codegen shingle hashes: the old shingleRows +
+    // xxhash64(s) path computed the same values but paid two exchanges
+    // (posexplode + lead-window + distinct) to build the rows;
+    // ShingleHashes is a projection, so the first shuffle the shingle
+    // rows ever see is the intersection join itself
+    val ex = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), shingleN)).as("s"))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
