@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column. Array-valued;
-    * interpreted (higher-order transform) — fine for small/aux use, but
-    * hot paths should use [[shingleRows]] instead.
+  /** Distinct word n-gram shingles of a text column, as STRINGS.
+    * Array-valued; interpreted (higher-order transform) — fine for
+    * small/aux sides (e.g. the broadcast benchmark in
+    * [[contaminatedIds]]) and wherever the shingle text itself is
+    * needed; hot paths that only consume shingle identity should use
+    * the codegen'd hash form
+    * [[org.apache.spark.sql.graft.TextExpressions.shingleHashes]]
+    * (bit-identical to hashing this array, pinned by DedupSpec).
     */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
@@ -25,11 +30,15 @@ object Dedup {
       i => concat_ws(" ", slice(words, i, lit(n)))))
   }
 
-  /** Distinct word n-gram shingles as exploded rows — the codegen path:
+  /** Distinct word n-gram shingles as exploded rows:
     * posexplode(split) + (n-1) lead() window calls per word, one
     * doc_id shuffle, no higher-order functions. Documents shorter than
     * n words contribute their whole text as a single shingle (matching
-    * [[shingles]]' slice-clamp behavior).
+    * [[shingles]]' slice-clamp behavior). Superseded in every hot path
+    * by the shuffle-free
+    * [[org.apache.spark.sql.graft.TextExpressions.shingleHashes]];
+    * kept as the independent formulation the signature-parity specs
+    * check the codegen expressions against.
     *
     * Output: carryCols..., s (shingle string).
     */
