@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{MinHashSignature, MinShingleMd5, SimHashBands, VectorCosineSimilarity, VectorDotProduct}
+import org.apache.spark.sql.graft.{MinHashSignature, MinShingleMd5, ShingleHashes, SimHashBands, VectorCosineSimilarity, VectorDotProduct}
 
 /** SparkSessionExtensions hook: registers graft's native expressions so
   * plain SQL (`SELECT vector_dot(a, b)`) and downstream tools reach the
@@ -59,6 +59,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "min_shingle_md5(text, shingleN) expects 2 arguments")
         MinShingleMd5(children.head, intArg(children(1), "min_shingle_md5"))
+      }))
+    def boolArg(e: Expression, fn: String): Boolean = e match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects boolean literals for its flag arguments, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "shingle_hashes(text, shingleN, distinct, padShort) expects 4 arguments")
+        ShingleHashes(children.head, intArg(children(1), "shingle_hashes"),
+          boolArg(children(2), "shingle_hashes"),
+          boolArg(children(3), "shingle_hashes"))
       }))
   }
 }

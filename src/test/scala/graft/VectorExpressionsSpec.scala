@@ -55,6 +55,12 @@ class VectorExpressionsSpec extends SparkSpec {
     val fp = spark.sql(
       "SELECT min_shingle_md5('a b c d e f', 5) AS f").head.getString(0)
     assert(fp.matches("[0-9a-f]{32}"))
+    val sh = spark.sql(
+      "SELECT shingle_hashes('a b c d', 3, true, true) AS h").head.getSeq[Long](0)
+    assert(sh.length === 2) // "a b c", "b c d"
+    val strict = spark.sql(
+      "SELECT shingle_hashes('solo', 2, false, false) AS h").head.getSeq[Long](0)
+    assert(strict.isEmpty)
   }
 
   test("vector_cosine: fused single pass matches composed form, null on zero norm") {
