@@ -87,6 +87,42 @@ object Mix {
     joined.filter(hashUniform(col(idCol)) < col("rate")).drop("rate")
   }
 
+  /** Filter-funnel accounting: how many rows each curation gate drops.
+    * `gates` is the ORDERED list of (name, keep-predicate) a
+    * sequential pipeline would apply; every row is attributed to the
+    * FIRST gate it fails (later gates never see it, exactly like the
+    * real pipeline), and the output carries one row per gate plus a
+    * `kept` row: (stage, gate, n, survivors_after).
+    *
+    * ONE conditional-aggregation pass over the corpus — a when-chain
+    * projects the first-failing-gate index, one map-side-combining
+    * groupBy counts it — where the naive audit (count survivors after
+    * each gate) scans the corpus once per gate. The cumulative
+    * survivor column is a window over the ≤ gates+1-row result, free.
+    * Null predicate results count as failures (a null-text doc fails a
+    * length gate; it does not sneak past it).
+    */
+  def curationFunnel(df: DataFrame,
+                     gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "gates must be non-empty")
+    val firstFail = gates.zipWithIndex.foldRight(
+      lit(gates.length): Column) { case (((_, pred), i), acc) =>
+      when(!coalesce(pred, lit(false)), lit(i)).otherwise(acc)
+    }
+    val names = typedLit(gates.map(_._1) :+ "kept")
+    val counts = df.select(firstFail.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    counts
+      .withColumn("survivors_after",
+        sum(col("n")).over(total) - sum(when(col("stage") < gates.length,
+          col("n")).otherwise(0L)).over(w))
+      .select(col("stage"), element_at(names, col("stage") + 1).as("gate"),
+        col("n"), col("survivors_after").cast("long").as("survivors_after"))
+  }
+
   /** Token-budget downsampling: reduce each source to an EXPECTED
     * `budgetTokens` total tokens by hash-Bernoulli sampling at
     * `rate_s = min(1, budget / source_tokens)` — the "cap the

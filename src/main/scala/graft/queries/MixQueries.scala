@@ -82,7 +82,24 @@ object MixQueries extends QueryPack {
         "doc_id", "source", "n_toks", 500)
       .select(col("doc_id"), col("source"))
 
+  /** L6 `ds_funnel` — filter-funnel accounting over the standard
+    * curation gates (token floor, digit-ratio cap, language), each doc
+    * attributed to its first failing gate: ONE conditional-aggregation
+    * scan where the naive audit re-scans per gate. Exact integer
+    * counts, fully oracled.
+    */
+  def dsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    Mix.curationFunnel(docs(s, dir), Seq(
+      "min_tokens" -> (TextAnalysis.wsTokenCount(col("text")) >= 5),
+      "digit_ratio" ->
+        ((len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double"))
+          / len <= 0.3),
+      "lang_en" -> (col("lang") === "en")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_funnel" -> dsFunnel,
     "ds_sample" -> dsSample,
     "ds_mix" -> dsMix,
     "ds_budget" -> dsBudget,
@@ -114,6 +131,26 @@ object MixQueries extends QueryPack {
          |JOIN (VALUES $ratesValuesSql) AS r(source, rate)
          |  ON d.source = r.source
          |WHERE ${hashUSql("d.doc_id")} < r.rate""".stripMargin,
+    "ds_funnel" ->
+      """WITH t AS (SELECT CASE
+        |    WHEN NOT COALESCE(len(string_split_regex(trim(text), '\s+')) >= 5,
+        |      FALSE) THEN 0
+        |    WHEN NOT COALESCE(
+        |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE) <= 0.3, FALSE) THEN 1
+        |    WHEN NOT COALESCE(lang = 'en', FALSE) THEN 2
+        |    ELSE 3 END AS stage
+        |  FROM documents),
+        |c AS (SELECT stage, count(*) AS n FROM t GROUP BY stage),
+        |s AS (SELECT stage, n,
+        |    sum(n) OVER () - sum(CASE WHEN stage < 3 THEN n ELSE 0 END)
+        |      OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS survivors_after
+        |  FROM c)
+        |SELECT stage,
+        |  (['min_tokens', 'digit_ratio', 'lang_en', 'kept'])[stage + 1] AS gate,
+        |  n, CAST(survivors_after AS BIGINT) AS survivors_after
+        |FROM s""".stripMargin,
     "ds_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks

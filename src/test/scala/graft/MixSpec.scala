@@ -115,6 +115,31 @@ class MixSpec extends SparkSpec {
     assert(by("big") === manual)
   }
 
+  test("curationFunnel attributes each row to its first failing gate in one pass") {
+    val docs = Seq(
+      (1L, "good doc with enough words", "en"),
+      (2L, "short", "en"),            // fails gate 0
+      (3L, "also short", "en"),       // fails gate 0
+      (4L, "12345 67890 1 2 3", "en"),// fails gate 1 (digits)
+      (5L, "ceci est assez long non", "fr"), // fails gate 2 (lang)
+      (6L, "another good english document here", "en"),
+      (7L, null, "en"))               // null text -> fails gate 0
+      .toDF("doc_id", "text", "lang")
+    val len = length($"text").cast("double")
+    val out = Mix.curationFunnel(docs, Seq(
+        "min_tokens" -> (graft.text.TextAnalysis.wsTokenCount($"text") >= 3),
+        "digit_ratio" -> ((len - length(regexp_replace($"text", "[0-9]", ""))
+          .cast("double")) / len <= 0.3),
+        "lang_en" -> ($"lang" === "en")))
+      .collect().map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("survivors_after"))).toMap
+    assert(out === Map(
+      "min_tokens" -> (3L, 4L),  // 2,3,7 dropped -> 4 remain
+      "digit_ratio" -> (1L, 3L), // 4 dropped -> 3 remain
+      "lang_en" -> (1L, 2L),     // 5 dropped -> 2 remain
+      "kept" -> (2L, 2L)))       // 1 and 6 survive
+  }
+
   test("packSequencesScalable: conserves totals, equals packSequences at 1 sub-shard, no whole-shard window") {
     val docs = (0L until 2000L)
       .map(i => (s"src${i % 3}", i, (i % 37) + 1)).toDF("source", "doc_id", "n_toks")
