@@ -75,6 +75,49 @@ object Multimodal {
         (col(sizeCol) % 3 * 5 + 20).cast("double").as("fps"),
         lit("mp4").as("format")).as("meta"))
 
+  /** J2+: attach audio-container metadata (sample rate, sample count,
+    * PCM format) to a binary payload — the audio twin of
+    * [[withVideoSchema]] (deterministic synthetic metadata, since the
+    * corpus carries no real audio).
+    */
+  def withAudioSchema(docs: DataFrame, idCol: String, textCol: String,
+                      sizeCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        (col(sizeCol) % 3 * 8000 + 16000).cast("int").as("sample_rate"),
+        (col(sizeCol) * 317 % 480000 + 16000).cast("long").as("n_samples"),
+        lit("pcm_s16le").as("format")).as("meta"))
+
+  /** J2+: fixed-length audio windowing with hop — the chunking step of
+    * ASR / audio-embedding pipelines: one row per `windowMs` window
+    * every `hopMs`, with the exact sample range and the byte range a
+    * PCM-s16le decoder would slice (2 bytes per sample; the last
+    * window clips at the clip end instead of padding). Like
+    * [[sampleFrames]], the SELECTION is the real, tested part:
+    * row-local sequence + explode, output bounded by n_samples/hop per
+    * clip, no shuffle — the shape that turns 100 TB of audio into a
+    * window table.
+    */
+  def sampleAudioWindows(media: DataFrame, windowMs: Int,
+                         hopMs: Int): DataFrame = {
+    require(windowMs > 0 && hopMs > 0, "windowMs and hopMs must be positive")
+    val sr = col("meta.sample_rate").cast("long")
+    val n = col("meta.n_samples")
+    // floor, like the frame-index math: deterministic across engines
+    val win = floor(sr * windowMs / lit(1000.0)).cast("long")
+    val hop = floor(sr * hopMs / lit(1000.0)).cast("long")
+    media
+      .select(col("doc_id"), n.as("_n"), win.as("_win"),
+        explode(sequence(lit(0L), n - 1, hop)).as("start_sample"))
+      .select(col("doc_id"), col("start_sample"),
+        least(col("start_sample") + col("_win"), col("_n")).as("end_sample"),
+        (col("start_sample") * 2).as("byte_offset"),
+        ((least(col("start_sample") + col("_win"), col("_n")) -
+          col("start_sample")) * 2).as("byte_len"))
+  }
+
   /** J2+: frame sampling — one output row per sampled frame, every
     * `everyMs` milliseconds of the clip: frame timestamp, the frame
     * index a decoder would seek to (round(ts·fps/1000)), and a

@@ -43,12 +43,43 @@ object MultimodalQueries extends QueryPack {
         length(col("frame_bytes")).cast("long").as("frame_len"))
   }
 
+  /** J2+ `mm_audio_windows` — audio chunking plumbing: 5 s windows
+    * hopping 2.5 s over each synthetic clip, with the exact sample and
+    * PCM-s16le byte ranges a decoder would slice. Fully SQL-expressible
+    * (range twin), so the audio op carries a real DuckDB oracle like
+    * mm_frames.
+    */
+  def mmAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    val audio = Multimodal.withAudioSchema(
+      Tables.documents(s, dir), "doc_id", "text", "n_chars")
+    Multimodal.sampleAudioWindows(audio, windowMs = 5000, hopMs = 2500)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_windows" -> mmAudioWindows,
     "mm_schema" -> mmSchema,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_windows" ->
+      """WITH a AS (SELECT doc_id,
+        |    CAST(n_chars % 3 * 8000 + 16000 AS BIGINT) AS sr,
+        |    CAST(n_chars * 317 % 480000 + 16000 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |p AS (SELECT *,
+        |    CAST(floor(sr * 5000 / 1000.0) AS BIGINT) AS win,
+        |    CAST(floor(sr * 2500 / 1000.0) AS BIGINT) AS hop
+        |  FROM a),
+        |w AS (SELECT doc_id, n_samples, win,
+        |    unnest(range(0, n_samples, hop)) AS start_sample
+        |  FROM p)
+        |SELECT doc_id, start_sample,
+        |  CAST(least(start_sample + win, n_samples) AS BIGINT) AS end_sample,
+        |  CAST(start_sample * 2 AS BIGINT) AS byte_offset,
+        |  CAST((least(start_sample + win, n_samples) - start_sample) * 2
+        |    AS BIGINT) AS byte_len
+        |FROM w""".stripMargin,
     "mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,

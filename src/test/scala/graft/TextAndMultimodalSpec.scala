@@ -72,6 +72,23 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out === fixtures.map(_._2))
   }
 
+  test("multimodal: audio windowing emits hop-spaced windows with exact PCM byte ranges") {
+    val docs = Seq((7L, "0123456789abcdef", 3L)).toDF("doc_id", "text", "n_chars")
+    // n_chars=3 -> sample_rate 16000, n_samples 3*317%480000+16000 = 16951
+    val audio = Multimodal.withAudioSchema(docs, "doc_id", "text", "n_chars")
+    val meta = audio.select(col("meta.sample_rate"), col("meta.n_samples")).head
+    assert(meta.getInt(0) === 16000 && meta.getLong(1) === 16951L)
+    // 1s window, 0.5s hop -> starts 0, 8000, 16000; last clips at 16951
+    val w = Multimodal.sampleAudioWindows(audio, windowMs = 1000, hopMs = 500)
+      .orderBy("start_sample").collect()
+      .map(r => (r.getAs[Long]("start_sample"), r.getAs[Long]("end_sample"),
+        r.getAs[Long]("byte_offset"), r.getAs[Long]("byte_len")))
+    assert(w.toSeq === Seq(
+      (0L, 16000L, 0L, 32000L),
+      (8000L, 16951L, 16000L, 17902L),
+      (16000L, 16951L, 32000L, 1902L)))
+  }
+
   test("repetitionSignals computes Gopher-style dup-line and dup-2gram fractions") {
     val docs = Seq(
       // "a b" occurs twice among 3 grams -> 2/3; line "x" twice among
