@@ -25,7 +25,8 @@ object Bench {
     // contention that mis-flagged queries in two earlier driver benches
     // (e.g. a 4.2s reading for a query that re-runs at 1.4s cold).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -417,13 +417,22 @@ object Dedup {
     * the final count, and rows with no benchmark hit die at the join
     * before that shuffle.
     */
+  /** Distinct xxhash64 values of a benchmark set's shingles (column
+    * `_bh`) — the shared build side of batch [[contaminatedIds]] and
+    * [[graft.streaming.Streaming.decontaminateStream]]: one definition,
+    * so the two gates cannot drift apart on shingle or hash semantics.
+    */
+  def benchShingleHashes(benchmark: DataFrame, benchTextCol: String,
+                         shingleN: Int): DataFrame =
+    benchmark.filter(col(benchTextCol).isNotNull)
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
+      .select(xxhash64(col("_bs")).as("_bh")).distinct()
+
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       benchmark: DataFrame, benchTextCol: String,
                       shingleN: Int = 5, minOverlap: Int = 3): DataFrame = {
-    val benchShingles = broadcast(
-      benchmark.filter(col(benchTextCol).isNotNull)
-        .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
-        .select(xxhash64(col("_bs")).as("_bh")).distinct())
+    val benchShingles =
+      broadcast(benchShingleHashes(benchmark, benchTextCol, shingleN))
     // corpus side: codegen'd shingle-hash array (bit-identical to
     // xxhash64 over the exploded distinct shingles, ShingleHashes
     // Scaladoc) — the explode carries 8-byte longs, never the strings

@@ -105,22 +105,29 @@ object Mix {
   def curationFunnel(df: DataFrame,
                      gates: Seq[(String, Column)]): DataFrame = {
     require(gates.nonEmpty, "gates must be non-empty")
+    import df.sparkSession.implicits._
     val firstFail = gates.zipWithIndex.foldRight(
       lit(gates.length): Column) { case (((_, pred), i), acc) =>
       when(!coalesce(pred, lit(false)), lit(i)).otherwise(acc)
     }
-    val names = typedLit(gates.map(_._1) :+ "kept")
     val counts = df.select(firstFail.as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    // every gate (and the kept row) appears even at zero drops — a
+    // funnel report where "dropped nothing" and "didn't run" look the
+    // same is useless for auditing, so the observed counts left-join
+    // onto the full gate list (gates+1 literal rows)
+    val stages = (gates.map(_._1) :+ "kept").zipWithIndex
+      .map { case (g, i) => (i, g) }.toDF("stage", "gate")
     val w = Window.orderBy(col("stage"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = Window.partitionBy()
-    counts
+    stages.join(counts, Seq("stage"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("survivors_after",
         sum(col("n")).over(total) - sum(when(col("stage") < gates.length,
           col("n")).otherwise(0L)).over(w))
-      .select(col("stage"), element_at(names, col("stage") + 1).as("gate"),
-        col("n"), col("survivors_after").cast("long").as("survivors_after"))
+      .select(col("stage"), col("gate"), col("n"),
+        col("survivors_after").cast("long").as("survivors_after"))
   }
 
   /** Token-budget downsampling: reduce each source to an EXPECTED

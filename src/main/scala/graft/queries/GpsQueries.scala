@@ -135,7 +135,8 @@ object GpsQueries extends QueryPack {
          |  floor(dnorth * 1000000 + 0.5001) / 1000000 AS dnorth,
          |  floor(deast * 1000000 + 0.5001) / 1000000 AS deast
          |FROM pos
-         |WHERE NOT (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+         |WHERE ts IS NULL
+         |   OR NOT (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
          |             AND TIMESTAMP '2024-01-04 12:00:00'
          |        OR ts BETWEEN TIMESTAMP '2024-01-10 06:00:00'
          |             AND TIMESTAMP '2024-01-10 18:00:00')""".stripMargin,

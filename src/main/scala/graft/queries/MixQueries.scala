@@ -88,15 +88,11 @@ object MixQueries extends QueryPack {
     * scan where the naive audit re-scans per gate. Exact integer
     * counts, fully oracled.
     */
-  def dsFunnel(s: SparkSession, dir: String): DataFrame = {
-    val len = length(col("text")).cast("double")
+  def dsFunnel(s: SparkSession, dir: String): DataFrame =
     Mix.curationFunnel(docs(s, dir), Seq(
       "min_tokens" -> (TextAnalysis.wsTokenCount(col("text")) >= 5),
-      "digit_ratio" ->
-        ((len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double"))
-          / len <= 0.3),
+      "digit_ratio" -> (TextAnalysis.digitRatio(col("text")) <= 0.3),
       "lang_en" -> (col("lang") === "en")))
-  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_funnel" -> dsFunnel,
@@ -142,11 +138,14 @@ object MixQueries extends QueryPack {
         |    ELSE 3 END AS stage
         |  FROM documents),
         |c AS (SELECT stage, count(*) AS n FROM t GROUP BY stage),
+        |g AS (SELECT unnest(range(0, 4)) AS stage),
+        |f AS (SELECT g.stage, COALESCE(c.n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.stage = c.stage),
         |s AS (SELECT stage, n,
         |    sum(n) OVER () - sum(CASE WHEN stage < 3 THEN n ELSE 0 END)
         |      OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
         |            AND CURRENT ROW) AS survivors_after
-        |  FROM c)
+        |  FROM f)
         |SELECT stage,
         |  (['min_tokens', 'digit_ratio', 'lang_en', 'kept'])[stage + 1] AS gate,
         |  n, CAST(survivors_after AS BIGINT) AS survivors_after

@@ -99,25 +99,29 @@ object Streaming {
   def qualityGateStream(docs: DataFrame, textCol: String,
                         minTokens: Int = 5,
                         maxDigitRatio: Double = 0.5): DataFrame = {
-    val norm = graft.text.TextAnalysis.normalizeWs(col(textCol))
-    val len = length(col(textCol)).cast("double")
-    val digits = (len - length(regexp_replace(col(textCol), "[0-9]", ""))
-      .cast("double")) / len
     docs
-      .withColumn("norm_text", norm)
+      .withColumn("norm_text", graft.text.TextAnalysis.normalizeWs(col(textCol)))
       .withColumn("redacted", graft.text.TextAnalysis.redactPii(col("norm_text")))
       .withColumn("n_tokens",
         graft.text.TextAnalysis.wsTokenCount(col("norm_text")).cast("long"))
-      .filter(col("n_tokens") >= minTokens && digits <= maxDigitRatio)
+      .filter(col("n_tokens") >= minTokens &&
+        graft.text.TextAnalysis.digitRatio(col(textCol)) <= maxDigitRatio)
   }
 
   /** Streaming decontamination (G6's stream twin): drop stream docs
-    * sharing ANY shingle with a STATIC benchmark set. Stateless by
-    * construction — the doc's shingle hashes are one row-local
-    * projection, the benchmark's hashes broadcast, and the overlap test
-    * is a broadcast LEFT ANTI join on `array_contains`, which
-    * short-circuits on the first matching bench shingle: no explode of
-    * the stream, no per-doc re-grouping, no state store, no watermark.
+    * sharing ANY shingle with a STATIC benchmark set. Stateless AND
+    * benchmark-size-independent per row: the benchmark's distinct
+    * shingle hashes (shared definition with the batch gate,
+    * [[graft.dedup.Dedup.benchShingleHashes]]) are collected ONCE —
+    * bounded by contract, eval sets are tiny next to the corpus, which
+    * is the same assumption that lets the batch operator broadcast
+    * them — into a hash set, and each row pays O(|its own shingles|)
+    * probes through the codegen'd
+    * [[org.apache.spark.sql.graft.ArrayLongAnyInSet]]. (The previous
+    * broadcast anti-join formulation re-scanned the bench per CLEAN
+    * doc — proving a doc clean, the common case, was O(|bench|).)
+    * Null-text docs pass through: they cannot overlap anything.
+    *
     * The graded `minOverlap >= k` threshold needs a per-doc count
     * across shingle rows (a streaming aggregation with state) — that
     * counted form is the batch operator's job
@@ -128,15 +132,13 @@ object Streaming {
   def decontaminateStream(docs: DataFrame, textCol: String,
                           benchmark: DataFrame, benchTextCol: String,
                           shingleN: Int = 5): DataFrame = {
-    val benchShingles = broadcast(
-      benchmark.filter(col(benchTextCol).isNotNull)
-        .select(explode(graft.dedup.Dedup.shingles(col(benchTextCol), shingleN)).as("_bs"))
-        .select(xxhash64(col("_bs")).as("_bh")).distinct())
-    docs
-      .withColumn("_sh", org.apache.spark.sql.graft.TextExpressions
-        .shingleHashes(col(textCol), shingleN))
-      .join(benchShingles, array_contains(col("_sh"), col("_bh")), "left_anti")
-      .drop("_sh")
+    val benchSet = graft.dedup.Dedup
+      .benchShingleHashes(benchmark, benchTextCol, shingleN)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = org.apache.spark.sql.graft.TextExpressions.arrayAnyInSet(
+      org.apache.spark.sql.graft.TextExpressions
+        .shingleHashes(col(textCol), shingleN), benchSet)
+    docs.filter(coalesce(!overlap, lit(true)))
   }
 
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,

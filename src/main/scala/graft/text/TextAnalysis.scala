@@ -64,6 +64,16 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = langIdFromWords(langIdWords(text))
 
+  /** Digit-character fraction of the text — shared by the quality
+    * features, the streaming quality gate, and the funnel queries (ONE
+    * definition, so the batch and stream gates cannot drift). Null for
+    * empty text (0/0).
+    */
+  def digitRatio(text: Column): Column = {
+    val len = length(text).cast("double")
+    (len - length(regexp_replace(text, "[0-9]", "")).cast("double")) / len
+  }
+
   /** Whitespace/case normalization (I+): lowercase, collapse every
     * whitespace run (incl. newlines/tabs) to a single space, trim. The
     * canonicalization pass that runs before hashing/dedup so formatting
@@ -99,14 +109,13 @@ object TextAnalysis {
     val words = split(trim(text), "\\s+")
     val nWords = size(words).cast("double")
     val punct = len - length(regexp_replace(text, "[.,;:!?]", "")).cast("double")
-    val digits = len - length(regexp_replace(text, "[0-9]", "")).cast("double")
     val sw = stopwordHits(split(lower(text), "\\s+"), stopwordLists.head._2).cast("double")
     Seq(
       "n_chars" -> len,
       "n_words" -> nWords,
       "mean_word_len" -> (len - (nWords - 1)) / nWords,
       "punct_ratio" -> punct / len,
-      "digit_ratio" -> digits / len,
+      "digit_ratio" -> digitRatio(text),
       "stopword_ratio" -> sw / nWords)
   }
 

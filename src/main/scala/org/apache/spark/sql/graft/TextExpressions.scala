@@ -283,6 +283,51 @@ object ShingleHashes {
   }
 }
 
+/** True when ANY element of the child long-array is in the static set —
+  * the [[org.apache.spark.sql.catalyst.expressions.InSet]] idea lifted
+  * to array elements. The membership gate of streaming decontamination:
+  * the benchmark's shingle-hash set is built ONCE (driver-side, bounded
+  * — eval sets are tiny by contract) and each row pays O(|its own
+  * array|) hash probes, independent of the benchmark size. The
+  * alternatives are all benchmark-linear per row: a broadcast
+  * nested-loop anti-join probes every bench row per doc, and
+  * `arrays_overlap` against a literal array hashes the SMALLER side
+  * but still iterates the bigger (the benchmark) per row.
+  */
+case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "array_any_in_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (hset.contains(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", hset, classOf[Set[Long]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = false;
+         |for (int i = 0; i < $c.numElements(); i++) {
+         |  if ($setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
+         |    ${ev.value} = true; break;
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayLongAnyInSet =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -294,6 +339,13 @@ object TextExpressions {
                     padShort: Boolean = true): Column =
     ExpressionUtils.column(ShingleHashes(
       ExpressionUtils.expression(text), shingleN, distinct, padShort))
+
+  /** True when any element of a long-array column is in the static set
+    * (see [[ArrayLongAnyInSet]]).
+    */
+  def arrayAnyInSet(arr: Column, set: Set[Long]): Column =
+    ExpressionUtils.column(ArrayLongAnyInSet(
+      ExpressionUtils.expression(arr), set))
 
   /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
   def simhashBands(text: Column): Column =

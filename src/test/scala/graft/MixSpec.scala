@@ -138,6 +138,14 @@ class MixSpec extends SparkSpec {
       "digit_ratio" -> (1L, 3L), // 4 dropped -> 3 remain
       "lang_en" -> (1L, 2L),     // 5 dropped -> 2 remain
       "kept" -> (2L, 2L)))       // 1 and 6 survive
+    // zero-drop gates and an empty kept row still appear: "dropped
+    // nothing" must be distinguishable from "not run"
+    val allFail = Mix.curationFunnel(docs,
+        Seq("open" -> lit(true), "closed" -> lit(false)))
+      .collect().map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("survivors_after"))).toMap
+    assert(allFail === Map(
+      "open" -> (0L, 7L), "closed" -> (7L, 0L), "kept" -> (0L, 0L)))
   }
 
   test("packSequencesScalable: conserves totals, equals packSequences at 1 sub-shard, no whole-shard window") {
@@ -164,10 +172,18 @@ class MixSpec extends SparkSpec {
     }
     assert(out.filter(!($"tok_offset" >= $"pack_id" * 512 &&
       $"tok_offset" < ($"pack_id" + 1) * 512)).isEmpty)
-    // scale shape: the corpus-side windows partition by (shard, _ss),
-    // never by the shard alone
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("partitionBy: [source]") || plan.contains("_ss"),
-      s"whole-shard window found:\n$plan")
+    // scale shape, checked on the Window NODES (a plan-string contains
+    // test is vacuously true — "_ss" appears in every projection): the
+    // corpus-side prefix-sum window must include the sub-shard in its
+    // partition keys; shard-only windows may exist only above the tiny
+    // totals Aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    def partKeys(w: LWindow) =
+      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+    assert(windows.exists(w => partKeys(w).exists(_.contains("_ss"))))
+    assert(windows.forall(w => partKeys(w).exists(_.contains("_ss")) ||
+      w.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "corpus-row window partitioned by the shard alone")
   }
 }

@@ -95,14 +95,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ds_pack_global windows partition by (shard, sub-shard); bases broadcast back") {
-    val plan = planOf(MixQueries.dsPackGlobal(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"sub-shard bases should broadcast:\n$plan")
-    // no window partitioned by the shard column alone — every corpus
-    // window key includes the sub-shard
-    assert(!"hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(plan).isDefined ||
-      plan.contains("_ss"),
-      s"whole-shard window survives in ds_pack_global:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = MixQueries.dsPackGlobal(spark, dir)
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"sub-shard bases should broadcast:\n${planOf(df)}")
+    // inspect the Window NODES, not the plan string: the corpus-row
+    // prefix-sum must partition by (shard, _ss); a window keyed by the
+    // shard alone is allowed only above the tiny totals Aggregate
+    // (pass 2's base cumsum)
+    def partKeys(w: LWindow): Set[String] =
+      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.exists(w => partKeys(w).exists(_.contains("_ss"))),
+      "no (shard, sub-shard) window found in ds_pack_global")
+    val wholeShardOnCorpus = windows.filter(w =>
+      !partKeys(w).exists(_.contains("_ss")) &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty)
+    assert(wholeShardOnCorpus.isEmpty,
+      s"corpus-row window partitioned by the shard alone:\n$wholeShardOnCorpus")
   }
 
   test("dedup_decontam broadcasts the benchmark; corpus shuffles only for its own count") {

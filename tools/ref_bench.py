@@ -34,10 +34,15 @@ ev["ts"] = ev["ts"].dt.floor("us")
 results = {}
 
 def timed(name):
+    # min-of-2, mirroring graft.Bench's default: both sides of
+    # BENCH_COMPARE.md absorb transient machine contention the same way
     def deco(fn):
-        t0 = time.time()
-        fn()
-        results[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        results[name] = round(min(runs), 3)
     return deco
 
 # A1: c_rolling 2h mean per user (utils.c_rolling applied per series)
