@@ -150,7 +150,13 @@ object RelationalQueries extends QueryPack {
   /** F+ `q_quantiles` — exact interpolated quartiles per group. The
     * array form evaluates ONE percentile aggregate (one sort of each
     * group's values) for all three quartiles; three scalar percentile
-    * calls would buffer and sort every group three times.
+    * calls would buffer and sort every group three times. NOTE the
+    * scale contract: exact percentile buffers every group member in
+    * executor memory — correct here and at moderate group sizes, but
+    * at 100 TB per-group cardinalities the sketch twin (`q_approx`'s
+    * approx_percentile, bounded memory at fixed accuracy) is the
+    * operator to reach for; this pair is the percentile analogue of
+    * brute-force vs ANN search.
     */
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
