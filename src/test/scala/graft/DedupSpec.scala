@@ -226,6 +226,40 @@ class DedupSpec extends SparkSpec {
           .as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(strict === Map(1L -> 5, 2L -> 1, 3L -> 0, 4L -> 5, 5L -> 0))
+    // interpreted eval path (no codegen) agrees
+    val ie = org.apache.spark.sql.graft.ShingleHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"),
+        org.apache.spark.sql.types.StringType), 3, true, true)
+    assert(ie.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().length === 2)
+  }
+
+  test("ArrayLongAnyInSet: codegen and interpreted agree; null array yields null") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val set = Set(42L, 7L)
+    val df = Seq(
+      (1L, Seq(1L, 2L, 42L)),   // hit on the last element
+      (2L, Seq(1L, 2L, 3L)),    // miss
+      (3L, Seq.empty[Long]))    // empty -> false
+      .toDF("id", "arr")
+    val got = df.select(col("id"), org.apache.spark.sql.graft.TextExpressions
+        .arrayAnyInSet(col("arr"), set).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    // null array propagates null (the stream gate coalesces it to keep)
+    val nulled = df.select(org.apache.spark.sql.graft.TextExpressions
+      .arrayAnyInSet(lit(null).cast(ArrayType(LongType)), set)).head
+    assert(nulled.isNullAt(0))
+    // interpreted eval
+    val hit = org.apache.spark.sql.graft.ArrayLongAnyInSet(
+      Literal.create(Seq(5L, 7L), ArrayType(LongType)), set)
+    assert(hit.eval(null) === true)
+    val miss = org.apache.spark.sql.graft.ArrayLongAnyInSet(
+      Literal.create(Seq(5L), ArrayType(LongType)), set)
+    assert(miss.eval(null) === false)
   }
 
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
