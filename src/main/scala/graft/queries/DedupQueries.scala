@@ -76,7 +76,27 @@ object DedupQueries extends QueryPack {
       shingleN = 5, minOverlap = 3)
   }
 
+  /** G7 `dedup_incremental` — the persisted-index production shape:
+    * history = even doc ids (indexed fresh each invocation so the
+    * query is idempotent), batch = odd ids checked against it via the
+    * signature-estimator verify. Rows-only: the MinHash estimator is
+    * hash-function-defined (like the rest of the minhash family);
+    * DedupSpec pins the semantics, including cross-batch orientation
+    * and the re-send no-op contract.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val docs = Tables.documents(s, dir)
+    val idx = graft.dedup.LshIndex.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"spark-warehouse/lsh_incr_$san")
+    idx.checkAndAdd(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      threshold = 0.7)
+      .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "dedup_decontam" -> dedupDecontam,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,

@@ -55,7 +55,8 @@ class ContractSpec extends AnyFunSuite {
     val expected = Set("dedup_minhash", "dedup_simhash", "dedup_jaccard",
       "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_langid",
       "mm_schema", "mm_features",
-      "q_approx") // sketch outputs are implementation-defined (r5)
+      "q_approx",           // sketch outputs are implementation-defined (r5)
+      "dedup_incremental")  // MinHash-estimator verify, hash-defined (r5)
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

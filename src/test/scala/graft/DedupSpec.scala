@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, LshIndex}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -260,6 +260,40 @@ class DedupSpec extends SparkSpec {
     val miss = org.apache.spark.sql.graft.ArrayLongAnyInSet(
       Literal.create(Seq(5L), ArrayType(LongType)), set)
     assert(miss.eval(null) === false)
+  }
+
+  test("LshIndex: incremental batches near-dup against history without rescanning it") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val initial = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (200L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    val idx = LshIndex.build(initial, "doc_id", "text", dir)
+    // batch 1: a dup of doc 100 with a SMALLER id (orientation case),
+    // plus a unique doc
+    val b1 = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (300L, "nothing like anything indexed so far in any way whatsoever today"))
+      .toDF("doc_id", "text")
+    val p1 = idx.checkAndAdd(b1, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p1.map(t => (t._1, t._2)).toSet === Set((5L, 100L)))
+    assert(p1.head._3 === 1.0) // identical text -> every component matches
+    // batch 2 dups BATCH 1's unique doc: history now includes batch 1
+    val b2 = Seq(
+      (400L, "nothing like anything indexed so far in any way whatsoever today"))
+      .toDF("doc_id", "text")
+    val p2 = idx.checkAndAdd(b2, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((300L, 400L)))
+    // re-sending an indexed id is a no-op (no self-pairs, no growth)
+    val before = idx.sigs.count()
+    assert(idx.checkAndAdd(b2, "doc_id", "text").isEmpty)
+    assert(idx.sigs.count() === before)
+    // the index holds exactly the five distinct docs, banded on disk
+    assert(idx.sigs.count() === 5)
+    assert(new java.io.File(s"$dir/banded").listFiles()
+      .count(_.getName.startsWith("band=")) === 16)
   }
 
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
