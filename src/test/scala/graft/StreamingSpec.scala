@@ -251,6 +251,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality gate streams to a partitioned parquet sink and reads back (production wiring)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("qsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    // the real ingestion wiring: gate -> partitioned parquet files with
+    // a checkpoint, not a memory table
+    val q = Streaming.qualityGateStream(
+        input.toDF().toDF("doc_id", "source", "text"), "text", minTokens = 3)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .partitionBy("source")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "web", "a good long document with words"),
+        (2L, "web", "too short"),
+        (3L, "books", "another fine document that survives the gate"))
+      q.processAllAvailable()
+      input.addData((4L, "web", "a second batch document with enough words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L))
+    // the sink is physically partitioned by source
+    val parts = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("source=")).map(_.getName).sorted
+    assert(parts.toSeq === Seq("source=books", "source=web"))
+    // gate columns survive the roundtrip
+    assert(back.columns.toSet.contains("redacted") &&
+      back.columns.toSet.contains("n_tokens"))
+  }
+
   test("decontaminateStream drops docs overlapping a static benchmark (stateless anti-join)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
