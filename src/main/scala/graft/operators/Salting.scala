@@ -66,4 +66,24 @@ object Salting {
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     factS.join(broadcast(dimS), Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The skew DIAGNOSIS that precedes the mitigation above: the topK
+    * heaviest keys with their row counts and share of the corpus —
+    * what you read before deciding a key needs salting (a key carrying
+    * >> 1/parallelism of the rows is a single-reducer hotspot). One
+    * map-side-combining count per key, a one-row total broadcast back,
+    * top-k via TakeOrdered — the diagnosis never costs more than the
+    * aggregation it is diagnosing.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topK > 0, "need key columns and topK > 0")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        (col("n") / col("_total")).as("share")): _*)
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+  }
 }

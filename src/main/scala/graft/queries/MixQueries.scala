@@ -94,7 +94,15 @@ object MixQueries extends QueryPack {
       "digit_ratio" -> (TextAnalysis.digitRatio(col("text")) <= 0.3),
       "lang_en" -> (col("lang") === "en")))
 
+  /** L7 `ds_skew` — per-source skew diagnosis (the read before a
+    * salting decision): top-10 heaviest sources with row counts and
+    * corpus share. Exact counts, fully oracled.
+    */
+  def dsSkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.skewReport(docs(s, dir), Seq("source"), topK = 10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_skew" -> dsSkew,
     "ds_funnel" -> dsFunnel,
     "ds_sample" -> dsSample,
     "ds_mix" -> dsMix,
@@ -127,6 +135,13 @@ object MixQueries extends QueryPack {
          |JOIN (VALUES $ratesValuesSql) AS r(source, rate)
          |  ON d.source = r.source
          |WHERE ${hashUSql("d.doc_id")} < r.rate""".stripMargin,
+    "ds_skew" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT c.source, c.n, c.n / t.tot AS share
+        |FROM c, t
+        |ORDER BY n DESC, source
+        |LIMIT 10""".stripMargin,
     "ds_funnel" ->
       """WITH t AS (SELECT CASE
         |    WHEN NOT COALESCE(len(string_split_regex(trim(text), '\s+')) >= 5,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.mix.Mix
+import graft.text.TextAnalysis
+
+/** End-to-end dataset assembly over real test parquet: the full
+  * curation chain a training-data pipeline runs, each stage feeding
+  * the next — quality gate → exact dedup keep-one → eval-set
+  * decontamination → reproducible sample → token budget → packing —
+  * with the funnel accounting cross-checked against the actual stage
+  * outputs. The point is INTEGRATION: every operator is spec'd alone
+  * elsewhere; this pins that they compose (schemas line up, counts
+  * flow monotonically, the final packing is dense).
+  */
+class AssemblySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("gate -> dedup -> decontam -> sample -> budget -> pack composes over real data") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val total = docs.count()
+    assert(total > 0)
+
+    // 1. quality gate (row-local filters)
+    val gated = docs
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= 5 && TextAnalysis.digitRatio(col("text")) <= 0.5)
+    val nGated = gated.count()
+    assert(nGated <= total && nGated > 0)
+
+    // 2. exact dedup keep-one (smallest id per content)
+    val keepIds = Dedup.exact(gated, "doc_id", "text").select(col("keep_id"))
+    val deduped = gated.join(keepIds,
+      gated("doc_id") === keepIds("keep_id"), "left_semi")
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nGated && nDeduped > 0)
+
+    // 3. decontamination against a benchmark slice
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val contaminated = Dedup.contaminatedIds(deduped, "doc_id", "text",
+      bench, "text", shingleN = 5, minOverlap = 3)
+    val clean = deduped.join(contaminated.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean <= nDeduped && nClean > 0)
+
+    // 4. reproducible half sample, then a per-source token budget
+    val sampled = Mix.sampleByHash(clean, "doc_id", 0.5)
+    val budgeted = Mix.sampleToTokenBudget(sampled, "doc_id", "source",
+      "n_tokens", 2000L)
+    val nBudgeted = budgeted.count()
+    assert(nBudgeted <= sampled.count())
+    // budget holds in expectation; assert the hard upper bound per
+    // source: expected tokens <= budget + one doc's max tokens
+    val maxDoc = budgeted.agg(max(col("n_tokens"))).head.getLong(0)
+    budgeted.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
+      .collect().foreach { r =>
+        // Bernoulli sampling: not a hard cap, but a blown-out source
+        // (>3x budget) would mean the rate derivation is wrong
+        assert(r.getAs[Long]("toks") <= 3 * 2000L + maxDoc,
+          s"source ${r.getString(0)} far over budget: ${r.getAs[Long]("toks")}")
+      }
+
+    // 5. pack: offsets dense per shard, every doc starts in its pack
+    val packed = Mix.packSequencesScalable(budgeted, "source", "doc_id",
+      "n_tokens", 512, numSubShards = 8)
+    assert(packed.count() === nBudgeted)
+    packed.groupBy(col("source"))
+      .agg(max(col("tok_offset") + col("n_tokens")).as("end"),
+        sum(col("n_tokens")).as("tot")).collect()
+      .foreach(r => assert(r.getAs[Long]("end") === r.getAs[Long]("tot")))
+
+    // 6. the funnel report agrees with the independently-computed stages
+    val funnel = Mix.curationFunnel(docs, Seq(
+        "quality" -> (TextAnalysis.wsTokenCount(col("text")) >= 5 &&
+          TextAnalysis.digitRatio(col("text")) <= 0.5)))
+      .collect().map(r => r.getAs[String]("gate") -> r.getAs[Long]("n")).toMap
+    assert(funnel("quality") === total - nGated)
+    assert(funnel("kept") === nGated)
+  }
+}
