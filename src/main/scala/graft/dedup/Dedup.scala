@@ -92,21 +92,32 @@ object Dedup {
     * produced signature rows for them, and a shared null-derived band
     * hash would otherwise pair every null-text doc with every other.
     */
+  /** The (band, bh) bucket keys of a signature column, as an
+    * explodable array of structs — THE banding definition, shared by
+    * [[minhashLsh]]'s candidate generation and [[LshIndex]]'s persisted
+    * band table so the two can never drift apart on band layout or
+    * bucket hashing.
+    */
+  private[dedup] def bandStructsOf(sigCol: Column, numHashes: Int,
+                                   bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r =>
+        element_at(sigCol, b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }: _*)
+  }
+
   private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, numHashes: Int,
                             bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val sig = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .minhashSignature(col(textCol), shingleN, numHashes).as("_sig"))
-    val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r =>
-        element_at(col("_sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"),
+        explode(bandStructsOf(col("_sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 

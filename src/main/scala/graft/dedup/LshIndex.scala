@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * and each new batch is checked against ALL history (and itself)
   * without recomputing or even rescanning the historical text.
   *
-  * Two parquet tables, written at build and appended per batch:
+  * Three parquet tables, written at build:
   *   - `sigs/`   (doc_id, sig: array<long>[numHashes]) — the row-local
   *     MinHash signatures ([[org.apache.spark.sql.graft.MinHashSignature]]);
   *   - `banded/` (doc_id, band, bh), partitioned BY BAND — the LSH
-  *     bucket keys.
+  *     bucket keys, derived through the SAME [[Dedup.bandStructsOf]]
+  *     the batch operator uses;
+  *   - `meta/`   one row recording (shingleN, numHashes, bands) — so
+  *     [[LshIndex.load]] FAILS FAST on parameter mismatch instead of
+  *     silently producing collapsed buckets and mis-scaled estimates.
   *
   * Cross-batch verification uses the STANDARD MinHash estimator
   * (fraction of equal signature components — an unbiased estimator of
@@ -27,7 +31,23 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB of history): a batch's banded rows are tiny
   * next to history, so the candidate join BROADCASTS the batch side
   * and streams the banded history scan — history is never shuffled;
-  * signatures join on doc_id for candidate pairs only.
+  * signatures join on doc_id for candidate pairs only. Degenerate
+  * buckets are capped on the BATCH side ([[LshIndex.checkAndAdd]]'s
+  * `maxBatchBucket`): a boilerplate bucket holding N history rows and
+  * M batch rows would emit N×M candidates; capping M to a
+  * deterministic anchor sample bounds it at N×cap — linear in
+  * history, the same star-degradation idea as
+  * [[Dedup.cappedBucketPairs]] (which the batch-internal pairs use
+  * directly).
+  *
+  * Crash-consistency contract: appends land banded/ FIRST, sigs/
+  * second. A crash between the two leaves band rows without
+  * signatures; the re-send of the same batch passes the anti-join
+  * (which checks sigs/) and re-appends — duplicate band rows are
+  * collapsed by the candidate `distinct()`, so the recovery is simply
+  * "send the batch again". (The reverse order would be silent
+  * corruption: ids in sigs/ but not banded/ are invisible to every
+  * future candidate join yet refused re-indexing.)
   */
 final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
                                      val shingleN: Int, val numHashes: Int,
@@ -44,41 +64,48 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
         org.apache.spark.sql.graft.TextExpressions
           .minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
 
-  private[dedup] def bandRows(sig: DataFrame): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+  private[dedup] def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+        explode(Dedup.bandStructsOf(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-  }
 
   /** Estimated-Jaccard near-dup pairs between `newDocs` and everything
     * indexed so far, PLUS within-batch pairs — then the batch is
-    * appended to the index. Ids already indexed are skipped (anti-join,
-    * the same re-send contract as IvfIndex.addVectors). Cross-batch
-    * pairs are oriented (least, greatest) by id — membership in the
-    * batch, not id order, decides which side a doc joins from, so a
-    * new doc with a SMALLER id than its historical dup still pairs.
+    * appended to the index. Ids already indexed are skipped, and a
+    * batch-internal duplicate id keeps one arbitrary row (ids are
+    * identity — same re-send contract as IvfIndex.addVectors; two
+    * different documents must not share an id). Cross-batch pairs are
+    * oriented (least, greatest) by id — membership in the batch, not
+    * id order, decides which side a doc joins from, so a new doc with
+    * a SMALLER id than its historical dup still pairs.
     */
   def checkAndAdd(newDocs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.7): DataFrame = {
+                  threshold: Double = 0.7,
+                  maxBatchBucket: Int = 64): DataFrame = {
     val newSigs = signatures(newDocs, idCol, textCol)
+      .dropDuplicates("doc_id")
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // reused: bands, verify, and the append
     val newBanded = bandRows(newSigs)
+    // batch-side bucket cap: keep at most maxBatchBucket deterministic
+    // anchors per (band, bh) — the batch is small, so this window is
+    // cheap, and it bounds the history join's per-bucket fan-out
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+    val cappedBatch = newBanded
+      .withColumn("_r", row_number().over(bw))
+      .filter(col("_r") <= maxBatchBucket).drop("_r")
     val bandEq = col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
     val cross = banded.as("a")
-      .join(broadcast(newBanded).as("b"),
+      .join(broadcast(cappedBatch).as("b"),
         bandEq && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-    val within = newBanded.as("a")
-      .join(broadcast(newBanded).as("b"),
-        bandEq && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // batch-internal pairs share the batch operator's degenerate-bucket
+    // guard wholesale
+    val within = Dedup.cappedBucketPairs(newBanded, Seq("band", "bh"),
+      maxBucketSize = maxBatchBucket)
     val cand = cross.union(within).distinct()
     val allSigs = sigs.union(newSigs)
     // fraction of equal components, row-local on candidate pairs only
@@ -93,31 +120,62 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
       .localCheckpoint(true) // materialize BEFORE appending below: out
                              // reads sigs/ and banded/, and an append
                              // first would double-count the batch
-    newSigs.write.mode("append").parquet(s"$path/sigs")
+    // banded FIRST (crash-consistency contract in the class doc)
     bandRows(newSigs).write.mode("append")
       .partitionBy("band").parquet(s"$path/banded")
+    newSigs.write.mode("append").parquet(s"$path/sigs")
     out
   }
 }
 
 object LshIndex {
 
-  /** Build the index over an initial corpus and persist it. */
+  /** Build the index over an initial corpus and persist it (including
+    * the parameter record load() validates against).
+    */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
             shingleN: Int = 3, numHashes: Int = 64,
             bands: Int = 16): LshIndex = {
     val idx = new LshIndex(docs.sparkSession, path, shingleN, numHashes, bands)
-    idx.signatures(docs, idCol, textCol)
+    import docs.sparkSession.implicits._
+    idx.signatures(docs, idCol, textCol).dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(s"$path/sigs")
     // band rows derive from the PERSISTED signatures: one signature
     // computation total, and the two tables cannot disagree
     idx.bandRows(idx.sigs)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/banded")
+    Seq((shingleN, numHashes, bands))
+      .toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     idx
   }
 
-  /** Open an existing index (parameters must match the build). */
+  /** Open an existing index. The persisted parameter record must match
+    * the requested parameters — a mismatch would silently collapse
+    * buckets (element_at past the stored signature length) and
+    * mis-scale every estimate, so it throws instead. Indexes persisted
+    * before the meta table existed load with a logged assumption only
+    * if the caller's numHashes matches the stored signature length.
+    */
   def load(spark: SparkSession, path: String, shingleN: Int = 3,
-           numHashes: Int = 64, bands: Int = 16): LshIndex =
+           numHashes: Int = 64, bands: Int = 16): LshIndex = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val m = spark.read.parquet(s"$path/meta").head
+      val (sn, nh, nb) = (m.getAs[Int]("shingle_n"),
+        m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+      require(sn == shingleN && nh == numHashes && nb == bands,
+        s"LshIndex at $path was built with (shingleN=$sn, numHashes=$nh, " +
+          s"bands=$nb) but load() requested ($shingleN, $numHashes, $bands) " +
+          "— opening with different parameters silently corrupts results")
+    } else {
+      val storedK = spark.read.parquet(s"$path/sigs")
+        .select(size(col("sig"))).head.getInt(0)
+      require(storedK == numHashes,
+        s"LshIndex at $path has no meta record and stores $storedK-component " +
+          s"signatures, but load() requested numHashes=$numHashes")
+    }
     new LshIndex(spark, path, shingleN, numHashes, bands)
+  }
 }

@@ -52,7 +52,7 @@ class AssemblySpec extends SparkSpec {
     val budgeted = Mix.sampleToTokenBudget(sampled, "doc_id", "source",
       "n_tokens", 2000L)
     val nBudgeted = budgeted.count()
-    assert(nBudgeted <= sampled.count())
+    assert(nBudgeted > 0 && nBudgeted <= sampled.count())
     // budget holds in expectation; assert the hard upper bound per
     // source: expected tokens <= budget + one doc's max tokens
     val maxDoc = budgeted.agg(max(col("n_tokens"))).head.getLong(0)

@@ -294,6 +294,20 @@ class DedupSpec extends SparkSpec {
     assert(idx.sigs.count() === 5)
     assert(new java.io.File(s"$dir/banded").listFiles()
       .count(_.getName.startsWith("band=")) === 16)
+    // load validates the persisted parameters: matching opens, a
+    // mismatch throws instead of silently corrupting estimates
+    val reopened = LshIndex.load(spark, dir)
+    assert(reopened.sigs.count() === 5)
+    intercept[IllegalArgumentException] {
+      LshIndex.load(spark, dir, numHashes = 128, bands = 32)
+    }
+    // within-batch duplicate ids collapse to one index row
+    val dupBatch = Seq(
+      (500L, "some fresh content never seen before in this suite at all"),
+      (500L, "some fresh content never seen before in this suite at all"))
+      .toDF("doc_id", "text")
+    reopened.checkAndAdd(dupBatch, "doc_id", "text")
+    assert(reopened.sigs.filter($"doc_id" === 500L).count() === 1)
   }
 
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
