@@ -69,23 +69,57 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
         explode(Dedup.bandStructsOf(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-  /** Estimated-Jaccard near-dup pairs between `newDocs` and everything
-    * indexed so far, PLUS within-batch pairs — then the batch is
-    * appended to the index. Ids already indexed are skipped, and a
-    * batch-internal duplicate id keeps one arbitrary row (ids are
-    * identity — same re-send contract as IvfIndex.addVectors; two
-    * different documents must not share an id). Cross-batch pairs are
-    * oriented (least, greatest) by id — membership in the batch, not
-    * id order, decides which side a doc joins from, so a new doc with
-    * a SMALLER id than its historical dup still pairs.
+  /** [[check]] then [[add]]: the ingest step that both reports a
+    * batch's near-dups and admits the batch to the index.
     */
   def checkAndAdd(newDocs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.7,
                   maxBatchBucket: Int = 64): DataFrame = {
+    val (pairs, newSigs) = checkInternal(newDocs, idCol, textCol,
+      threshold, maxBatchBucket)
+    appendSigs(newSigs)
+    pairs
+  }
+
+  /** PURE query form: estimated-Jaccard near-dup pairs between
+    * `newDocs` and everything indexed, plus within-batch pairs — the
+    * index is NOT modified (callers that admit the batch use
+    * [[checkAndAdd]], or [[add]] after inspecting the pairs). Ids
+    * already indexed are skipped, and a batch-internal duplicate id
+    * keeps one arbitrary row (ids are identity — same re-send contract
+    * as IvfIndex.addVectors; two different documents must not share an
+    * id). Cross-batch pairs are oriented (least, greatest) by id —
+    * membership in the batch, not id order, decides which side a doc
+    * joins from, so a new doc with a SMALLER id than its historical
+    * dup still pairs.
+    */
+  def check(newDocs: DataFrame, idCol: String, textCol: String,
+            threshold: Double = 0.7, maxBatchBucket: Int = 64): DataFrame =
+    checkInternal(newDocs, idCol, textCol, threshold, maxBatchBucket)._1
+
+  /** Admit a batch to the index without reporting pairs (the other
+    * half of [[checkAndAdd]]; same skip-indexed-ids contract).
+    */
+  def add(newDocs: DataFrame, idCol: String, textCol: String): Unit =
+    appendSigs(signatures(newDocs, idCol, textCol)
+      .dropDuplicates("doc_id")
+      .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true))
+
+  private def appendSigs(newSigs: DataFrame): Unit = {
+    // banded FIRST (crash-consistency contract in the class doc)
+    bandRows(newSigs).write.mode("append")
+      .partitionBy("band").parquet(s"$path/banded")
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+  }
+
+  private def checkInternal(newDocs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double,
+                            maxBatchBucket: Int): (DataFrame, DataFrame) = {
     val newSigs = signatures(newDocs, idCol, textCol)
       .dropDuplicates("doc_id")
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // reused: bands, verify, and the append
+      .localCheckpoint(true) // reused: bands, verify, and any append
     val newBanded = bandRows(newSigs)
     // batch-side bucket cap: keep at most maxBatchBucket deterministic
     // anchors per (band, bh) — the batch is small, so this window is
@@ -117,14 +151,10 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .localCheckpoint(true) // materialize BEFORE appending below: out
-                             // reads sigs/ and banded/, and an append
-                             // first would double-count the batch
-    // banded FIRST (crash-consistency contract in the class doc)
-    bandRows(newSigs).write.mode("append")
-      .partitionBy("band").parquet(s"$path/banded")
-    newSigs.write.mode("append").parquet(s"$path/sigs")
-    out
+      .localCheckpoint(true) // materialize BEFORE any append: the pair
+                             // frame reads sigs/ and banded/, and an
+                             // append first would double-count the batch
+    (out, newSigs)
   }
 }
 
@@ -149,6 +179,27 @@ object LshIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     idx
   }
+
+  /** True when a COMPLETED index exists at `path` — keyed on the meta
+    * table's _SUCCESS marker, which build() writes last, so a build
+    * that crashed mid-way reads as absent and is rebuilt.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Load if a completed index exists at `path`, else build — the
+    * ingest-once/check-many lifecycle (same path-keyed contract as
+    * IvfIndex.buildOrLoad: it does NOT detect that the corpus changed
+    * under an existing path; rebuild explicitly for that).
+    */
+  def buildOrLoad(docs: DataFrame, idCol: String, textCol: String,
+                  path: String, shingleN: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16): LshIndex =
+    if (exists(docs.sparkSession, path))
+      load(docs.sparkSession, path, shingleN, numHashes, bands)
+    else build(docs, idCol, textCol, path, shingleN, numHashes, bands)
 
   /** Open an existing index. The persisted parameter record must match
     * the requested parameters — a mismatch would silently collapse

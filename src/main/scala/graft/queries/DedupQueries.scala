@@ -77,20 +77,25 @@ object DedupQueries extends QueryPack {
   }
 
   /** G7 `dedup_incremental` — the persisted-index production shape:
-    * history = even doc ids (indexed fresh each invocation so the
-    * query is idempotent), batch = odd ids checked against it via the
-    * signature-estimator verify. Rows-only: the MinHash estimator is
-    * hash-function-defined (like the rest of the minhash family);
-    * DedupSpec pins the semantics, including cross-batch orientation
-    * and the re-send no-op contract.
+    * history = even doc ids (built once, reused across invocations
+    * like ann_ivf's index), batch = odd ids checked against it via the
+    * PURE `check` — no mutation, so the query is idempotent and only
+    * the first invocation pays the build. Rows-only: the MinHash
+    * estimator is hash-function-defined (like the rest of the minhash
+    * family); DedupSpec pins the semantics, including cross-batch
+    * orientation and the re-send no-op contract.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val docs = Tables.documents(s, dir)
-    val idx = graft.dedup.LshIndex.build(
+    // v2 path: the v1 artifact was written by a checkAndAdd-based
+    // wiring that appended the batch, so loading it would anti-join
+    // the whole batch away; the versioned name makes the contract
+    // change explicit instead of silently depending on cleanup
+    val idx = graft.dedup.LshIndex.buildOrLoad(
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      s"spark-warehouse/lsh_incr_$san")
-    idx.checkAndAdd(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      s"spark-warehouse/lsh_incr_v2_$san")
+    idx.check(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
       threshold = 0.7)
       .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
   }

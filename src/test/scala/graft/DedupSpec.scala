@@ -308,6 +308,21 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     reopened.checkAndAdd(dupBatch, "doc_id", "text")
     assert(reopened.sigs.filter($"doc_id" === 500L).count() === 1)
+    // pure check(): reports pairs against history but does NOT admit
+    val probe = Seq(
+      (600L, "some fresh content never seen before in this suite at all"))
+      .toDF("doc_id", "text")
+    val checked = reopened.check(probe, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(checked === Set((500L, 600L)))
+    assert(reopened.sigs.filter($"doc_id" === 600L).isEmpty)
+    // add() admits without reporting; the index grows exactly once
+    reopened.add(probe, "doc_id", "text")
+    assert(reopened.sigs.filter($"doc_id" === 600L).count() === 1)
+    // buildOrLoad on an existing path is a load, not a rebuild
+    assert(graft.dedup.LshIndex
+      .buildOrLoad(probe, "doc_id", "text", dir).sigs.count() ===
+      reopened.sigs.count())
   }
 
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
