@@ -296,10 +296,14 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("_nbmin"))
+      // the previous label rides along as _prev, so the convergence
+      // check below is a filter over the already-checkpointed result —
+      // not another join against the old label table per iteration
       val stepped = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("_nbmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("_prev"))
       // pointer doubling: also jump to the label OF the current label
       // (label chains halve per iteration -> O(log diameter) rounds,
       // not O(diameter))
@@ -308,11 +312,11 @@ object Dedup {
       val updated = stepped.join(lookup, col("component") === col("_ln"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("_lc"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("_prev"))
         .localCheckpoint(true)
-      val changes = updated.join(labels.withColumnRenamed("component", "_old"), "node")
-        .filter(col("component") =!= col("_old")).count()
-      labels = updated
+      val changes = updated.filter(col("component") =!= col("_prev")).count()
+      labels = updated.drop("_prev")
       converged = changes == 0
       iter += 1
     }
