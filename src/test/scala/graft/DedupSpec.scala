@@ -235,6 +235,29 @@ class DedupSpec extends SparkSpec {
       .toLongArray().length === 2)
   }
 
+  test("ShingleHashes parity with the interpreted form holds on randomized texts") {
+    import org.apache.spark.sql.functions._
+    // deterministic fuzz: tiny vocab (forces duplicate shingles, the
+    // distinct path), lengths spanning empty/short/long, plus edge
+    // strings with empty-word artifacts from doubled/leading spaces
+    val rnd = new scala.util.Random(42)
+    val texts = (1L to 200L).map { i =>
+      val len = rnd.nextInt(30)
+      (i, (0 until len).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    } ++ Seq((900L, ""), (901L, "  leading and  doubled  spaces "),
+      (902L, "one"), (903L, "a b"))
+    val df = texts.toDF("doc_id", "text")
+    Seq(2, 3, 5).foreach { n =>
+      val bad = df.select(col("doc_id"),
+          org.apache.spark.sql.graft.TextExpressions
+            .shingleHashes(col("text"), n).as("expr"),
+          transform(Dedup.shingles(col("text"), n), s => xxhash64(s)).as("ho"))
+        .filter(not(col("expr") === col("ho")))
+      assert(bad.isEmpty,
+        s"n=$n diverges: ${bad.collect().take(3).mkString("\n")}")
+    }
+  }
+
   test("ArrayLongAnyInSet: codegen and interpreted agree; null array yields null") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.expressions.Literal
