@@ -418,6 +418,17 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("drop_id"))
 
+  /** Distinct xxhash64 values of a benchmark set's shingles (column
+    * `_bh`) — the shared build side of batch [[contaminatedIds]] and
+    * [[graft.streaming.Streaming.decontaminateStream]]: one definition,
+    * so the two gates cannot drift apart on shingle or hash semantics.
+    */
+  def benchShingleHashes(benchmark: DataFrame, benchTextCol: String,
+                         shingleN: Int): DataFrame =
+    benchmark.filter(col(benchTextCol).isNotNull)
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
+      .select(xxhash64(col("_bs")).as("_bh")).distinct()
+
   /** Eval-set decontamination: training documents sharing at least
     * `minOverlap` DISTINCT word n-gram shingles with the benchmark set
     * — the step that keeps eval questions out of the training corpus
@@ -432,17 +443,6 @@ object Dedup {
     * the final count, and rows with no benchmark hit die at the join
     * before that shuffle.
     */
-  /** Distinct xxhash64 values of a benchmark set's shingles (column
-    * `_bh`) — the shared build side of batch [[contaminatedIds]] and
-    * [[graft.streaming.Streaming.decontaminateStream]]: one definition,
-    * so the two gates cannot drift apart on shingle or hash semantics.
-    */
-  def benchShingleHashes(benchmark: DataFrame, benchTextCol: String,
-                         shingleN: Int): DataFrame =
-    benchmark.filter(col(benchTextCol).isNotNull)
-      .select(explode(shingles(col(benchTextCol), shingleN)).as("_bs"))
-      .select(xxhash64(col("_bs")).as("_bh")).distinct()
-
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       benchmark: DataFrame, benchTextCol: String,
                       shingleN: Int = 5, minOverlap: Int = 3): DataFrame = {

@@ -204,29 +204,26 @@ object LshIndex {
   /** Open an existing index. The persisted parameter record must match
     * the requested parameters — a mismatch would silently collapse
     * buckets (element_at past the stored signature length) and
-    * mis-scale every estimate, so it throws instead. Indexes persisted
-    * before the meta table existed load with a logged assumption only
-    * if the caller's numHashes matches the stored signature length.
+    * mis-scale every estimate, so it throws instead. Every index this
+    * class builds writes the meta record, so its absence means the path
+    * does not hold a complete LshIndex: throw rather than guess at
+    * banding (a bands mismatch is unverifiable from the signature
+    * length alone and would silently collapse cross-batch recall).
     */
   def load(spark: SparkSession, path: String, shingleN: Int = 3,
            numHashes: Int = 64, bands: Int = 16): LshIndex = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath)) {
-      val m = spark.read.parquet(s"$path/meta").head
-      val (sn, nh, nb) = (m.getAs[Int]("shingle_n"),
-        m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
-      require(sn == shingleN && nh == numHashes && nb == bands,
-        s"LshIndex at $path was built with (shingleN=$sn, numHashes=$nh, " +
-          s"bands=$nb) but load() requested ($shingleN, $numHashes, $bands) " +
-          "— opening with different parameters silently corrupts results")
-    } else {
-      val storedK = spark.read.parquet(s"$path/sigs")
-        .select(size(col("sig"))).head.getInt(0)
-      require(storedK == numHashes,
-        s"LshIndex at $path has no meta record and stores $storedK-component " +
-          s"signatures, but load() requested numHashes=$numHashes")
-    }
+    require(fs.exists(metaPath),
+      s"LshIndex at $path has no meta record — not an index this class " +
+        "built (build() always persists meta). Rebuild it with build().")
+    val m = spark.read.parquet(s"$path/meta").head
+    val (sn, nh, nb) = (m.getAs[Int]("shingle_n"),
+      m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    require(sn == shingleN && nh == numHashes && nb == bands,
+      s"LshIndex at $path was built with (shingleN=$sn, numHashes=$nh, " +
+        s"bands=$nb) but load() requested ($shingleN, $numHashes, $bands) " +
+        "— opening with different parameters silently corrupts results")
     new LshIndex(spark, path, shingleN, numHashes, bands)
   }
 }

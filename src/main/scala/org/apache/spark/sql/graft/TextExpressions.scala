@@ -305,7 +305,9 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
     val arr = input.asInstanceOf[ArrayData]
     var i = 0
     while (i < arr.numElements()) {
-      if (hset.contains(arr.getLong(i))) return true
+      // Null elements carry no shingle hash — getLong on a null slot would
+      // read an undefined value (typically 0L) and spuriously match.
+      if (!arr.isNullAt(i) && hset.contains(arr.getLong(i))) return true
       i += 1
     }
     false
@@ -317,7 +319,8 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
       s"""
          |${ev.value} = false;
          |for (int i = 0; i < $c.numElements(); i++) {
-         |  if ($setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
+         |  if (!$c.isNullAt(i) &&
+         |      $setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
          |    ${ev.value} = true; break;
          |  }
          |}
