@@ -7,8 +7,9 @@ import graft.dedup.Dedup
 import graft.similarity.Similarity
 
 /** G1-G5 — deduplication over the documents / embeddings tables.
-  * G2-G5 are not SQL-expressible (hash-function-dependent) -> rows-only
-  * driver checks; their semantics are pinned by DedupSpec instead.
+  * G2/G3/G5 are not SQL-expressible (hash/seed-dependent candidate
+  * sets) -> rows-only driver checks with semantics pinned by DedupSpec;
+  * G1/G4/G6/G+ carry real DuckDB oracles.
   */
 object DedupQueries extends QueryPack {
 
@@ -30,7 +31,13 @@ object DedupQueries extends QueryPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
 
-  /** G4 `dedup_jaccard` — blocked (by source) trigram Jaccard >= 0.3. */
+  /** G4 `dedup_jaccard` — blocked (by source) trigram Jaccard >= 0.3.
+    * SQL-oracled: the block join is an exact (not approximate) pruning
+    * — a pair can only pass the threshold if it shares the block — so
+    * DuckDB's brute-force within-source pair scan states the same set,
+    * with shingle STRINGS standing in for the xxhash64 values (identical
+    * barring a 64-bit collision, the dedup_exact/decontam convention).
+    */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccard(Tables.documents(s, dir), "doc_id", "text", "source",
       shingleN = 3, threshold = 0.3)
@@ -128,6 +135,18 @@ object DedupQueries extends QueryPack {
         |FROM d JOIN b ON d.s = b.s
         |GROUP BY d.doc_id
         |HAVING count(*) >= 3""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
+        |FROM p WHERE i / (na + nb - i) >= 0.3""".stripMargin,
     "dedup_clusters" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |nodes AS (

@@ -13,7 +13,10 @@ object MultimodalQueries extends QueryPack {
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMediaSchema(Tables.documents(s, dir), "doc_id", "text", "n_chars")
 
-  /** J1 `mm_schema` — binary payload + typed metadata struct. */
+  /** J1 `mm_schema` — binary payload + typed metadata struct.
+    * SQL-oracled: the payload is the utf-8 text bytes, so byte_len is
+    * octet_length(encode(text)) and the metadata is n_chars arithmetic.
+    */
   def mmSchema(s: SparkSession, dir: String): DataFrame =
     media(s, dir).select(col("doc_id"),
       length(col("payload")).as("byte_len"),
@@ -62,6 +65,13 @@ object MultimodalQueries extends QueryPack {
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    "mm_schema" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars * 7 % 480 + 1 AS INT) AS height,
+        |  'png' AS format
+        |FROM documents""".stripMargin,
     "mm_audio_windows" ->
       """WITH a AS (SELECT doc_id,
         |    CAST(n_chars % 3 * 8000 + 16000 AS BIGINT) AS sr,

@@ -6,8 +6,10 @@ import graft.tables.Tables
 import graft.similarity.Similarity
 
 /** H1-H3 — similarity search over the embeddings table. The query
-  * vector is vec_id 0; the corpus is everything else. Rows-only checks
-  * (recall properties are pinned by SimilaritySpec).
+  * vector is vec_id 0; the corpus is everything else. ann_brute is
+  * exact and gets a DuckDB oracle (list_dot_product twin); the two
+  * approximate paths (ann_lsh, ann_ivf) are hash/seed-defined →
+  * rows-only, with recall properties pinned by SimilaritySpec.
   */
 object SimilarityQueries extends QueryPack {
 
@@ -52,5 +54,20 @@ object SimilarityQueries extends QueryPack {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf)
 
-  val oracles: Map[String, String] = Map()
+  val oracles: Map[String, String] = Map(
+    // Exact top-k is SQL-expressible: same double-precision dot/norm
+    // arithmetic (sequential accumulation over the float-cast elements
+    // in both engines), same (cosine DESC, vec_id) tie-break, rounding
+    // applied only to the OUTPUT after ordering.
+    "ann_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv, qv))) AS cosine
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(cosine, 6) AS cosine
+        |FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10""".stripMargin)
 }

@@ -17,10 +17,13 @@ object TextQueries extends QueryPack {
       TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
       TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
 
-  /** I2 `text_langid` — stopword-list language guess (rows-only). The
-    * words array is projected once and shared by all five language
-    * scores (CollapseProject keeps the hoist: the alias is non-cheap
-    * and referenced five times).
+  /** I2 `text_langid` — stopword-list language guess. The words array
+    * is projected once and shared by all five language scores
+    * (CollapseProject keeps the hoist: the alias is non-cheap and
+    * referenced five times). SQL-oracled: the argmax is array_max over
+    * (score, lang) structs, i.e. ties break toward the LARGEST lang
+    * string — the oracle's row_number twin orders score DESC, lang
+    * DESC to state the identical tie-break.
     */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -129,6 +132,25 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id, lang AS labeled_lang,
+        |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang, 'en' AS cand,
+        |    len(list_intersect(ws, ['the','and','of','to','a','in','is'])) AS score FROM w
+        |  UNION ALL SELECT doc_id, labeled_lang, 'fr',
+        |    len(list_intersect(ws, ['le','la','et','les','des','un','une'])) FROM w
+        |  UNION ALL SELECT doc_id, labeled_lang, 'es',
+        |    len(list_intersect(ws, ['el','de','los','y','que','en','una'])) FROM w
+        |  UNION ALL SELECT doc_id, labeled_lang, 'de',
+        |    len(list_intersect(ws, ['der','die','und','das','ist','ein','nicht'])) FROM w
+        |  UNION ALL SELECT doc_id, labeled_lang, 'zh',
+        |    len(list_intersect(ws, ['de','shi','le','zai','he','you'])) FROM w),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cand DESC) AS rn FROM s)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN score > 0 THEN cand ELSE 'und' END AS predicted_lang
+        |FROM b WHERE rn = 1""".stripMargin,
     "text_curate" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
