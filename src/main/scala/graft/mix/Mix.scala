@@ -237,4 +237,128 @@ object Mix {
       .withColumn("pack_id", (col("tok_offset") / capacity).cast("long"))
       .drop("_ss", "_local_off", "_base")
   }
+
+  /** Reproducible train/val/test split: each row's [[hashUniform]]
+    * value lands in one of the half-open fraction intervals laid out in
+    * `splits` order ([0, f1), [f1, f1+f2), ...); the LAST split absorbs
+    * the remainder up to 1.0, so every row is assigned. A pure
+    * row-local projection — no shuffle, no rand(), and the assignment
+    * is a property of the ID alone: adding or removing other rows never
+    * reassigns a document (the contamination-safety property rand()- or
+    * rank-based splits lack).
+    *
+    * `salt` decorrelates the split hash from other hash-keyed steps
+    * (sampling, sub-sharding) that use the raw id — with salt 0 a 25%
+    * [[sampleByHash]] would be exactly the prefix of the train split.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], salt: Long = 0L,
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val u = hashUniform(col(idCol) + lit(salt))
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  /** Deterministic shard assignment for output layout: shard =
+    * [[hashU32]](id) mod `numShards`. The write-side partitioner of a
+    * curated corpus — `df.repartition(col("shard")).write.partitionBy
+    * ("shard")` yields size-balanced, reproducible output files whose
+    * membership is stable across re-runs and engines (the property an
+    * engine-native `hash()`-based layout lacks).
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+                  shardCol: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn(shardCol, pmod(hashU32(col(idCol)), lit(numShards.toLong)))
+  }
+
+  /** Deterministic weighted interleaving: a GLOBAL training order in
+    * which each source appears with frequency proportional to its
+    * weight — the "mix the curated sources into one stream" step that
+    * trainers otherwise approximate with seeded samplers. Start-time
+    * fair queuing: the i-th document (0-based) of source s gets key
+    * `(i + 0.5) / w_s`, and the global order is ascending key — in any
+    * prefix of the stream, source multiplicities track the weights
+    * (weight 1.0 emits twice as often as 0.5). Every arithmetic step
+    * (integer rank, exact `+ 0.5`, one correctly-rounded IEEE
+    * division) reproduces bit-for-bit in any IEEE-double engine, so
+    * the schedule is portable — no seeded RNG to replicate.
+    *
+    * Within a source, documents are laid out in deterministic
+    * hash-shuffled order (by [[hashU32]] of the id) — id order would
+    * replay each source in ingestion order, which trainers do not
+    * want. The within-source sequence number is computed WITHOUT a
+    * per-source global sort (the ds_pack one-task-per-shard hazard):
+    * ranks are local to (source, sub-shard) windows — parallelism is
+    * sources x numSubShards — and globalized by adding broadcast
+    * per-sub-shard count bases, same two-pass shape as
+    * [[packSequencesScalable]]. The layout order is therefore
+    * (sub-shard, hash, id) within each source: deterministic,
+    * reproducible, and stated exactly by the SQL oracle.
+    *
+    * Output: input columns + `seq` (within-source sequence number) +
+    * `interleave_key` (the global sort key). Consumers order by
+    * (interleave_key, sourceCol, idCol) — equal-weight sources tie at
+    * identical keys, so the two trailing columns make the order total.
+    */
+  def interleaveWeighted(df: DataFrame, idCol: String, sourceCol: String,
+                         weights: DataFrame,
+                         numSubShards: Int = 64): DataFrame = {
+    require(numSubShards > 0, "numSubShards must be positive")
+    val withSS = df.join(broadcast(weights), Seq(sourceCol))
+      .withColumn("_h", hashU32(col(idCol)))
+      .withColumn("_ss", pmod(col("_h"), lit(numSubShards.toLong)))
+    val lw = Window.partitionBy(col(sourceCol), col("_ss"))
+      .orderBy(col("_h"), col(idCol))
+    val local = withSS
+      .withColumn("_lr", row_number().over(lw).cast("long") - 1)
+    val bw = Window.partitionBy(col(sourceCol)).orderBy(col("_ss"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withSS.groupBy(col(sourceCol), col("_ss"))
+      .agg(count(lit(1)).as("_ss_n"))
+      .withColumn("_base", coalesce(sum(col("_ss_n")).over(bw), lit(0L)))
+      .select(col(sourceCol), col("_ss"), col("_base"))
+    local.join(broadcast(bases), Seq(sourceCol, "_ss"))
+      .withColumn("seq", (col("_base") + col("_lr")).cast("long"))
+      .withColumn("interleave_key",
+        (col("seq").cast("double") + lit(0.5)) / col("weight"))
+      .drop("_h", "_ss", "_lr", "_base", "weight")
+  }
+
+  /** Context-window chunking: split each document's whitespace tokens
+    * into fixed-size windows of `chunkTokens` advancing by `stride`
+    * (stride < chunkTokens gives overlapping windows) — the step that
+    * turns curated documents into trainer-ready sequences. Row-local:
+    * one split + one bounded explode per document, no shuffle; the
+    * trailing window keeps whatever tokens remain (the trainer's
+    * packer absorbs short tails — see [[packSequences]]).
+    *
+    * Output: idCol + `chunk_idx` (0-based), `chunk_start` (0-based
+    * token offset), `n_chunk_tokens`, `chunk_text`.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in (0, chunkTokens]")
+    val words = split(trim(col(textCol)), "\\s+")
+    df.withColumn("_ws", words)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_ws")) - 1, lit(stride)),
+          s => struct(s.as("start"),
+            slice(col("_ws"), s + 1, lit(chunkTokens)).as("chunk"))))
+        .as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_c.start").cast("long").as("chunk_start"),
+        size(col("_c.chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_c.chunk")).as("chunk_text"))
+  }
 }

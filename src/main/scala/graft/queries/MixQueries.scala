@@ -101,8 +101,69 @@ object MixQueries extends QueryPack {
   def dsSkew(s: SparkSession, dir: String): DataFrame =
     graft.operators.Salting.skewReport(docs(s, dir), Seq("source"), topK = 10)
 
+  /** L8 `ds_split` — reproducible 90/5/5 train/val/test split by salted
+    * id hash (salt decorrelates from ds_sample's raw-id hash), verified
+    * as stratified counts per (source, split). Assignment is row-local;
+    * the only shuffle is the small count aggregate.
+    */
+  def dsSplit(s: SparkSession, dir: String): DataFrame =
+    Mix.splitByHash(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        salt = 7919L)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).cast("long").as("n_toks"))
+
+  /** L9 `ds_shard` — deterministic 32-way output sharding with balance
+    * accounting: per-shard doc and token counts (the check before a
+    * partitioned write that shards are size-balanced).
+    */
+  def dsShard(s: SparkSession, dir: String): DataFrame =
+    Mix.shardAssign(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id", 32)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).cast("long").as("n_toks"))
+
+  /** L10 `ds_interleave` — the first 200 positions of the deterministic
+    * weighted-fair training order (start-time fair queuing over the
+    * ds_mix weight dim). The global order is a TakeOrdered top-k —
+    * never a full sort — and the position column is a row_number over
+    * just the 200 surviving rows.
+    */
+  def dsInterleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = sourceRates.toDF("source", "weight")
+    val ordered = Mix.interleaveWeighted(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", weights)
+    val top = ordered
+      .orderBy(col("interleave_key"), col("source"), col("doc_id"))
+      .limit(200)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("interleave_key"), col("source"), col("doc_id"))
+    top.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("seq"),
+        col("interleave_key"))
+  }
+
+  /** I7 `text_chunk` — context-window chunking: 64-token windows with
+    * stride 48 (16-token overlap) over whitespace tokens. Row-local
+    * explode; chunk text compared verbatim against the oracle's list
+    * slicing.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    Mix.chunkByTokens(docs(s, dir), "doc_id", "text",
+      chunkTokens = 64, stride = 48)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_skew" -> dsSkew,
+    "ds_split" -> dsSplit,
+    "ds_shard" -> dsShard,
+    "ds_interleave" -> dsInterleave,
+    "text_chunk" -> textChunk,
     "ds_funnel" -> dsFunnel,
     "ds_sample" -> dsSample,
     "ds_mix" -> dsMix,
@@ -126,6 +187,65 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // Boundary note: Spark's cumulative bounds are Scala-double sums
+    // (0.9 + 0.05 = 0.9500000000000001) while the oracle states the
+    // decimal literal 0.95 — no k/2^32 hash value lies in the 1e-16 gap
+    // (the hash grid spacing is 2^-32 ≈ 2.3e-10), so the two
+    // assignments are identical on every representable u.
+    "ds_split" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    ${hashUSql("doc_id + 7919")} AS u
+         |  FROM documents),
+         |a AS (SELECT source,
+         |    CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'
+         |         WHEN u < CAST(0.95 AS DOUBLE) THEN 'val'
+         |         ELSE 'test' END AS split, n_toks FROM t)
+         |SELECT source, split, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_toks
+         |FROM a GROUP BY source, split""".stripMargin,
+    "ds_shard" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    (${hashU32Sql("doc_id")}) % 32 AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks
+         |FROM t GROUP BY shard""".stripMargin,
+    // The within-source layout order (ss, h, id) restates Spark's
+    // two-pass rank (sub-shard count bases + local rank) as one
+    // row_number — the equivalence packSequencesScalable's oracle also
+    // relies on. (seq + 0.5) / weight is a single correctly-rounded
+    // IEEE division of bit-identical operands in both engines.
+    "ds_interleave" ->
+      s"""WITH t AS (SELECT doc_id, d.source, r.weight,
+         |    ${hashU32Sql("doc_id")} AS h
+         |  FROM documents d
+         |  JOIN (VALUES $ratesValuesSql) AS r(source, weight)
+         |    ON d.source = r.source),
+         |s AS (SELECT *, h % 64 AS ss FROM t),
+         |rk AS (SELECT doc_id, source, weight,
+         |    row_number() OVER (PARTITION BY source ORDER BY ss, h, doc_id) - 1
+         |      AS seq
+         |  FROM s),
+         |k AS (SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
+         |    (CAST(seq AS DOUBLE) + CAST(0.5 AS DOUBLE)) / weight
+         |      AS interleave_key
+         |  FROM rk),
+         |top AS (SELECT * FROM k
+         |  ORDER BY interleave_key, source, doc_id LIMIT 200)
+         |SELECT row_number() OVER (ORDER BY interleave_key, source, doc_id)
+         |    AS pos,
+         |  doc_id, source, seq, interleave_key
+         |FROM top""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start FROM t)
+        |SELECT doc_id, start // 48 AS chunk_idx,
+        |  CAST(start AS BIGINT) AS chunk_start,
+        |  CAST(len(ws[start+1:start+64]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ws[start+1:start+64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "ds_sample" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${hashUSql("doc_id")} < CAST(0.25 AS DOUBLE)""".stripMargin,

@@ -186,4 +186,95 @@ class MixSpec extends SparkSpec {
       w.child.collectFirst { case a: Aggregate => a }.isDefined),
       "corpus-row window partitioned by the shard alone")
   }
+
+  test("splitByHash: total assignment, ~fractions, membership stable under corpus changes") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Mix.splitByHash(ids, "doc_id", splits, salt = 7919L)
+    val counts = out.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L) // every row assigned
+    assert(math.abs(counts("train") - 9000L) < 200)
+    assert(math.abs(counts("val") - 500L) < 80)
+    assert(math.abs(counts("test") - 500L) < 80)
+    // the property rank/rand splits lack: dropping half the corpus
+    // reassigns NOBODY (assignment is a function of the id alone)
+    val half = Mix.splitByHash(ids.filter($"doc_id" % 2 === 0), "doc_id",
+      splits, salt = 7919L)
+    assert(half.except(out).isEmpty)
+    // row-local: no shuffle in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // a different salt is a different (still total) assignment
+    val other = Mix.splitByHash(ids, "doc_id", splits, salt = 1L)
+    assert(other.except(out).count() > 0)
+  }
+
+  test("shardAssign: shards in range, deterministic, size-balanced, row-local") {
+    val out = Mix.shardAssign(ids, "doc_id", 32)
+    val byShard = out.groupBy($"shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.forall(s => s >= 0 && s < 32))
+    assert(byShard.size === 32)
+    assert(byShard.values.sum === 10000L)
+    // multiplicative hashing balances sequential ids well: every shard
+    // within ±25% of the 312.5 mean
+    byShard.values.foreach(n => assert(math.abs(n - 312.5) < 80, s"shard of $n"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("interleaveWeighted: prefix frequencies track weights; seq dense per source") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val weights = Seq(("src0", 1.0), ("src1", 0.25)).toDF("source", "weight")
+    val out = Mix.interleaveWeighted(docs, "doc_id", "source", weights)
+    // seq is a dense 0..n-1 numbering within each source
+    val dense = out.groupBy($"source")
+      .agg(count(lit(1)).as("n"), countDistinct($"seq").as("nd"),
+        min($"seq").as("lo"), max($"seq").as("hi")).collect()
+    dense.foreach { r =>
+      assert(r.getAs[Long]("n") === r.getAs[Long]("nd"))
+      assert(r.getAs[Long]("lo") === 0L)
+      assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+    }
+    // in the first 1000 positions of the global order, src0 (w=1.0)
+    // appears ~4x as often as src1 (w=0.25): 800 vs 200
+    val prefix = out.orderBy($"interleave_key", $"source", $"doc_id")
+      .limit(1000).groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prefix("src0") - 800L) <= 2, s"got $prefix")
+    assert(math.abs(prefix("src1") - 200L) <= 2, s"got $prefix")
+    // scale shape: the corpus-side rank window must include the
+    // sub-shard in its partition keys (same contract as
+    // packSequencesScalable; shard-only windows only above aggregates)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    def partKeys(w: LWindow) =
+      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+    assert(windows.exists(w => partKeys(w).exists(_.contains("_ss"))))
+    assert(windows.forall(w => partKeys(w).exists(_.contains("_ss")) ||
+      w.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "corpus-row window partitioned by source alone")
+  }
+
+  test("chunkByTokens: exact windows, stride overlap, short and empty docs") {
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens
+      (2L, "a b"),                           // shorter than one chunk
+      (3L, ""))                              // empty -> split yields [""]
+      .toDF("doc_id", "text")
+    val out = Mix.chunkByTokens(docs, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1 === Array(
+      (1L, 0L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 1L, 3L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 6L, 4L, "w6 w7 w8 w9"),
+      (1L, 3L, 9L, 1L, "w9")))
+    assert(out.filter(_._1 == 2L) === Array((2L, 0L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 3L) === Array((3L, 0L, 0L, 1L, "")))
+    // every token position is covered by at least one chunk
+    val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (0L until 10L).toSet)
+  }
 }
