@@ -666,6 +666,50 @@ def _():
     w = hrs.unstack(0)
     w.sub(w[0], axis=0).drop(columns=[0])
 
+# ---- round-6 widening: split/shard/interleave/chunk twins.
+
+# L8: salted-hash train/val/test split + stratified counts
+@timed("ds_split")
+def _():
+    u = ((docs_pd["doc_id"] + 7919) * 2654435761) % 4294967296 / 4294967296.0
+    d = docs_pd[["source"]].copy()
+    d["split"] = np.where(u < 0.9, "train", np.where(u < 0.95, "val", "test"))
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    d.groupby(["source", "split"]).agg(n_docs=("split", "size"),
+                                       n_toks=("n_toks", "sum"))
+
+# L9: deterministic sharding + balance accounting
+@timed("ds_shard")
+def _():
+    d = docs_pd[["doc_id"]].copy()
+    d["shard"] = (docs_pd["doc_id"] * 2654435761) % 4294967296 % 32
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    d.groupby("shard").agg(n_docs=("shard", "size"), n_toks=("n_toks", "sum"))
+
+# L10: weighted-fair interleave order, first 200 positions
+@timed("ds_interleave")
+def _():
+    rates = {f"src{i}": [1.0, 0.5, 0.25, 0.1][i % 4] for i in range(20)}
+    d = docs_pd[["doc_id", "source"]].copy()
+    d["h"] = (d["doc_id"] * 2654435761) % 4294967296
+    d["ss"] = d["h"] % 64
+    d = d.sort_values(["source", "ss", "h", "doc_id"])
+    d["seq"] = d.groupby("source").cumcount()
+    d["key"] = (d["seq"] + 0.5) / d["source"].map(rates)
+    d.sort_values(["key", "source", "doc_id"]).head(200)
+
+# I7: context-window chunking (64-token windows, stride 48)
+@timed("text_chunk")
+def _():
+    ws = docs_pd["text"].str.strip().str.split(r"\s+")
+    rows = []
+    for doc_id, w in zip(docs_pd["doc_id"], ws):
+        for ci, s in enumerate(range(0, len(w), 48)):
+            c = w[s:s + 64]
+            rows.append((doc_id, ci, s, len(c), " ".join(c)))
+    pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_start",
+                                "n_chunk_tokens", "chunk_text"])
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
