@@ -496,4 +496,58 @@ object Dedup {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** G8: exact-substring duplicate spans — the span-level counterpart
+    * of document-level near-dup (the approach popularized by Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better": duplicated PASSAGES are removed, not whole documents).
+    * A token window of `windowTokens` is duplicated when it occurs in
+    * at least `minDocs` DISTINCT documents; overlapping-or-adjacent
+    * duplicated windows merge into maximal spans. Output: (doc_id,
+    * span_start, span_end, n_windows) with token indices, span_end
+    * exclusive — the caller cuts these spans (or drops the doc when
+    * spans cover it).
+    *
+    * Documents shorter than `windowTokens` contribute no windows: they
+    * are below the match length by definition (document-level dedup
+    * owns them), so the positional shingle array is built UNPADDED.
+    *
+    * Scale shape: positional window hashes are one codegen projection
+    * + posexplode of 8-byte longs (never the window strings); the
+    * document-frequency pass and the join back are bounded equi-joins
+    * on the hash; the span merge is a per-document window (bounded by
+    * document length). Within-doc repetition does NOT promote a window
+    * to duplicated — the DF count is over distinct (doc, hash) — so
+    * text_repetition's job stays separate from this operator's.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), windowTokens, distinct = false,
+            padShort = false)).as(Seq("pos", "h")))
+    val hot = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("h"))
+    val flagged = grams.join(hot, "h").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= windowTokens, 0L)
+          .otherwise(1L))
+      .withColumn("_span", sum(col("_new")).over(cum))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowTokens).cast("long").as("span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

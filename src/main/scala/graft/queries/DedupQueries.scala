@@ -107,7 +107,18 @@ object DedupQueries extends QueryPack {
       .select(col("doc_a"), col("doc_b"), r4(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** G8 `dedup_substring` — exact-substring duplicate spans: 8-token
+    * windows occurring in >= 2 distinct docs, merged into maximal
+    * spans. SQL-oracled: window hashes stand in for window strings
+    * (the dedup_exact/decontam collision convention), and the span
+    * merge is deterministic integer arithmetic in both engines.
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+      windowTokens = 8, minDocs = 2)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_decontam" -> dedupDecontam,
     "dedup_exact" -> dedupExact,
@@ -135,6 +146,28 @@ object DedupQueries extends QueryPack {
         |FROM d JOIN b ON d.s = b.s
         |GROUP BY d.doc_id
         |HAVING count(*) >= 3""".stripMargin,
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |    i -> {'pos': i - 1, 'g': array_to_string(ws[i:i+7], ' ')})) AS pg
+        |  FROM t),
+        |gg AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
+        |hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gg)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM gg JOIN hot USING (g)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS new_span
+        |  FROM f),
+        |sp AS (SELECT doc_id, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+        |  count(*) AS n_windows
+        |FROM sp GROUP BY doc_id, span""".stripMargin,
     "dedup_jaccard" ->
       """WITH s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),

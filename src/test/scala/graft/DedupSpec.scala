@@ -364,4 +364,29 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("duplicateSpans: merge/gap/adjacency semantics, short docs and within-doc repeats excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                   // shares a..f 4-grams with doc 2
+      (2L, "x y a b c d e f q r"),
+      (3L, "m n o p"),                           // unique -> no spans
+      (4L, "a b c d g1 g2 g3 g4 g5 a b c d"),    // two far-apart hits -> two spans
+      (5L, "p1 p2 p3 p4 q1 q2 q3 q4"),           // hits at 0 and 4 -> adjacent, merged
+      (6L, "p1 p2 p3 p4 k1 k2 k3 q1 q2 q3 q4"),  // hits at 0 and 7 -> split
+      (7L, "a b c"),                              // shorter than the window -> no windows
+      (8L, "r1 r2 r3 r4 z r1 r2 r3 r4"))          // repeats ONLY within itself -> not duplicated
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        windowTokens = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, 6L, 3L),   // windows at 0,1,2 merge
+      (2L, 2L, 8L, 3L),   // the same content, offset by 2
+      (4L, 0L, 4L, 1L), (4L, 9L, 13L, 1L),
+      (5L, 0L, 8L, 2L),   // gap == window: adjacent, merged
+      (6L, 0L, 4L, 1L), (6L, 7L, 11L, 1L)))
+    // docs 3 (unique), 7 (too short), 8 (self-repeat only) contribute nothing
+    assert(!out.exists(s => Set(3L, 7L, 8L).contains(s._1)))
+  }
 }
