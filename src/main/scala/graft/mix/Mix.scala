@@ -333,6 +333,40 @@ object Mix {
       .drop("_h", "_ss", "_lr", "_base", "weight")
   }
 
+  /** Mixture re-weighting: the per-source DOWN-sampling rates that
+    * realize a target share profile at the maximum achievable total —
+    * the planning step between "here is what the corpus contains" and
+    * [[mixBySourceRates]]. With per-source token totals `n_s` and
+    * target shares `p_s`, the largest total `T` reachable without
+    * upsampling is `min_s(n_s / p_s)` (the binding source is used
+    * whole); each source then samples at `rate_s = p_s * T / n_s`.
+    * Output per source: `tokens`, `target_share`, `rate` (the value to
+    * feed mixBySourceRates), `expected_tokens = p_s * T`.
+    *
+    * Sources absent from `shares` are excluded from the plan (and from
+    * `T`) — like mixBySourceRates' default-drop, the caller opts
+    * unlisted sources in explicitly. All arithmetic is one
+    * correctly-rounded IEEE division/multiplication chain over exact
+    * long counts, so the plan reproduces bit-for-bit off-Spark. The
+    * global min runs on the post-aggregate totals table (one row per
+    * source) — a single-partition window over a tiny frame, never over
+    * corpus rows.
+    */
+  def reweightToShares(df: DataFrame, sourceCol: String, tokenCol: String,
+                       shares: DataFrame): DataFrame = {
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("tokens"))
+    val joined = totals.join(broadcast(shares), Seq(sourceCol))
+    val t = min(col("tokens").cast("double") / col("share"))
+      .over(Window.partitionBy())
+    joined
+      .withColumn("_t", t)
+      .select(col(sourceCol), col("tokens"),
+        col("share").as("target_share"),
+        (col("share") * col("_t") / col("tokens")).as("rate"),
+        (col("share") * col("_t")).as("expected_tokens"))
+  }
+
   /** Context-window chunking: split each document's whitespace tokens
     * into fixed-size windows of `chunkTokens` advancing by `stride`
     * (stride < chunkTokens gives overlapping windows) — the step that

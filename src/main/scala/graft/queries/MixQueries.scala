@@ -149,6 +149,28 @@ object MixQueries extends QueryPack {
         col("interleave_key"))
   }
 
+  /** The target mixture profile for ds_reweight: shares cycle
+    * 0.1/0.05/0.025/0.025 over the 20 sources (sums to exactly 1.0).
+    * Shared verbatim with the oracle via [[sharesValuesSql]].
+    */
+  private val targetShares: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", Seq(0.1, 0.05, 0.025, 0.025)(i % 4)))
+  private def sharesValuesSql: String =
+    targetShares.map { case (s, p) => s"('$s', CAST($p AS DOUBLE))" }.mkString(", ")
+
+  /** L11 `ds_reweight` — the sampling rates that realize the target
+    * mixture at the maximum achievable total (no upsampling; the
+    * binding source is used whole at rate 1.0). One tiny aggregate —
+    * the corpus never shuffles on its own rows.
+    */
+  def dsReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Mix.reweightToShares(
+      docs(s, dir).select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+      "source", "n_toks", targetShares.toDF("source", "share"))
+  }
+
   /** I7 `text_chunk` — context-window chunking: 64-token windows with
     * stride 48 (16-token overlap) over whitespace tokens. Row-local
     * explode; chunk text compared verbatim against the oracle's list
@@ -160,6 +182,7 @@ object MixQueries extends QueryPack {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_skew" -> dsSkew,
+    "ds_reweight" -> dsReweight,
     "ds_split" -> dsSplit,
     "ds_shard" -> dsShard,
     "ds_interleave" -> dsInterleave,
@@ -204,6 +227,19 @@ object MixQueries extends QueryPack {
          |SELECT source, split, count(*) AS n_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS n_toks
          |FROM a GROUP BY source, split""".stripMargin,
+    "ds_reweight" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY source),
+         |j AS (SELECT t.source, t.tokens, r.share
+         |  FROM t JOIN (VALUES $sharesValuesSql) AS r(source, share)
+         |    ON t.source = r.source),
+         |m AS (SELECT min(CAST(tokens AS DOUBLE) / share) AS t FROM j)
+         |SELECT source, tokens, share AS target_share,
+         |  share * m.t / tokens AS rate,
+         |  share * m.t AS expected_tokens
+         |FROM j, m""".stripMargin,
     "ds_shard" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,

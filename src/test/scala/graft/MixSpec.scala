@@ -256,6 +256,24 @@ class MixSpec extends SparkSpec {
       "corpus-row window partitioned by source alone")
   }
 
+  test("reweightToShares: binding source at rate 1.0, realized shares hit targets, unlisted excluded") {
+    val rows = Seq.fill(10)(("a", 100L)) ++ Seq.fill(3)(("b", 100L)) ++
+      Seq.fill(2)(("c", 100L)) ++ Seq.fill(5)(("d", 100L)) // d unlisted
+    val df = rows.toDF("source", "n_toks")
+    val shares = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("source", "share")
+    val out = Mix.reweightToShares(df, "source", "n_toks", shares)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // T = min(1000/0.5, 300/0.3, 200/0.2) = 1000; b and c bind at 1.0
+    assert(out.keySet === Set("a", "b", "c")) // d excluded by contract
+    assert(out("a") === ((1000L, 0.5, 0.5, 500.0)))
+    assert(out("b") === ((300L, 0.3, 1.0, 300.0)))
+    assert(out("c") === ((200L, 0.2, 1.0, 200.0)))
+    // realized shares equal the targets: expected_tokens / T == share
+    val t = 1000.0
+    out.values.foreach { case (_, share, _, exp) => assert(exp / t === share) }
+  }
+
   test("chunkByTokens: exact windows, stride overlap, short and empty docs") {
     val docs = Seq(
       (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens
