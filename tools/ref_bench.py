@@ -710,6 +710,44 @@ def _():
     pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_start",
                                 "n_chunk_tokens", "chunk_text"])
 
+# G8: exact-substring duplicate spans (8-token windows in >= 2 docs)
+@timed("dedup_substring")
+def _():
+    ws = docs_pd["text"].dropna().str.split(" ")
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    grams = []  # (doc_id, pos, gram)
+    for doc_id, w in zip(docs_pd["doc_id"], ws):
+        for i in range(len(w) - 7):
+            g = " ".join(w[i:i + 8])
+            grams.append((doc_id, i, g))
+            docs_of[g].add(doc_id)
+    hot = {g for g, d in docs_of.items() if len(d) >= 2}
+    spans = []
+    prev = None
+    for doc_id, pos, g in grams:  # grams is (doc, pos)-ordered
+        if g not in hot:
+            continue
+        if prev and prev[0] == doc_id and pos - prev[1] <= 8:
+            spans[-1] = (doc_id, spans[-1][1], pos + 8, spans[-1][3] + 1)
+        else:
+            spans.append((doc_id, pos, pos + 8, 1))
+        prev = (doc_id, pos)
+    pd.DataFrame(spans, columns=["doc_id", "span_start", "span_end",
+                                 "n_windows"])
+
+# L11: mixture re-weighting plan
+@timed("ds_reweight")
+def _():
+    shares = {f"src{i}": [0.1, 0.05, 0.025, 0.025][i % 4] for i in range(20)}
+    d = docs_pd[["source"]].copy()
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    t = d.groupby("source")["n_toks"].sum().rename("tokens").reset_index()
+    t["share"] = t["source"].map(shares)
+    T = (t["tokens"] / t["share"]).min()
+    t["rate"] = t["share"] * T / t["tokens"]
+    t["expected_tokens"] = t["share"] * T
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
