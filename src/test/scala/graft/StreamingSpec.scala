@@ -251,6 +251,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("splitByHash and shardAssign apply to streams with batch parity (stateless row-local gates)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.mix.Mix
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val input = MemoryStream[Long]
+    // the batch operators compose onto a streaming frame unchanged —
+    // both are pure projections (no state, no watermark needed)
+    val q = Mix.shardAssign(
+        Mix.splitByHash(input.toDF().toDF("doc_id"), "doc_id", splits,
+          salt = 7919L),
+        "doc_id", 32)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(0L until 500L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+          r.getAs[Long]("shard"))).toSet
+      val batch = Mix.shardAssign(
+          Mix.splitByHash((0L until 500L).toDF("doc_id"), "doc_id", splits,
+            salt = 7919L),
+          "doc_id", 32)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+          r.getAs[Long]("shard"))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 500)
+    } finally q.stop()
+  }
+
   test("quality gate streams to a partitioned parquet sink and reads back (production wiring)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("qsink").toString
