@@ -258,13 +258,31 @@ object Mix {
     require(splits.forall(_._2 > 0), "split fractions must be positive")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    requireIntegralId(df, idCol)
     val u = hashUniform(col(idCol) + lit(salt))
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val assign = splits.init.zip(bounds.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
       when(u < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn(splitCol, assign)
+    // a null id must surface as a null split, not silently land in the
+    // last split (every `u < hi` is false on null u, so the bare
+    // when-chain would fall through to the otherwise)
+    df.withColumn(splitCol, when(u.isNotNull, assign))
+  }
+
+  /** The hash-keyed operators' id contract, checked loudly at plan
+    * time: [[hashU32]] casts its input to long, and a NON-numeric id
+    * column (e.g. a string "doc-42") would cast to null for every row
+    * — which for a splitter means 100% of the corpus silently labeled
+    * with one split. Fractional numerics are rejected too: truncation
+    * would hash-collide ids 1.2 and 1.9.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"hash-keyed id column '$idCol' must be an integral type, got $dt — " +
+        "derive a long id first (e.g. xxhash64 of a string key)")
   }
 
   /** Deterministic shard assignment for output layout: shard =
@@ -277,6 +295,7 @@ object Mix {
   def shardAssign(df: DataFrame, idCol: String, numShards: Int,
                   shardCol: String = "shard"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    requireIntegralId(df, idCol)
     df.withColumn(shardCol, pmod(hashU32(col(idCol)), lit(numShards.toLong)))
   }
 
@@ -308,11 +327,19 @@ object Mix {
     * `interleave_key` (the global sort key). Consumers order by
     * (interleave_key, sourceCol, idCol) — equal-weight sources tie at
     * identical keys, so the two trailing columns make the order total.
+    *
+    * Unlisted-source contract (same as [[mixBySourceRates]]' default):
+    * sources absent from the `weights` dim are DROPPED from the
+    * schedule — the weights table IS the mixture definition, and a
+    * source without a weight has no defined emission rate. Callers
+    * that consider an unlisted source an error should anti-join `df`
+    * against `weights` first and fail on non-empty.
     */
   def interleaveWeighted(df: DataFrame, idCol: String, sourceCol: String,
                          weights: DataFrame,
                          numSubShards: Int = 64): DataFrame = {
     require(numSubShards > 0, "numSubShards must be positive")
+    requireIntegralId(df, idCol)
     val withSS = df.join(broadcast(weights), Seq(sourceCol))
       .withColumn("_h", hashU32(col(idCol)))
       .withColumn("_ss", pmod(col("_h"), lit(numSubShards.toLong)))
@@ -354,6 +381,13 @@ object Mix {
     */
   def reweightToShares(df: DataFrame, sourceCol: String, tokenCol: String,
                        shares: DataFrame): DataFrame = {
+    // the dim is tiny by contract (it broadcasts); validating it with
+    // one action is cheap, and a non-positive share would otherwise
+    // poison the WHOLE plan silently (share 0 -> T = +Inf or the
+    // source sampled at 0; negative -> every rate negative -> the
+    // downstream mixBySourceRates emits zero rows)
+    require(shares.filter(col("share") <= 0 || col("share").isNull).isEmpty,
+      "every target share must be positive and non-null")
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokenCol)).cast("long").as("tokens"))
     val joined = totals.join(broadcast(shares), Seq(sourceCol))

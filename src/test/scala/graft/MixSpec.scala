@@ -256,6 +256,31 @@ class MixSpec extends SparkSpec {
       "corpus-row window partitioned by source alone")
   }
 
+  test("hash-keyed operators reject non-integral ids; null ids surface as null splits") {
+    val strIds = Seq(("doc-1", "a"), ("doc-2", "b")).toDF("doc_id", "source")
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    // a string id would hash to null for EVERY row (silent 100%-one-split)
+    intercept[IllegalArgumentException] {
+      Mix.splitByHash(strIds, "doc_id", splits)
+    }
+    intercept[IllegalArgumentException] { Mix.shardAssign(strIds, "doc_id", 8) }
+    intercept[IllegalArgumentException] {
+      Mix.interleaveWeighted(strIds, "doc_id", "source",
+        Seq(("a", 1.0)).toDF("source", "weight"))
+    }
+    // a null id among integral ids gets a NULL split, not the last one
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val out = Mix.splitByHash(withNull, "doc_id", splits)
+      .collect().map(r => Option(r.get(0)) -> r.getString(1))
+    assert(out.count(_._2 == null) === 1)
+    assert(out.forall { case (id, s) => id.isEmpty == (s == null) })
+    // non-positive target shares fail loudly instead of poisoning T
+    intercept[IllegalArgumentException] {
+      Mix.reweightToShares(Seq(("a", 10L)).toDF("source", "n_toks"),
+        "source", "n_toks", Seq(("a", 0.0)).toDF("source", "share"))
+    }
+  }
+
   test("reweightToShares: binding source at rate 1.0, realized shares hit targets, unlisted excluded") {
     val rows = Seq.fill(10)(("a", 100L)) ++ Seq.fill(3)(("b", 100L)) ++
       Seq.fill(2)(("c", 100L)) ++ Seq.fill(5)(("d", 100L)) // d unlisted

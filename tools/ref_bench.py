@@ -713,11 +713,12 @@ def _():
 # G8: exact-substring duplicate spans (8-token windows in >= 2 docs)
 @timed("dedup_substring")
 def _():
-    ws = docs_pd["text"].dropna().str.split(" ")
+    nn = docs_pd[["doc_id", "text"]].dropna(subset=["text"])
+    ws = nn["text"].str.split(" ")
     from collections import defaultdict
     docs_of = defaultdict(set)
     grams = []  # (doc_id, pos, gram)
-    for doc_id, w in zip(docs_pd["doc_id"], ws):
+    for doc_id, w in zip(nn["doc_id"], ws):
         for i in range(len(w) - 7):
             g = " ".join(w[i:i + 8])
             grams.append((doc_id, i, g))

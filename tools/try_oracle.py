@@ -33,7 +33,21 @@ def main(sf_dir, out_dir, name, sql_file):
     if a.equals(b):
         print(f"PASS rows={len(a)}")
         return 0
-    neq = (a != b) & ~(a.isna() & b.isna())
+    # mirror check.py's float tolerance (atol=1e-9 after the 9-dp
+    # rounding in norm) so a 1-ulp difference doesn't reject an oracle
+    # the real gate would accept
+    import numpy as np
+    close = pd.DataFrame(index=a.index)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            close[c] = np.isclose(a[c], b[c], rtol=0, atol=1e-9,
+                                  equal_nan=True)
+        else:
+            close[c] = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+    if close.all(axis=None):
+        print(f"PASS_ULP rows={len(a)}")
+        return 0
+    neq = ~close
     bad = neq.any(axis=1)
     print(f"VALUE_MISMATCH rows={bad.sum()}")
     print("spark:\n", a[bad].head(10))
