@@ -303,7 +303,9 @@ object Mix {
     * which each source appears with frequency proportional to its
     * weight — the "mix the curated sources into one stream" step that
     * trainers otherwise approximate with seeded samplers. Start-time
-    * fair queuing: the i-th document (0-based) of source s gets key
+    * fair queuing (the packet-scheduling idea of Goyal/Vin/Cheng,
+    * SIGCOMM '96, applied to data scheduling): the i-th document
+    * (0-based) of source s gets key
     * `(i + 0.5) / w_s`, and the global order is ascending key — in any
     * prefix of the stream, source multiplicities track the weights
     * (weight 1.0 emits twice as often as 0.5). Every arithmetic step
