@@ -134,4 +134,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"),
       s"no partial aggregation before the shuffle:\n$plan")
   }
+
+  test("dedup_substring shuffles only ids/positions/hashes — window strings never leave the row") {
+    // the Scaladoc's scale claim, checked on the Exchange NODES: every
+    // shuffled row is (doc_id, pos, hash) longs/ints; the 8-token
+    // window STRINGS exist only inside the codegen projection. AQE off
+    // so the physical exchanges are visible pre-execution.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = DedupQueries.dedupSubstring(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffles in the DF-count plan")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == StringType),
+          s"a string column is being shuffled:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

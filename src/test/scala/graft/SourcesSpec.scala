@@ -70,6 +70,25 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("ORC roundtrip preserves schema and pushes filters (interchange format coverage)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "k", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // names + types survive (the reader widens nullability, as parquet does)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val filtered = back.filter(col("id") > 1L)
+    assert(filtered.count() === 2)
+    // predicate pushdown reaches the ORC scan like the parquet paths
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(id"),
+      s"no pushed filter in ORC scan:\n$scan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
