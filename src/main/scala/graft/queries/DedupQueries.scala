@@ -49,6 +49,21 @@ object DedupQueries extends QueryPack {
       dim = 64, threshold = 0.3)
       .select(col("id_a"), col("id_b"), r4(col("cosine")).as("cosine"))
 
+  /** G9 `dedup_semantic` — SemDeDup-style semantic near-dup pairs:
+    * k-means clusters (16 centroids, 2 deterministic Lloyd's
+    * iterations, the ann_ivf configuration) as the candidate blocker,
+    * exact cosine >= 0.3 within clusters. Rows-only: the cluster
+    * assignment depends on float-sum order inside the centroid means
+    * (like every distributed k-means), so the candidate set is not
+    * SQL-stateable; SimilaritySpec pins the semantics on a fixture
+    * with planted within-cluster near-dups and cross-cluster decoys.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 16, iterations = 2, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("cid"),
+        r4(col("cosine")).as("cosine"))
+
   /** G+ `dedup_clusters` — connected components over a pair list (the
     * keep-one-per-cluster step). The test graph is deterministic and
     * oracle-friendly: edges event_id -> 8*event_id form trees whose
@@ -126,6 +141,7 @@ object DedupQueries extends QueryPack {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_embed" -> dedupEmbed,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(

@@ -49,10 +49,27 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 
+  /** H4 `emb_quantize` — symmetric int8 quantization of the corpus
+    * embeddings (storage/bandwidth step of vector pipelines). Every
+    * output is exact-deterministic arithmetic: `l2_norm` is the same
+    * sequential-accumulation dot both engines compute (the ann_brute
+    * precedent), `qscale` is abs/max + one division, codes are
+    * round-half-up integers — all emitted UNROUNDED. Codes are
+    * CSV-stringified on both sides so the driver's hash compare sees a
+    * scalar column rather than an array dtype.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity
+      .quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("l2_norm"), col("qscale"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string")))
+          .as("codes"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
     // Exact top-k is SQL-expressible: same double-precision dot/norm
@@ -69,5 +86,19 @@ object SimilarityQueries extends QueryPack {
         |       sqrt(list_dot_product(qv, qv))) AS cosine
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(cosine, 6) AS cosine
-        |FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10""".stripMargin)
+        |FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
+        |SELECT vec_id,
+        |  sqrt(list_dot_product(e, e)) AS l2_norm,
+        |  ma / 127.0 AS qscale,
+        |  CASE WHEN ma = 0
+        |    THEN array_to_string(list_transform(e, x -> CAST(0 AS BIGINT)), ',')
+        |    ELSE array_to_string(list_transform(e,
+        |      x -> CAST(floor(x / (ma / 127.0) + 0.5) AS BIGINT)), ',')
+        |  END AS codes
+        |FROM m""".stripMargin)
 }

@@ -120,7 +120,17 @@ object TextQueries extends QueryPack {
         max(col("n_tokens")).as("n_tokens"))
       .select(col("keep_id"), col("redacted"), col("n_dups"), col("n_tokens"))
 
+  /** I8 `text_tfidf` — per-document top-3 keywords by tf x (N/df). The
+    * score is an exact integer product and one IEEE division (no log —
+    * see TextAnalysis.tfidfTopTerms), so it is emitted UNROUNDED and
+    * still hash-matches the oracle bit-for-bit. Tie-break (score DESC,
+    * term ASC) stated identically on both sides.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", topK = 3)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> textTfidf,
     "text_curate" -> textCurate,
     "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
@@ -132,6 +142,18 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, term, CAST(tf * n AS DOUBLE) / df AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM r WHERE rank <= 3""".stripMargin,
     "text_langid" ->
       """WITH w AS (SELECT doc_id, lang AS labeled_lang,
         |    regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),

@@ -43,6 +43,22 @@ object Similarity {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
   }
 
+  /** Exact-cosine verification of a candidate pair list: two equi-joins
+    * pull each side's vector, one fused codegen cosine per pair, filter
+    * at the threshold. Shared by every candidate generator (LSH bands,
+    * k-means clusters) — candidates in, verified pairs out, never
+    * all-pairs.
+    */
+  private def verifyCosine(cand: DataFrame, df: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double): DataFrame = {
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** G5: embedding near-dup pairs — LSH-banded candidates verified by
     * exact cosine >= threshold.
     */
@@ -59,12 +75,50 @@ object Similarity {
     val cand = graft.dedup.Dedup
       .cappedBucketPairs(banded, Seq("band", "bv"), maxBucketSize)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    verifyCosine(cand, df, idCol, vecCol, threshold)
+  }
+
+  /** G9: SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * look for high-cosine pairs WITHIN each cluster only — the cluster
+    * assignment is the candidate blocker, turning the quadratic
+    * all-pairs search into k independent in-cluster searches. Candidates
+    * come from [[graft.dedup.Dedup.cappedBucketPairs]] keyed on the
+    * cluster id (so a degenerate mega-cluster degrades to star
+    * candidates instead of n² pairs), verified by exact cosine.
+    *
+    * Scale shape: centroids are a k x dim driver table (the only
+    * materialization, same as IVF); assignment is a broadcast
+    * crossJoin bounded by k + one row_number window keyed on the id;
+    * candidate pairing shuffles ids+cluster only (vectors re-join at
+    * verify, candidates only). Recall is intra-cluster by construction
+    * — a pair straddling a cluster boundary is missed, the documented
+    * SemDeDup trade; raise k for precision of the blocker, not recall.
+    *
+    * Returns (id_a, id_b, cid, cosine) — the cluster id rides along so
+    * keep-one policies can audit per-cluster prune rates.
+    */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int, threshold: Double,
+                      maxClusterSize: Int = 10000): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iterations)
+    val centB = broadcast(cents.select(col("cid").as("_cid"),
+      col("centroid").as("_cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    val assigned = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(centB)
+      .withColumn("_csim", cosineSimilarity(col("_v"), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol).as("doc_id"), col("_cid"))
+    val cand = graft.dedup.Dedup
+      .cappedBucketPairs(assigned, Seq("_cid"), maxClusterSize)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val cidOfA = assigned.select(col("doc_id").as("id_a"), col("_cid").as("cid"))
+    verifyCosine(cand, df, idCol, vecCol, threshold)
+      .join(cidOfA, "id_a")
+      .select(col("id_a"), col("id_b"), col("cid"), col("cosine"))
   }
 
   /** H1: brute-force cosine top-k against a single-row query DataFrame
@@ -92,6 +146,33 @@ object Similarity {
       .join(broadcast(qBands), col("band") === col("qband") && col("bv") === col("qbv"))
       .select(col(idCol)).distinct()
     bruteForceTopK(df.join(candIds, idCol), idCol, vecCol, query, k)
+  }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * step of embedding pipelines (a 64-dim float32 vector becomes 64
+    * bytes + one scale): `code_i = round_half_up(x_i / qscale)` with
+    * `qscale = max|x| / 127`, so codes span [-127, 127] and
+    * `code_i * qscale` reconstructs within qscale/2 per element.
+    * Everything is a row-local projection over the scan — no shuffle,
+    * no state — and every step (abs/max, two IEEE divisions, floor) is
+    * exact-deterministic, so quantized corpora reproduce bit-for-bit
+    * across engines (the oracle states the identical arithmetic).
+    * A zero vector quantizes to all-zero codes with qscale 0.
+    *
+    * Output: idCol, `l2_norm` (the pre-quantization norm, kept because
+    * cosine over codes needs it), `qscale`, `codes` (array<long>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    df.select(col(idCol),
+      sqrt(org.apache.spark.sql.graft.VectorExpressions.vectorDot(v, v))
+        .as("l2_norm"),
+      scale.as("qscale"),
+      when(maxAbs === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+        .as("codes"))
   }
 
   /** Lloyd's k-means over an embedding column, as DataFrame ops:

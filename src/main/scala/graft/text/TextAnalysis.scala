@@ -177,4 +177,41 @@ object TextAnalysis {
     transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
       i => md5(concat_ws(" ", slice(words, i, lit(n)))))
   }
+
+  /** TF-IDF keyword extraction (I8): the top `topK` terms of each
+    * document by `tf x (N / df)` — the classic saliency score, here
+    * with the raw N/df quotient (no log) so every score is ONE exact
+    * integer product and ONE correctly-rounded IEEE division:
+    * bit-reproducible across engines, unlike log-weighted variants
+    * whose libm log differs by ulps between engines. Ranking is
+    * unchanged by the monotone log anyway.
+    *
+    * Scale shape: explode → two map-side-combining aggregates (tf keyed
+    * by (doc, term), df reduced FROM the tf table, so the corpus is
+    * exploded once) → broadcast-join the df dim back (vocabulary is
+    * orders smaller than the corpus) → per-doc top-k window. The corpus
+    * count N is the one scalar driver value (same bounded pattern as
+    * dedup_clusters' max id). Terms are split on single spaces, the
+    * corpus-vocabulary convention shared with text_topterms.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val present = docs.filter(col(textCol).isNotNull)
+    val nDocs = present.count()
+    val tf = present
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      // integer product first (exact ≤ 2^53), ONE division after
+      .withColumn("_score", (col("_tf") * nDocs).cast("double") / col("_df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("_score").as("score"))
+  }
 }

@@ -59,7 +59,8 @@ class ContractSpec extends AnyFunSuite {
       "ann_lsh", "ann_ivf",  // approximate by construction
       "mm_features",         // batch_size depends on physical partitioning
       "q_approx",            // sketch outputs are implementation-defined (r5)
-      "dedup_incremental")   // MinHash-estimator verify, hash-defined (r5)
+      "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)
+      "dedup_semantic")      // k-means assignment is float-sum-order-defined (r6)
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

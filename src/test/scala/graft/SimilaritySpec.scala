@@ -50,6 +50,45 @@ class SimilaritySpec extends SparkSpec {
     assert(dims.toSeq === Seq(0, 1))
   }
 
+  test("semanticNearDup finds within-cluster near-dups, not cross-cluster decoys") {
+    // three well-separated direction clusters; each has a planted
+    // near-identical pair; vectors 31/32 are in DIFFERENT clusters
+    // with moderate mutual cosine (a decoy no in-cluster search may emit)
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(axis) = 1f; a((axis + 1) % 8) = eps; a
+    }
+    val data = Seq(
+      (1L, v(0, 0f)), (2L, v(0, 0.02f)), (10L, v(0, 0.9f)),
+      (3L, v(3, 0f)), (4L, v(3, 0.02f)), (11L, v(3, 0.9f)),
+      (5L, v(6, 0f)), (6L, v(6, 0.02f)), (12L, v(6, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDup(data, "vec_id", "embedding",
+      k = 3, iterations = 3, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    // every reported pair carries the SHARED cluster id and exact cosine
+    val rows = Similarity.semanticNearDup(data, "vec_id", "embedding",
+      k = 3, iterations = 3, threshold = 0.99).collect()
+    assert(rows.forall(r => r.getAs[Double]("cosine") >= 0.99))
+  }
+
+  test("quantizeInt8: codes span [-127,127], zero vector quantizes to zeros") {
+    val data = Seq(
+      (1L, Array(1f, -2f, 0.5f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(data, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r1 = out(1L)
+    // max|x| = 2 -> qscale = 2/127; codes = round(x*127/2)
+    assert(math.abs(r1.getAs[Double]("qscale") - 2.0 / 127.0) < 1e-12)
+    assert(r1.getSeq[Long](r1.fieldIndex("codes")) === Seq(64L, -127L, 32L, 0L))
+    assert(math.abs(r1.getAs[Double]("l2_norm") - math.sqrt(1 + 4 + 0.25)) < 1e-9)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("qscale") === 0.0)
+    assert(r2.getSeq[Long](r2.fieldIndex("codes")) === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("IVF assigns vectors to nearest centroid and recalls via probed partitions") {
     val centroids = Seq(
       (100L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),

@@ -39,6 +39,32 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") === 1.0 / 3.0)
   }
 
+  test("tfidfTopTerms ranks each doc's salient terms by tf x N/df, exact scores") {
+    // 'cat' appears in all 3 docs (df=3); 'moon' only in doc 3 (df=1)
+    val df = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat dog dog dog"),
+      (3L, "cat moon")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    // doc 1: cat tf=2 df=3 -> 2*3/3=2.0; dog tf=1 df=2 -> 1.5
+    assert(out((1L, 1L)) === ("cat", 2.0))
+    assert(out((1L, 2L)) === ("dog", 1.5))
+    // doc 2: dog tf=3 df=2 -> 4.5; cat 1.0
+    assert(out((2L, 1L)) === ("dog", 4.5))
+    assert(out((2L, 2L)) === ("cat", 1.0))
+    // doc 3: moon tf=1 df=1 -> 3.0 beats cat 1.0
+    assert(out((3L, 1L)) === ("moon", 3.0))
+    assert(out((3L, 2L)) === ("cat", 1.0))
+    // null text contributes no rows and doesn't shift N
+    val withNull = df.union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out2 = TextAnalysis.tfidfTopTerms(withNull, "doc_id", "text", topK = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out2 === Set(1L, 2L, 3L))
+  }
+
   test("fingerprint is deterministic and order-sensitive beyond the shingle window") {
     val df = Seq(
       (1L, (1 to 20).map("w" + _).mkString(" ")),

@@ -737,6 +737,69 @@ def _():
     pd.DataFrame(spans, columns=["doc_id", "span_start", "span_end",
                                  "n_windows"])
 
+# I8: per-doc top-3 keywords by tf x N/df
+@timed("text_tfidf")
+def _():
+    d = docs_pd[docs_pd["text"].notna()]
+    n_docs = len(d)
+    t = d[["doc_id"]].copy()
+    t["term"] = d["text"].str.split(" ")
+    t = t.explode("term")
+    tf = t.groupby(["doc_id", "term"]).size().rename("tf").reset_index()
+    df_ = tf.groupby("term").size().rename("df").reset_index()
+    s = tf.merge(df_, on="term")
+    s["score"] = (s["tf"] * n_docs).astype(float) / s["df"]
+    s = s.sort_values(["doc_id", "score", "term"],
+                      ascending=[True, False, True])
+    s["rank"] = s.groupby("doc_id").cumcount() + 1
+    s[s["rank"] <= 3]
+
+# H4: symmetric int8 quantization of the embeddings
+@timed("emb_quantize")
+def _():
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    ma = np.abs(m).max(axis=1)
+    scale = ma / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    codes = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+    codes[scale == 0] = 0
+    pd.DataFrame({"vec_id": emb["vec_id"], "l2_norm": norms,
+                  "qscale": scale, "codes": list(codes)})
+
+# G9: SemDeDup-style semantic near-dup (numpy Lloyd's + in-cluster pairs)
+@timed("dedup_semantic")
+def _():
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    m, ids = m[order], ids[order]
+    k = 16
+    cents = m[:k].copy()
+    norm_m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+    for _ in range(2):
+        nc = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-30)[:, None]
+        assign = (norm_m @ nc.T).argmax(axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                cents[c] = m[sel].mean(axis=0)
+    nc = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-30)[:, None]
+    assign = (norm_m @ nc.T).argmax(axis=1)
+    pairs = []
+    for c in range(k):
+        sel = np.where(assign == c)[0]
+        if len(sel) < 2:
+            continue
+        sims = norm_m[sel] @ norm_m[sel].T
+        ia, ib = np.triu_indices(len(sel), k=1)
+        keep = sims[ia, ib] >= 0.3
+        pairs.append(pd.DataFrame({"id_a": ids[sel[ia[keep]]],
+                                   "id_b": ids[sel[ib[keep]]],
+                                   "cosine": sims[ia[keep], ib[keep]]}))
+    if pairs:
+        pd.concat(pairs, ignore_index=True)
+
 # L11: mixture re-weighting plan
 @timed("ds_reweight")
 def _():
