@@ -403,6 +403,85 @@ object Mix {
         (col("share") * col("_t")).as("expected_tokens"))
   }
 
+  /** Exact per-key LOWER quantile of an integer-valued column, computed
+    * scale-safely from the column's VALUE HISTOGRAM: one
+    * map-side-combining groupBy collapses the corpus to one row per
+    * (key, value) — bounded by the number of distinct values, not by
+    * rows — and the quantile is the smallest value whose cumulative
+    * count reaches `ceil(q * total)`, found with windows over the tiny
+    * histogram. The quantile is passed as an exact rational
+    * `qNum/qDen` so the reach test is pure integer arithmetic
+    * (`cum * qDen >= total * qNum`): no float percentile definition to
+    * disagree about across engines, which is what lets callers be
+    * sql-oracled. This is the exact-and-distributed middle ground
+    * between `percentile()` (exact but buffers every value of a group
+    * in memory) and `approx_percentile` (bounded but
+    * implementation-defined) — available whenever the value domain is
+    * small (token counts, lengths, scores in fixed grids).
+    *
+    * Returns one row per key: (keyCol, `q_value`).
+    */
+  def histogramQuantile(df: DataFrame, keyCol: String, valCol: String,
+                        qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen must be in (0, 1]")
+    // null values are EXCLUDED from the distribution (they have no
+    // order position; engines also disagree on null placement in
+    // window ORDER BY, which would poison the oracle)
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("_n"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val cumW = byKey.orderBy(col(valCol))
+    hist
+      .withColumn("_cum", sum(col("_n")).over(cumW))
+      .withColumn("_tot", sum(col("_n")).over(byKey))
+      .filter(col("_cum") * qDen >= col("_tot") * qNum)
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("q_value"))
+  }
+
+  /** Per-source length flooring at an exact length quantile: drop every
+    * document shorter than its source's `qNum/qDen` token-count
+    * quantile — the adaptive version of a fixed token floor (a floor
+    * that is right for web text starves a code source; deriving it
+    * per source from the data is the standard fix). Thresholds come
+    * from [[histogramQuantile]] (exact, histogram-sized work) and come
+    * back as a broadcast dim; the filter itself is row-local.
+    */
+  def floorByLengthQuantile(df: DataFrame, sourceCol: String,
+                            tokenCol: String, qNum: Int,
+                            qDen: Int): DataFrame = {
+    val th = histogramQuantile(df, sourceCol, tokenCol, qNum, qDen)
+      .select(col(sourceCol), col("q_value").as("_floor"))
+    df.join(broadcast(th), Seq(sourceCol))
+      .filter(col(tokenCol) >= col("_floor"))
+      .drop("_floor")
+  }
+
+  /** Per-source corpus report — the monitoring read of a curation run:
+    * document count, total/mean/min/max tokens, and the exact lower
+    * median from [[histogramQuantile]]. Everything is exact integer
+    * arithmetic plus ONE division for the mean, so the report is fully
+    * sql-oracleable. Two corpus passes (count/sum/min/max aggregate +
+    * the histogram), both map-side-combining; the median join runs on
+    * one row per source.
+    */
+  def sourceReport(df: DataFrame, sourceCol: String,
+                   tokenCol: String): DataFrame = {
+    val agg = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("n_tokens"),
+      min(col(tokenCol)).as("min_tokens"),
+      max(col(tokenCol)).as("max_tokens"))
+    val med = histogramQuantile(df, sourceCol, tokenCol, 1, 2)
+      .select(col(sourceCol), col("q_value").as("p50_tokens"))
+    agg.join(med, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        col("min_tokens"), col("p50_tokens"), col("max_tokens"))
+  }
+
   /** Context-window chunking: split each document's whitespace tokens
     * into fixed-size windows of `chunkTokens` advancing by `stride`
     * (stride < chunkTokens gives overlapping windows) — the step that

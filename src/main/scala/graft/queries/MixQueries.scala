@@ -171,6 +171,31 @@ object MixQueries extends QueryPack {
       "source", "n_toks", targetShares.toDF("source", "share"))
   }
 
+  /** L12 `ds_stats` — the per-source corpus report (the monitoring read
+    * after a curation run): doc counts, token totals, mean, min/max,
+    * and the EXACT lower median from the token-count histogram — exact
+    * and still scale-safe because the quantile works on one row per
+    * (source, distinct length), never a per-source sort of the corpus.
+    */
+  def dsStats(s: SparkSession, dir: String): DataFrame =
+    Mix.sourceReport(
+      docs(s, dir).select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+      "source", "n_toks")
+
+  /** L13 `ds_quality_floor` — adaptive per-source length flooring: drop
+    * every doc below its source's exact lower-quartile token count.
+    * The threshold is integer-exact (histogram + `cum*4 >= tot`
+    * rational reach test — no float percentile definition), so the
+    * whole gate is fully oracled.
+    */
+  def dsQualityFloor(s: SparkSession, dir: String): DataFrame =
+    Mix.floorByLengthQuantile(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "n_toks", qNum = 1, qDen = 4)
+      .select(col("doc_id"), col("source"), col("n_toks"))
+
   /** I7 `text_chunk` — context-window chunking: 64-token windows with
     * stride 48 (16-token overlap) over whitespace tokens. Row-local
     * explode; chunk text compared verbatim against the oracle's list
@@ -181,6 +206,8 @@ object MixQueries extends QueryPack {
       chunkTokens = 64, stride = 48)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_stats" -> dsStats,
+    "ds_quality_floor" -> dsQualityFloor,
     "ds_skew" -> dsSkew,
     "ds_reweight" -> dsReweight,
     "ds_split" -> dsSplit,
@@ -210,6 +237,41 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    "ds_stats" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    min(n_toks) AS min_tokens, max(n_toks) AS max_tokens
+        |  FROM t GROUP BY source),
+        |h AS (SELECT source, n_toks, count(*) AS n FROM t GROUP BY source, n_toks),
+        |c AS (SELECT source, n_toks,
+        |    sum(n) OVER (PARTITION BY source ORDER BY n_toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM h),
+        |m AS (SELECT source, min(n_toks) AS p50_tokens
+        |  FROM c WHERE cum * 2 >= tot GROUP BY source)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        |  CAST(a.n_tokens AS DOUBLE) / a.n_docs AS mean_tokens,
+        |  a.min_tokens, m.p50_tokens, a.max_tokens
+        |FROM a JOIN m ON a.source = m.source""".stripMargin,
+    "ds_quality_floor" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |h AS (SELECT source, n_toks, count(*) AS n FROM t GROUP BY source, n_toks),
+        |c AS (SELECT source, n_toks,
+        |    sum(n) OVER (PARTITION BY source ORDER BY n_toks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM h),
+        |f AS (SELECT source, min(n_toks) AS floor_toks
+        |  FROM c WHERE cum * 4 >= tot GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_toks
+        |FROM t JOIN f ON t.source = f.source
+        |WHERE t.n_toks >= f.floor_toks""".stripMargin,
     // Boundary note: Spark's cumulative bounds are Scala-double sums
     // (0.9 + 0.05 = 0.9500000000000001) while the oracle states the
     // decimal literal 0.95 — no k/2^32 hash value lies in the 1e-16 gap

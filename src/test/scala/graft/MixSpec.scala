@@ -299,6 +299,46 @@ class MixSpec extends SparkSpec {
     out.values.foreach { case (_, share, _, exp) => assert(exp / t === share) }
   }
 
+  test("histogramQuantile: exact lower quantiles from the value histogram") {
+    // source a: lengths 1..8 -> lower quartile = 2 (cum 2/8), median = 4
+    // source b: constant 5 -> every quantile is 5
+    // source c: skewed {1,1,1,100} -> p25 = 1, p50 = 1
+    val df = ((1 to 8).map(i => ("a", i.toLong)) ++
+      (1 to 4).map(_ => ("b", 5L)) ++
+      Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 100L)))
+      .toDF("source", "n")
+    def q(num: Int, den: Int) =
+      Mix.histogramQuantile(df, "source", "n", num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q(1, 4) === Map("a" -> 2L, "b" -> 5L, "c" -> 1L))
+    assert(q(1, 2) === Map("a" -> 4L, "b" -> 5L, "c" -> 1L))
+    assert(q(1, 1) === Map("a" -> 8L, "b" -> 5L, "c" -> 100L)) // max
+    // nulls are excluded from the distribution, not counted in totals
+    val withNull = df.union(Seq(("a", null.asInstanceOf[java.lang.Long]))
+      .toDF("source", "n"))
+    assert(Mix.histogramQuantile(withNull, "source", "n", 1, 2)
+      .filter(col("source") === "a").head.getLong(1) === 4L)
+  }
+
+  test("floorByLengthQuantile keeps per-source upper three quartiles; sourceReport exact") {
+    val df = ((1 to 8).map(i => (i.toLong, "a", i.toLong)) ++
+      (11 to 14).map(i => (i.toLong, "b", 5L)))
+      .toDF("doc_id", "source", "n")
+    val kept = Mix.floorByLengthQuantile(df, "source", "n", 1, 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // source a floor = 2 -> docs 2..8 survive; source b floor = 5 -> all
+    assert(kept === ((2L to 8L) ++ (11L to 14L)).toSet)
+    val rep = Mix.sourceReport(df, "source", "n")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rep("a")
+    assert(a.getAs[Long]("n_docs") === 8L)
+    assert(a.getAs[Long]("n_tokens") === 36L)
+    assert(a.getAs[Double]("mean_tokens") === 4.5)
+    assert(a.getAs[Long]("min_tokens") === 1L)
+    assert(a.getAs[Long]("p50_tokens") === 4L)
+    assert(a.getAs[Long]("max_tokens") === 8L)
+  }
+
   test("chunkByTokens: exact windows, stride overlap, short and empty docs") {
     val docs = Seq(
       (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens

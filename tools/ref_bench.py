@@ -800,6 +800,28 @@ def _():
     if pairs:
         pd.concat(pairs, ignore_index=True)
 
+# L12: per-source corpus report with exact lower median
+@timed("ds_stats")
+def _():
+    d = docs_pd[["source"]].copy()
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    g = d.groupby("source")["n_toks"]
+    rep = g.agg(n_docs="count", n_tokens="sum", min_tokens="min",
+                max_tokens="max")
+    rep["mean_tokens"] = rep["n_tokens"] / rep["n_docs"]
+    rep["p50_tokens"] = g.apply(
+        lambda s: s.sort_values().iloc[(len(s) - 1) // 2])  # lower median
+
+# L13: adaptive per-source length flooring at the exact lower quartile
+@timed("ds_quality_floor")
+def _():
+    d = docs_pd[["doc_id", "source"]].copy()
+    d["n_toks"] = docs_pd["text"].str.strip().str.split(r"\s+").str.len()
+    th = d.groupby("source")["n_toks"].apply(
+        lambda s: s.sort_values().iloc[
+            max(0, -(-len(s) * 1 // 4) - 1)])  # smallest v with cum>=n/4
+    d[d["n_toks"] >= d["source"].map(th)]
+
 # L11: mixture re-weighting plan
 @timed("ds_reweight")
 def _():
