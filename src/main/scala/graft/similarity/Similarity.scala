@@ -96,7 +96,13 @@ object Similarity {
     * SemDeDup trade; raise k for precision of the blocker, not recall.
     *
     * Returns (id_a, id_b, cid, cosine) — the cluster id rides along so
-    * keep-one policies can audit per-cluster prune rates.
+    * keep-one policies can audit per-cluster prune rates. The
+    * assignment subtree is referenced twice (pair generation + the cid
+    * annotation), so it computes twice — two k-bounded scans, linear
+    * and cheaper than persisting corpus-scale state inside an operator
+    * whose output escapes lazily; pipelines that also want the
+    * assignment table should persist their own via [[kmeansCentroids]]
+    * + an explicit assign step.
     */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int, threshold: Double,
@@ -163,15 +169,20 @@ object Similarity {
     * cosine over codes needs it), `qscale`, `codes` (array<long>).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // max|x| is projected ONCE: inlining it would re-evaluate the
+    // array transform in the CASE condition, the scale, and each
+    // lambda (CASE duplicates branch expressions — the langIdBest trap)
     val v = col(vecCol).cast("array<double>")
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = maxAbs / lit(127.0)
-    df.select(col(idCol),
-      sqrt(org.apache.spark.sql.graft.VectorExpressions.vectorDot(v, v))
-        .as("l2_norm"),
+    val staged = df.select(col(idCol), v.as("_v"),
+      array_max(transform(v, x => abs(x))).as("_ma"))
+    val scale = col("_ma") / lit(127.0)
+    staged.select(col(idCol),
+      sqrt(org.apache.spark.sql.graft.VectorExpressions
+        .vectorDot(col("_v"), col("_v"))).as("l2_norm"),
       scale.as("qscale"),
-      when(maxAbs === 0, transform(v, _ => lit(0L)))
-        .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+      when(col("_ma") === 0, transform(col("_v"), _ => lit(0L)))
+        .otherwise(transform(col("_v"),
+          x => floor(x / scale + lit(0.5)).cast("long")))
         .as("codes"))
   }
 

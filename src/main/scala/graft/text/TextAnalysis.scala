@@ -207,7 +207,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // no broadcast() hint: a forced hint never downgrades, and a
+    // 100 TB vocabulary can outgrow the driver — AQE broadcasts the
+    // dim at runtime when its measured size allows and otherwise
+    // keeps the equi-join as an SMJ on term
+    tf.join(df, "term")
       // integer product first (exact ≤ 2^53), ONE division after
       .withColumn("_score", (col("_tf") * nDocs).cast("double") / col("_df"))
       .withColumn("rank", row_number().over(w).cast("long"))
