@@ -203,8 +203,14 @@ object TextAnalysis {
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("_tf"))
+    // df references _tf through an always-true predicate (counts are
+    // >= 1 by construction) so column pruning cannot strip _tf from
+    // this branch's copy of the tf subtree: both branches then shuffle
+    // the IDENTICAL (doc, term, count) exchange and physical planning
+    // collapses them into one ReusedExchange — the corpus is exploded
+    // and pre-aggregated once, not once per branch (PlanSpec pins it).
     val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("_df"))
+      .agg(count(when(col("_tf") > 0, 1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_score").desc, col("term"))
     // no broadcast() hint: a forced hint never downgrades, and a

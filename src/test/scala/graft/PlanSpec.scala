@@ -156,4 +156,44 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("emb_quantize is a pure row-local projection — no exchange of any kind") {
+    val plan = planOf(SimilarityQueries.embQuantize(spark, dir))
+    assert(!plan.contains("Exchange"),
+      s"quantization should not move data:\n$plan")
+  }
+
+  test("text_tfidf physically explodes the corpus once (tf exchange reused by df)") {
+    // the tf subtree is referenced by both the join's left side and the
+    // df aggregate; the always-true _tf reference in tfidfTopTerms keeps
+    // the two copies' exchanges identical so exchange reuse collapses
+    // them. AQE applies reuse only during execution (invisible on an
+    // unexecuted plan), so pin the static rule with AQE off — the same
+    // canonicalized-subtree match AQE's stage reuse performs at runtime.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(TextQueries.textTfidf(spark, dir))
+      assert(plan.contains("ReusedExchange"),
+        s"df branch recomputes the corpus explode instead of reusing tf:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("histogram-quantile windows run over the histogram aggregate, never corpus rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("ds_stats" -> MixQueries.dsStats(spark, dir),
+        "ds_quality_floor" -> MixQueries.dsQualityFloor(spark, dir))
+      .foreach { case (n, df) =>
+        val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        assert(windows.nonEmpty, s"$n lost its quantile windows")
+        windows.foreach { w =>
+          assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+            s"$n has a window over raw corpus rows (no aggregate below it):\n$w")
+        }
+      }
+    // the floor threshold comes back as a broadcast, the filter is row-local
+    val floor = planOf(MixQueries.dsQualityFloor(spark, dir))
+    assert(floor.contains("BroadcastHashJoin"),
+      s"ds_quality_floor should broadcast the thresholds:\n$floor")
+  }
 }
