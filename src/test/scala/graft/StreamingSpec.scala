@@ -281,6 +281,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantizeInt8 applies to streams with batch parity (stateless projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.quantizeInt8(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode(OutputMode.Append()).start()
+    val vecs = Seq(
+      (1L, Array(1f, -2f, 0.5f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(0.25f, 0.75f, -0.125f, 3f)))
+    try {
+      input.addData(vecs: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("qscale"),
+          r.getSeq[Long](r.fieldIndex("codes")).mkString(","))
+      val streamed = spark.table("quant_stream").collect().map(key).toSet
+      val batch = Similarity.quantizeInt8(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+    } finally q.stop()
+  }
+
   test("quality gate streams to a partitioned parquet sink and reads back (production wiring)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("qsink").toString
