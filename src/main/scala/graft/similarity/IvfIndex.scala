@@ -61,18 +61,13 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     * a row in place).
     */
   def addVectors(newVectors: DataFrame): Unit = {
-    val centB = broadcast(centroids
-      .select(col("cid").as("_cid"), col("centroid").as("_cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
     newVectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .join(assignments.select(col(idCol)), Seq(idCol), "left_anti")
-      .crossJoin(centB)
-      .withColumn("_csim", cosineSimilarity(col(vecCol), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("_cid").as("cid"), col(idCol), col(vecCol))
+      .select(org.apache.spark.sql.graft.CentroidExpressions
+          .nearestCentroidId(col(vecCol), cents).as("cid"),
+        col(idCol), col(vecCol))
       .write.mode("append").partitionBy("cid").parquet(s"$path/assignments")
     assignments.agg(count(lit(1)).as("n_vectors"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -153,10 +148,12 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     * pass — the shape of real retrieval/dedup workloads (score a new
     * document batch against the corpus).
     *
-    * Plan: per-query probes come from a broadcast of the k×dim centroid
-    * table (row_number ≤ nProbe — no driver collect, queries stay
-    * distributed); the union of probed cids is still ≤ |centroids|, so
-    * the assignments scan stays partition-prunable via a dynamic filter
+    * Plan: per-query probes are a ROW-LOCAL top-nProbe centroid rank
+    * (NearestCentroidIds over the k×dim driver-side table — the same
+    * bounded materialization the class contract already allows) + one
+    * explode, so the query table never joins or exchanges to find its
+    * buckets; the union of probed cids is still ≤ |centroids|, so the
+    * assignments scan stays partition-prunable via a dynamic filter
     * (cid semi-join); candidates join probes ON cid — each query's
     * vectors come only from its own probed buckets — and a per-query
     * window takes the exact top-k. Shuffles: one on cid (bounded by
@@ -167,17 +164,13 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     */
   def topKBatch(queries: DataFrame, queryIdCol: String, k: Int,
                 nProbe: Int): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("cid"), col("centroid").cast("array<double>").as("_cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cid"))
+    val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
     val probes = queries
       .select(col(queryIdCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
-      .crossJoin(cents)
-      .withColumn("_csim", cosineSimilarity(col("_qv"), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("_qv"),
+        explode(org.apache.spark.sql.graft.CentroidExpressions
+          .nearestCentroidIds(col("_qv"), cents, nProbe)).as("cid"))
       .select(col("query_id"), col("cid"), col("_qv"))
     val cand = assignments
       .join(probes.select(col("cid")).distinct(), Seq("cid"), "left_semi")
@@ -202,20 +195,21 @@ object IvfIndex {
     * broadcasts the centroid table.
     */
   def build(df: DataFrame, idCol: String, vecCol: String, path: String,
-            k: Int = 16, iterations: Int = 2): IvfIndex = {
+            k: Int = 16, iterations: Int = 2,
+            fitSampleRate: Double = 1.0): IvfIndex = {
     val spark = df.sparkSession
-    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iterations)
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iterations,
+      fitSampleRate)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val centB = broadcast(spark.read.parquet(s"$path/centroids")
-      .select(col("cid").as("_cid"), col("centroid").as("_cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    // assign from the PERSISTED table (exact doubles survive the parquet
+    // roundtrip) via the row-local argmax projection — one zero-exchange
+    // pass over the corpus
+    val stored = Similarity.collectCentroids(
+      spark.read.parquet(s"$path/centroids"), "cid", "centroid")
     df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .crossJoin(centB)
-      .withColumn("_csim", cosineSimilarity(col(vecCol), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("_cid").as("cid"), col(idCol), col(vecCol))
+      .select(org.apache.spark.sql.graft.CentroidExpressions
+          .nearestCentroidId(col(vecCol), stored).as("cid"),
+        col(idCol), col(vecCol))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assignments")
     spark.read.parquet(s"$path/assignments")
       .agg(count(lit(1)).as("n_vectors"))

@@ -1,8 +1,8 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CentroidExpressions
 import graft.functions.cosineSimilarity
 
 /** Similarity search over embedding columns (SURVEY §2 H1-H3, G5).
@@ -12,8 +12,10 @@ import graft.functions.cosineSimilarity
   *     global TakeOrdered (no full sort materialization);
   *   - hyperplane LSH = row-local signature (one projection), banded
   *     buckets, candidates from an equi-join — never all-pairs;
-  *   - IVF = a small broadcast centroid table, x|centroids| bounded
-  *     assignment join, query probes only nProbe centroid partitions.
+  *   - IVF/k-means = a k x dim driver-side centroid table embedded in a
+  *     row-local argmax projection (NearestCentroidIds) — assignment
+  *     never joins, never exchanges, never amplifies the corpus x k;
+  *     query probes only nProbe centroid buckets.
   */
 object Similarity {
 
@@ -88,8 +90,9 @@ object Similarity {
     * candidates instead of n² pairs), verified by exact cosine.
     *
     * Scale shape: centroids are a k x dim driver table (the only
-    * materialization, same as IVF); assignment is a broadcast
-    * crossJoin bounded by k + one row_number window keyed on the id;
+    * materialization, same as IVF); assignment is a ROW-LOCAL argmax
+    * projection ([[org.apache.spark.sql.graft.NearestCentroidIds]]) —
+    * zero joins, zero exchanges, the corpus never amplifies x k;
     * candidate pairing shuffles ids+cluster only (vectors re-join at
     * verify, candidates only). Recall is intra-cluster by construction
     * — a pair straddling a cluster boundary is missed, the documented
@@ -98,26 +101,22 @@ object Similarity {
     * Returns (id_a, id_b, cid, cosine) — the cluster id rides along so
     * keep-one policies can audit per-cluster prune rates. The
     * assignment subtree is referenced twice (pair generation + the cid
-    * annotation), so it computes twice — two k-bounded scans, linear
-    * and cheaper than persisting corpus-scale state inside an operator
-    * whose output escapes lazily; pipelines that also want the
-    * assignment table should persist their own via [[kmeansCentroids]]
-    * + an explicit assign step.
+    * annotation); both references are the same cheap projection over
+    * the scan, so the recompute is one extra argmax pass, no shuffle.
+    *
+    * `fitSampleRate` < 1 fits the k-means centroids on a reproducible
+    * [[graft.mix.Mix.sampleByHash]] subset (the 100 TB shape — Lloyd
+    * iterations scan the sample, the full corpus is assigned once by
+    * the argmax projection); 1.0 fits on everything.
     */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int, threshold: Double,
-                      maxClusterSize: Int = 10000): DataFrame = {
-    val cents = kmeansCentroids(df, idCol, vecCol, k, iterations)
-    val centB = broadcast(cents.select(col("cid").as("_cid"),
-      col("centroid").as("_cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
-    val assigned = df
-      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .crossJoin(centB)
-      .withColumn("_csim", cosineSimilarity(col("_v"), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol).as("doc_id"), col("_cid"))
+                      maxClusterSize: Int = 10000,
+                      fitSampleRate: Double = 1.0): DataFrame = {
+    val cents = kmeansCentroidArray(df, idCol, vecCol, k, iterations,
+      fitSampleRate)
+    val assigned = df.select(col(idCol).as("doc_id"),
+      CentroidExpressions.nearestCentroidId(col(vecCol), cents).as("_cid"))
     val cand = graft.dedup.Dedup
       .cappedBucketPairs(assigned, Seq("_cid"), maxClusterSize)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
@@ -188,28 +187,50 @@ object Similarity {
 
   /** Lloyd's k-means over an embedding column, as DataFrame ops:
     * seeds = the first k vectors by id (deterministic), then
-    * `iterations` rounds of assign (broadcast centroids, x k bounded
-    * cross) + per-centroid mean (posexplode + avg by dimension). Only
-    * the k x dim centroid table ever reaches the driver — that is the
-    * broadcast table IVF needs anyway. Returns (cid, vector).
+    * `iterations` rounds of assign (row-local argmax projection —
+    * zero joins, zero exchanges) + per-centroid mean (posexplode + avg
+    * by dimension). Only the k x dim centroid table ever reaches the
+    * driver — that is the table the assignment projection embeds
+    * anyway. Returns (cid, vector).
+    *
+    * `fitSampleRate` < 1 runs the whole fit — seeding and every Lloyd
+    * iteration — on a reproducible [[graft.mix.Mix.sampleByHash]]
+    * subset instead of the full corpus. That is the 100 TB contract:
+    * centroid quality needs a representative sample, not every row, so
+    * the per-iteration scan + posexplode mean shrink by 1/rate while
+    * the full corpus is assigned ONCE (by the caller, via the argmax
+    * projection). At 1.0 the fit is exactly the full-corpus fit — same
+    * seeds, same iterations, same centroids.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                      iterations: Int): DataFrame = {
+                      iterations: Int, fitSampleRate: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    kmeansCentroidArray(df, idCol, vecCol, k, iterations, fitSampleRate)
+      .toSeq.toDF("cid", "centroid")
+  }
+
+  /** [[kmeansCentroids]] as the driver-side k x dim array the argmax
+    * assignment projection embeds — the internal form every caller
+    * (semanticNearDup, ivfTopK, IvfIndex.build) actually needs.
+    */
+  private[graft] def kmeansCentroidArray(df: DataFrame, idCol: String,
+                                         vecCol: String, k: Int,
+                                         iterations: Int,
+                                         fitSampleRate: Double = 1.0): Array[(Long, Array[Double])] = {
+    require(fitSampleRate > 0.0 && fitSampleRate <= 1.0,
+      s"fitSampleRate must be in (0, 1], got $fitSampleRate")
+    val fit = if (fitSampleRate >= 1.0) df
+              else graft.mix.Mix.sampleByHash(df, idCol, fitSampleRate)
+    val vecs = fit.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .persist() // re-scanned every Lloyd iteration
     var centroids = vecs.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     for (_ <- 0 until iterations) {
-      val centDf = broadcast(centroids.toSeq.toDF("_cid", "_cv"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
-      val assigned = vecs.crossJoin(centDf)
-        .withColumn("_csim", cosineSimilarity(col("_v"), col("_cv")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("_cid"), col("_v"))
+      val assigned = vecs.select(
+        CentroidExpressions.nearestCentroidId(col("_v"), centroids).as("_cid"),
+        col("_v"))
       val means = assigned
         .select(col("_cid"), posexplode(col("_v")).as(Seq("_d", "_x")))
         .groupBy(col("_cid"), col("_d")).agg(avg(col("_x")).as("_m"))
@@ -222,30 +243,32 @@ object Similarity {
       centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
     }
     vecs.unpersist()
-    centroids.toSeq.toDF("cid", "centroid")
+    centroids
   }
 
+  /** A (cid, vector) DataFrame as the driver-side array the assignment
+    * projection embeds — k x dim, the same bounded materialization the
+    * old broadcast required.
+    */
+  private[graft] def collectCentroids(cents: DataFrame, cidCol: String,
+                                      vecCol: String): Array[(Long, Array[Double])] =
+    cents.select(col(cidCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   /** H3: IVF-style ANN — vectors are assigned to their nearest centroid
-    * (broadcast centroid table); the query probes the `nProbe` nearest
-    * centroids and ranks only those partitions' vectors.
+    * by the row-local argmax projection (zero joins, zero exchanges);
+    * the query probes the `nProbe` nearest centroids and ranks only
+    * those vectors.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, cidCol: String,
               query: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(centroids.select(col(cidCol).as("_cid"),
-      col(vecCol).cast("array<double>").as("_cv")))
-    def assign(vectors: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
-      vectors.crossJoin(cents)
-        .withColumn("_csim",
-          cosineSimilarity(col(vecCol).cast("array<double>"), col("_cv")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= keep)
-        .select(col(idCol), col("_cid"))
-    }
-    val assigned = assign(df, 1)
-    val probed = assign(query.select(lit(-1L).as(idCol), col(vecCol)), nProbe)
-      .select(col("_cid")).distinct()
+    val cents = collectCentroids(centroids, cidCol, vecCol)
+    val assigned = df.select(col(idCol),
+      CentroidExpressions.nearestCentroidId(col(vecCol), cents).as("_cid"))
+    val probed = query.select(explode(CentroidExpressions
+        .nearestCentroidIds(col(vecCol), cents, nProbe)).as("_cid"))
+      .distinct()
     val candIds = assigned.join(broadcast(probed), "_cid").select(col(idCol))
     bruteForceTopK(df.join(candIds, idCol), idCol, vecCol, query, k)
   }

@@ -163,6 +163,35 @@ class PlanSpec extends SparkSpec {
       s"quantization should not move data:\n$plan")
   }
 
+  test("centroid assignment is a zero-exchange row-local projection (no xk join)") {
+    // VERDICT r6 #1: the corpus side of k-means/IVF/SemDeDup assignment
+    // must never amplify x k through a join or move through an Exchange
+    // — at 100 TB with k in the 10^3-10^5 range that exchange is
+    // petabytes. Pin the projection shape directly...
+    val cents = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val df = spark.range(100).selectExpr("id",
+        "array(cast(id as double), cast(id % 7 as double)) as v")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.graft.CentroidExpressions
+          .nearestCentroidId(org.apache.spark.sql.functions.col("v"), cents)
+          .as("cid"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment should be a pure projection:\n$plan")
+    // ...and that no assignment consumer re-grew the old shape
+    // (centroid BNLJ + row_number window keyed on the vector id).
+    // dedup_semantic: no NLJ at all. ann_ivf: exactly ONE, the bounded
+    // 1-row query-vector broadcast bruteForceTopK declares (its rank is
+    // TakeOrdered, so any Window = the old assignment sneaking back).
+    val semPlan = planOf(DedupQueries.defs("dedup_semantic")(spark, dir))
+    assert(!semPlan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_semantic reintroduced the xk centroid join:\n$semPlan")
+    val ivfPlan = planOf(SimilarityQueries.defs("ann_ivf")(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ivfPlan).size <= 1 &&
+        !ivfPlan.contains("row_number"),
+      s"ann_ivf reintroduced the xk centroid join:\n$ivfPlan")
+  }
+
   test("text_tfidf physically explodes the corpus once (tf exchange reused by df)") {
     // the tf subtree is referenced by both the join's left side and the
     // df aggregate; the always-true _tf reference in tfidfTopTerms keeps

@@ -50,6 +50,36 @@ class SimilaritySpec extends SparkSpec {
     assert(dims.toSeq === Seq(0, 1))
   }
 
+  test("kmeansCentroids sampled fit: rate 1.0 equals the full fit; rate <1 fits on the hash sample") {
+    val data = ((1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))) ++
+      (11 to 20).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    // contract: fitSampleRate = 1.0 is EXACTLY the full-corpus fit —
+    // same seeds, same iterations, same centroids bit-for-bit
+    val full = Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val rate1 = Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, 3,
+        fitSampleRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(full === rate1)
+    // sampled fit (the 100 TB shape): Lloyd scans only the hash sample,
+    // yet the centroids still separate the two planted clusters, and
+    // assigning the FULL corpus via the argmax projection puts each
+    // axis-cluster member with its own centroid
+    val sampled = Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, 3,
+      fitSampleRate = 0.6)
+    val cents = graft.similarity.Similarity.collectCentroids(sampled, "cid", "centroid")
+    val dims = cents.map(_._2.zipWithIndex.maxBy(_._1)._2).sorted
+    assert(dims.toSeq === Seq(0, 1))
+    val assigned = data.select(col("vec_id"),
+        org.apache.spark.sql.graft.CentroidExpressions
+          .nearestCentroidId(col("embedding"), cents).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = assigned.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size === 2)
+    assert(byCluster.values.toSet === Set((1L to 10L).toSet, (11L to 20L).toSet))
+  }
+
   test("semanticNearDup finds within-cluster near-dups, not cross-cluster decoys") {
     // three well-separated direction clusters; each has a planted
     // near-identical pair; vectors 31/32 are in DIFFERENT clusters
