@@ -49,6 +49,26 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 
+  /** H3+ `ann_knn_join` — batch kNN SELF-join: EVERY corpus vector's
+    * top-5 neighbors in one pass through the persisted IVF index
+    * ([[graft.similarity.IvfIndex.topKBatch]] with excludeSelf) — the
+    * ANN shape a 100 TB curation pipeline actually runs (score the
+    * whole corpus, not one probe vector). Per-query probes are the
+    * row-local top-nProbe centroid rank (zero joins to find buckets);
+    * candidates come only from each query's probed buckets; the only
+    * corpus-scale shuffles are the cid semi-join and the per-query
+    * rank. Seed/probe-defined -> rows-only; SimilaritySpec pins recall
+    * against the brute-force kNN on a fixture.
+    */
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val idx = graft.similarity.IvfIndex.buildOrRefresh(
+      corpus(s, dir), "vec_id", "embedding",
+      s"spark-warehouse/ivf_${san}_k16")
+    idx.topKBatch(corpus(s, dir), "vec_id", 5, nProbe = 4, excludeSelf = true)
+      .select(col("query_id"), col("vec_id"), r6(col("cosine")).as("cosine"))
+  }
+
   /** H4 `emb_quantize` — symmetric int8 quantization of the corpus
     * embeddings (storage/bandwidth step of vector pipelines). Every
     * output is exact-deterministic arithmetic: `l2_norm` is the same
@@ -69,6 +89,7 @@ object SimilarityQueries extends QueryPack {
     "ann_brute" -> annBrute,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_knn_join" -> annKnnJoin,
     "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(

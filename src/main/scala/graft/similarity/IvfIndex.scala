@@ -161,9 +161,13 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     *
     * @param queryIdCol column naming each query row (output column
     *        `query_id`)
+    * @param excludeSelf drop corpus rows whose id equals the query's id
+    *        BEFORE ranking — the kNN SELF-join shape (every doc's top-k
+    *        neighbors, trivial self-match at cosine 1 excluded), so a
+    *        full k neighbors survive instead of k-1
     */
   def topKBatch(queries: DataFrame, queryIdCol: String, k: Int,
-                nProbe: Int): DataFrame = {
+                nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
     val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
     val probes = queries
       .select(col(queryIdCol).as("query_id"),
@@ -176,10 +180,12 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
       .join(probes.select(col("cid")).distinct(), Seq("cid"), "left_semi")
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
-    cand.join(probes, Seq("cid"))
+    val scored = cand.join(probes, Seq("cid"))
       .select(col("query_id"), col(idCol),
         cosineSimilarity(col(vecCol), col("_qv")).as("cosine"))
-      .withColumn("_rk", row_number().over(rankW))
+    val pool = if (excludeSelf) scored.filter(col(idCol) =!= col("query_id"))
+               else scored
+    pool.withColumn("_rk", row_number().over(rankW))
       .filter(col("_rk") <= k)
       .select(col("query_id"), col(idCol), col("cosine"))
   }

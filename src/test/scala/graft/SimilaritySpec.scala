@@ -284,4 +284,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got(100L) === Seq(1L, 2L))
     assert(got(200L).toSet === Set(3L)) // cluster 2 holds only vec 3 (4 is its own)
   }
+
+  test("topKBatch excludeSelf: batch kNN self-join recalls the brute-force neighbors") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfknn").toString
+    // three direction clusters x 8 members with small in-cluster jitter
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(axis) = 1f; a((axis + 1) % 8) = eps; a
+    }
+    val data = (for {
+      (axis, base) <- Seq((0, 0L), (3, 100L), (6, 200L))
+      i <- 1 to 8
+    } yield (base + i, v(axis, 0.01f * i))).toDF("vec_id", "embedding")
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      data, "vec_id", "embedding", dir, k = 3, iterations = 3)
+    val knn = idx.topKBatch(data, "vec_id", k = 3, nProbe = 2, excludeSelf = true)
+      .collect()
+    // no self-matches; every query keeps a FULL k (self exclusion runs
+    // before the rank, not after)
+    assert(knn.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
+    val byQuery = knn.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byQuery.size === 24 && byQuery.values.forall(_.size === 3))
+    // recall vs exact brute-force kNN (same cosine, self excluded)
+    val vecs = data.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = vecs.keys.toSeq.map { q =>
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .sortBy(o => (-cos(vecs(q), vecs(o)), o)).take(3).toSet
+      truth.intersect(byQuery(q)).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, s"batch kNN recall $recall below 0.9")
+  }
 }
