@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
   * per partition (the Scala analogue of mapInPandas' batch shape):
   * rows are pulled through an iterator in fixed-size batches so a real
   * decoder could amortize model/codec setup per batch instead of per
-  * row. The actual image/audio decode is STUBBED (no codec libraries
-  * in this environment) with a deterministic byte-histogram feature,
-  * but the schema, batching, partitioning, and encoder plumbing are
-  * real and tested.
+  * row. Since r7 the image decode is REAL: payloads that are valid
+  * images (PNG/BMP/GIF — whatever the JDK's javax.imageio registry
+  * reads, no native codecs needed) decode to width/height/channel
+  * count and exact per-channel pixel means; non-image payloads fall
+  * back to the deterministic byte-histogram feature (flagged
+  * `decoded = false`), so a mixed/corrupt corpus degrades row-by-row
+  * instead of aborting — the same contract as zero-norm cosine.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte],
                          width: Int, height: Int, format: String)
   case class MediaFeatures(doc_id: Long, n_bytes: Int, batch_size: Int,
-                           features: Array[Float])
+                           decoded: Boolean, img_width: Int, img_height: Int,
+                           channels: Int, features: Array[Double])
 
   /** J1: attach a binary payload + typed metadata to a text corpus
     * (payload = utf-8 bytes standing in for image bytes).
@@ -35,17 +39,44 @@ object Multimodal {
         (col(sizeCol) * 7 % 480 + 1).cast("int").as("height"),
         lit("png").as("format")).as("meta"))
 
-  /** STUB decode: a real implementation would decode `payload` with an
-    * image codec here, once per batch. Deterministic fake: 8-bin byte
-    * histogram normalized by length.
+  /** Batched decode: javax.imageio (pure-JVM PNG/BMP/GIF codecs) per
+    * payload — a valid image yields its true dimensions, band count,
+    * and EXACT per-channel pixel means in [0,1] (integer pixel sums
+    * accumulated in a double, so the means reproduce bit-for-bit and
+    * can be oracled against the synthesis formula). A payload ImageIO
+    * cannot read falls back to the deterministic 8-bin byte histogram
+    * with `decoded = false` — one corrupt blob must not kill a 100 TB
+    * job, and must not silently pose as an image either.
     */
-  private def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      val hist = new Array[Float](8)
-      r.payload.foreach(b => hist((b & 0xff) >> 5) += 1f)
-      val n = math.max(r.payload.length, 1)
-      MediaFeatures(r.doc_id, r.payload.length, batch.size,
-        hist.map(_ / n))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) {
+        val hist = new Array[Double](8)
+        r.payload.foreach(b => hist((b & 0xff) >> 5) += 1.0)
+        val n = math.max(r.payload.length, 1)
+        MediaFeatures(r.doc_id, r.payload.length, batch.size, decoded = false,
+          0, 0, 0, hist.map(_ / n))
+      } else {
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        val sums = new Array[Double](ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.doc_id, r.payload.length, batch.size, decoded = true,
+          w, h, ch, sums.map(s => s / (w.toLong * h) / 255.0))
+      }
     }
 
   /** J2: batched feature extraction. Partition-parallel, with rows
@@ -59,7 +90,62 @@ object Multimodal {
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"))
       .as[MediaRecord]
-      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+  }
+
+  /** Deterministic pixel formula shared by the PNG synthesis and the
+    * DuckDB oracle: channel c of pixel k (row-major) of image `id` is
+    * `(mc * id + ac * k) mod 256` with (mc, ac) = (1,3)/(5,7)/(11,13)
+    * for R/G/B. Every term is exact integer arithmetic, so the
+    * EXPECTED per-channel means are computable in plain SQL and the
+    * real decode can be hash-compared against them.
+    */
+  private def synthPixel(id: Long, k: Long): Int = {
+    val r = ((id + 3 * k) % 256).toInt
+    val g = ((5 * id + 7 * k) % 256).toInt
+    val b = ((11 * id + 13 * k) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Render one tiny RGB image for `id` (w = id%6+2, h = id%4+3) and
+    * encode it as REAL PNG bytes with the JDK encoder.
+    */
+  private[graft] def pngPayload(id: Long): Array[Byte] = {
+    val w = (id % 6 + 2).toInt
+    val h = (id % 4 + 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, synthPixel(id, y.toLong * w + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** J2: real-PNG payload synthesis — the container ships no image
+    * corpus, so the corpus' ids are rendered into tiny deterministic
+    * PNGs (one per doc, bounded 7x6 px). The payloads are REAL encoded
+    * PNG bytes: everything downstream (ImageIO decode, channel stats)
+    * exercises the true codec path, standing in for
+    * `spark.read.format("binaryFile")` over an image corpus. Runs in
+    * the Dataset layer per row — encode is row-local, no shuffle.
+    */
+  def withPngPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (id % 6 + 2).toInt
+      val h = (id % 4 + 3).toInt
+      MediaRecord(id, pngPayload(id), w, h, "png")
+    }.select(col("doc_id"), col("payload"),
+      struct(col("width"), col("height"), col("format")).as("meta"))
   }
 
   /** J2+: attach video-container metadata (duration, fps) to a binary

@@ -23,12 +23,41 @@ object MultimodalQueries extends QueryPack {
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.format").as("format"))
 
-  /** J2 `mm_features` — batched (stubbed) decode to feature vectors. */
+  /** J2 `mm_features` — batched decode over the text corpus: payloads
+    * are utf-8 bytes (not images), so every row exercises the
+    * decode-failure fallback path (`decoded = false`, byte-histogram
+    * feature) — the mixed/corrupt-corpus contract. The real-codec path
+    * is `mm_decode`.
+    */
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, media(s, dir), batchSize = 64)
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("batch_size"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        col("decoded"), round(element_at(col("features"), 1), 4).as("f0"))
+
+  /** J2 `mm_decode` — REAL image decode, oracled: each doc id is
+    * rendered to a tiny deterministic PNG (real encoder), batch-decoded
+    * with javax.imageio, and the decoded dimensions, band count, and
+    * exact per-channel pixel means are hash-compared against a DuckDB
+    * oracle that computes the EXPECTED values analytically from the
+    * shared pixel formula `(mc*id + ac*k) mod 256` — the decode has to
+    * reproduce every pixel bit-for-bit to pass. Integer pixel sums are
+    * exact in doubles and both engines divide in the same order, so
+    * the means match to the last bit; rounding (r6) only guards the
+    * output hash, ann_brute-style.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPngPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.extractFeatures(s, media, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("img_width"), col("img_height"),
+        col("channels"),
+        r6(element_at(col("features"), 1)).as("mean_r"),
+        r6(element_at(col("features"), 2)).as("mean_g"),
+        r6(element_at(col("features"), 3)).as("mean_b"))
+  }
 
   /** J2+ `mm_frames` — video frame-sampling plumbing: one row per
     * 500 ms of each clip, with the frame index a decoder would seek to
@@ -62,9 +91,31 @@ object MultimodalQueries extends QueryPack {
     "mm_audio_windows" -> mmAudioWindows,
     "mm_schema" -> mmSchema,
     "mm_features" -> mmFeatures,
+    "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    // the oracle never decodes anything: it computes the EXPECTED
+    // per-channel means analytically from the synthesis pixel formula
+    // (exact integer arithmetic), so a hash match proves the Spark side
+    // decoded every PNG pixel bit-for-bit
+    "mm_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS img_width,
+        |    CAST(doc_id % 4 + 3 AS INT) AS img_height
+        |  FROM documents),
+        |m AS (SELECT doc_id, img_width, img_height,
+        |    list_avg(list_transform(range(0, img_width * img_height),
+        |      k -> (doc_id + 3 * k) % 256)) / 255.0 AS mr,
+        |    list_avg(list_transform(range(0, img_width * img_height),
+        |      k -> (5 * doc_id + 7 * k) % 256)) / 255.0 AS mg,
+        |    list_avg(list_transform(range(0, img_width * img_height),
+        |      k -> (11 * doc_id + 13 * k) % 256)) / 255.0 AS mb
+        |  FROM d)
+        |SELECT doc_id, img_width, img_height, CAST(3 AS INT) AS channels,
+        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+        |  round(mb, 6) AS mean_b
+        |FROM m""".stripMargin,
     "mm_schema" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

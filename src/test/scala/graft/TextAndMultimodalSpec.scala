@@ -151,6 +151,53 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
   }
 
+  test("multimodal: real PNG decode recovers known pixel values; corrupt payloads fall back") {
+    // hand-built 2x1 image with known pixels: (255,0,0) and (0,128,255)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x0080FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      (1L, baos.toByteArray, 2, 1, "png"),
+      (2L, "definitely not an image".getBytes("UTF-8"), 9, 9, "png"))
+      .toDF("doc_id", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media, batchSize = 8)
+      .collect().map(f => f.doc_id -> f).toMap
+    val ok = out(1L)
+    assert(ok.decoded && ok.img_width === 2 && ok.img_height === 1 &&
+      ok.channels === 3)
+    assert(math.abs(ok.features(0) - (255.0 + 0) / 2 / 255.0) < 1e-12) // mean R
+    assert(math.abs(ok.features(1) - (0.0 + 128) / 2 / 255.0) < 1e-12) // mean G
+    assert(math.abs(ok.features(2) - (0.0 + 255) / 2 / 255.0) < 1e-12) // mean B
+    val bad = out(2L)
+    assert(!bad.decoded && bad.channels === 0)
+    assert(math.abs(bad.features.sum - 1.0) < 1e-9) // histogram fallback
+  }
+
+  test("multimodal: synthesized PNG payloads decode back to the analytic channel means") {
+    val docs = Seq((3L, "x", 1L), (10L, "y", 2L), (17L, "z", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.withPngPayloads(docs, "doc_id")
+    val out = Multimodal.extractFeatures(spark, media, batchSize = 8)
+      .collect().map(f => f.doc_id -> f).toMap
+    Seq(3L, 10L, 17L).foreach { id =>
+      val w = (id % 6 + 2).toInt; val h = (id % 4 + 3).toInt
+      val f = out(id)
+      assert(f.decoded && f.img_width === w && f.img_height === h &&
+        f.channels === 3, s"id $id")
+      val n = w * h
+      def mean(m: Long, a: Long): Double =
+        (0 until n).map(k => (m * id + a * k) % 256).sum.toDouble / n / 255.0
+      assert(math.abs(f.features(0) - mean(1, 3)) < 1e-12, s"id $id R")
+      assert(math.abs(f.features(1) - mean(5, 7)) < 1e-12, s"id $id G")
+      assert(math.abs(f.features(2) - mean(11, 13)) < 1e-12, s"id $id B")
+    }
+  }
+
   test("multimodal: frame sampling emits one row per interval with decoder seek indices") {
     // duration 2200 ms at 25 fps -> samples at 0/500/1000/1500/2000 ms
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef0123456789", 1200L))
