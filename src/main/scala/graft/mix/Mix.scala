@@ -422,9 +422,23 @@ object Mix {
     * Returns one row per key: (keyCol, `q_value`).
     */
   def histogramQuantile(df: DataFrame, keyCol: String, valCol: String,
-                        qNum: Int, qDen: Int): DataFrame = {
-    require(qNum > 0 && qDen > 0 && qNum <= qDen,
-      s"quantile $qNum/$qDen must be in (0, 1]")
+                        qNum: Int, qDen: Int): DataFrame =
+    histogramQuantiles(df, keyCol, valCol, Seq((qNum, qDen)))
+      .select(col(keyCol), col(s"q_${qNum}_$qDen").as("q_value"))
+
+  /** Multi-quantile [[histogramQuantile]]: ALL requested quantiles come
+    * out of ONE histogram aggregate + ONE cumulative window + ONE
+    * final per-key group (a conditional `min(when(reached, value))`
+    * per quantile), instead of one full pass per quantile. Output:
+    * keyCol plus one `q_<num>_<den>` column per requested quantile.
+    */
+  def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                         qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (qNum, qDen) =>
+      require(qNum > 0 && qDen > 0 && qNum <= qDen,
+        s"quantile $qNum/$qDen must be in (0, 1]")
+    }
     // null values are EXCLUDED from the distribution (they have no
     // order position; engines also disagree on null placement in
     // window ORDER BY, which would poison the oracle)
@@ -433,12 +447,14 @@ object Mix {
       .agg(count(lit(1)).as("_n"))
     val byKey = Window.partitionBy(col(keyCol))
     val cumW = byKey.orderBy(col(valCol))
-    hist
+    val staged = hist
       .withColumn("_cum", sum(col("_n")).over(cumW))
       .withColumn("_tot", sum(col("_n")).over(byKey))
-      .filter(col("_cum") * qDen >= col("_tot") * qNum)
-      .groupBy(col(keyCol))
-      .agg(min(col(valCol)).as("q_value"))
+    val aggs = qs.map { case (qNum, qDen) =>
+      min(when(col("_cum") * qDen >= col("_tot") * qNum, col(valCol)))
+        .as(s"q_${qNum}_$qDen")
+    }
+    staged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-source length flooring at an exact length quantile: drop every

