@@ -48,6 +48,23 @@ object TimeSeriesOps {
     df.select(keys.map(col) ++ Seq(tsCentered) ++ aggCols: _*)
   }
 
+  /** [[cRolling]] with a pandas-style duration window ('6H', '15T',
+    * '1D' — utils.py:11 parse_duration, the form the reference's
+    * c_rolling('6H') users reach for first). Parses once on the driver
+    * and delegates; Scala allows default arguments on only one
+    * overload, so the minPeriods-less form is its own method.
+    */
+  def cRolling(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+               window: String, aggs: Seq[(String, Column => Column)],
+               minPeriods: Int): DataFrame =
+    cRolling(df, keys, tsCol, valCol,
+      graft.api.Durations.parseSeconds(window), aggs, minPeriods)
+
+  /** [[cRolling]] with a duration string and the default minPeriods. */
+  def cRolling(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+               window: String, aggs: Seq[(String, Column => Column)]): DataFrame =
+    cRolling(df, keys, tsCol, valCol, window, aggs, minPeriods = 1)
+
   /** Exact median of a materialized array column. Enables rolling
     * medians: Spark's median aggregate is not window-frame-capable, but
     * collect_list is — collect the frame with cRolling, then take the
@@ -91,6 +108,12 @@ object TimeSeriesOps {
     cRolling(df, keys, tsCol, valCol, windowSec,
       Seq(outCol -> (c => percentile_approx(c, lit(probability), lit(accuracy)))),
       minPeriods)
+
+  /** [[cRollingQuantileApprox]] with a pandas-style duration window. */
+  def cRollingQuantileApprox(df: DataFrame, keys: Seq[String], tsCol: String,
+                             valCol: String, window: String): DataFrame =
+    cRollingQuantileApprox(df, keys, tsCol, valCol,
+      graft.api.Durations.parseSeconds(window))
 
   /** Downsample to fixed calendar buckets with aggregates (A3;
     * reference gpstools.py:350 `resample('1D').mean()`).
@@ -182,6 +205,15 @@ object TimeSeriesOps {
       .drop("_bid")
   }
 
+  /** [[resampleInterval]] with a pandas-style duration string — the
+    * reference's `resample('15T')` form.
+    */
+  def resampleInterval(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valCol: String, interval: String,
+                       aggs: Seq[(String, Column => Column)]): DataFrame =
+    resampleInterval(df, keys, tsCol, valCol,
+      graft.api.Durations.parseSeconds(interval), aggs)
+
   /** Forward-fill nulls per key by time order (pandas ffill). */
   def ffill(df: DataFrame, keys: Seq[String], tsCol: String,
             cols: Seq[String]): DataFrame = {
@@ -201,6 +233,14 @@ object TimeSeriesOps {
     * the key, no per-point lookups; grid size is bounded by
     * range/interval per key.
     */
+  /** [[upsampleNearest]] with a pandas-style duration string — the
+    * reference's `resample('15T').nearest()` form (hydrotools.py:204).
+    */
+  def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valCol: String, interval: String): DataFrame =
+    upsampleNearest(df, keys, tsCol, valCol,
+      graft.api.Durations.parseSeconds(interval))
+
   def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
                       valCol: String, intervalSec: Long): DataFrame = {
     val iUs = intervalSec * UsPerSec

@@ -19,6 +19,36 @@ class ApiSpec extends SparkSpec {
     rows.toDF("k", "ts", "value").select(col("k"),
       col("ts").cast("timestamp").as("ts"), col("value"))
 
+  test("duration-string overloads equal their second-based operators ('6H'/'15T'/'1D')") {
+    import graft.operators.TimeSeriesOps
+    val df = series(
+      ("a", "2020-01-01 00:00:00", 1.0), ("a", "2020-01-01 02:00:00", 3.0),
+      ("a", "2020-01-01 05:59:00", 5.0), ("a", "2020-01-02 07:00:00", 7.0))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("ts_c").collect().map(_.toSeq).toSeq
+    // the reference's c_rolling('6H') form == windowSec = 21600
+    val aggs = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "mean" -> avg)
+    assert(rows(TimeSeriesOps.cRolling(df, Seq("k"), "ts", "value", "6H", aggs)) ===
+      rows(TimeSeriesOps.cRolling(df, Seq("k"), "ts", "value", 21600L, aggs)))
+    // minPeriods rides through the string overload
+    assert(rows(TimeSeriesOps.cRolling(df, Seq("k"), "ts", "value", "6H", aggs, 2)) ===
+      rows(TimeSeriesOps.cRolling(df, Seq("k"), "ts", "value", 21600L, aggs, 2)))
+    // '15T' (hydrotools.py:204 resample('15T')) and '1D' forms
+    def rows2(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(rows2(TimeSeriesOps.resampleInterval(df, Seq("k"), "ts", "value", "15T", aggs)) ===
+      rows2(TimeSeriesOps.resampleInterval(df, Seq("k"), "ts", "value", 900L, aggs)))
+    def rows3(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("ts").collect().map(_.toSeq).toSeq
+    assert(rows3(TimeSeriesOps.upsampleNearest(df, Seq("k"), "ts", "value", "1D")) ===
+      rows3(TimeSeriesOps.upsampleNearest(df, Seq("k"), "ts", "value", 86400L)))
+    val approx = TimeSeriesOps.cRollingQuantileApprox(
+      df, Seq("k"), "ts", "value", "6H")
+    assert(rows(approx) ===
+      rows(TimeSeriesOps.cRollingQuantileApprox(df, Seq("k"), "ts", "value", 21600L)))
+  }
+
   test("DiurnalExtrema facade dispatches options like the reference") {
     val df = series(
       ("a", "2024-01-01 02:00:00", 8.0),
