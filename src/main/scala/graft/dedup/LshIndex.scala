@@ -106,6 +106,67 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true))
 
+  /** Parquet data files currently holding the index (sigs + banded).
+    * Every [[add]]/[[checkAndAdd]] append lands a new file per task, so
+    * a year of small increments degrades the banded history scan into
+    * thousands of tiny reads — this count is the fragmentation signal.
+    */
+  def dataFileCount(): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/sigs", s"$path/banded").map { dir =>
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }.sum
+  }
+
+  /** Size-triggered maintenance: when accumulated appends exceed
+    * `maxFiles` data files, rewrite both tables into right-sized files
+    * (content-preserving — same rows, same band partition layout, so
+    * candidate joins and partition pruning behave identically). Returns
+    * true when a compaction ran.
+    */
+  def compactIfFragmented(maxFiles: Int = 64,
+                          targetFileRows: Long = 4000000L): Boolean = {
+    val fragmented = dataFileCount() > maxFiles
+    if (fragmented) compact(targetFileRows)
+    fragmented
+  }
+
+  /** Rewrite sigs/ and banded/ into right-sized files (content
+    * identical; banded keeps its BY-BAND partition layout with one file
+    * per band directory). Parquet cannot overwrite a path it is
+    * reading, so each table stages to `<table>_next` and swaps via a
+    * second write — the IvfIndex.recenter pattern. Both stages complete
+    * before either swap, so a crash BETWEEN the swaps leaves one table
+    * compacted and the other not — same rows either way, no
+    * correctness drift. A crash DURING a swap loses that table's
+    * _SUCCESS marker; compaction belongs to the same single-writer
+    * ingest owner as appends (concurrent appends during a compaction
+    * would be dropped by the rewrite), re-run it on such a failure.
+    */
+  def compact(targetFileRows: Long = 4000000L): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nSigs = sigs.count()
+    val sigFiles = math.max(1, (nSigs / targetFileRows).toInt)
+    // stage both tables fully before swapping either
+    sigs.coalesce(sigFiles).write.mode("overwrite").parquet(s"$path/sigs_next")
+    // repartition ON band -> exactly one task, and so one file, per
+    // band directory
+    spark.read.parquet(s"$path/banded")
+      .repartition(bands, col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/banded_next")
+    Seq("sigs", "banded").foreach { t =>
+      val w = spark.read.parquet(s"$path/${t}_next").write.mode("overwrite")
+      (if (t == "banded") w.partitionBy("band") else w).parquet(s"$path/$t")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${t}_next"), true)
+    }
+  }
+
   private def appendSigs(newSigs: DataFrame): Unit = {
     // banded FIRST (crash-consistency contract in the class doc)
     bandRows(newSigs).write.mode("append")

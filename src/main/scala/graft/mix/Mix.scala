@@ -492,7 +492,11 @@ object Mix {
       max(col(tokenCol)).as("max_tokens"))
     val med = histogramQuantile(df, sourceCol, tokenCol, 1, 2)
       .select(col(sourceCol), col("q_value").as("p50_tokens"))
-    agg.join(med, Seq(sourceCol))
+    // LEFT join (ADVICE r6): the median excludes null values, so a key
+    // whose value column is ENTIRELY null has no median row — a
+    // monitoring report must still show that source (n_docs, null
+    // min/max/p50) rather than silently dropping it
+    agg.join(med, Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
         col("min_tokens"), col("p50_tokens"), col("max_tokens"))

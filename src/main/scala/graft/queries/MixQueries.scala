@@ -256,7 +256,7 @@ object MixQueries extends QueryPack {
         |SELECT a.source, a.n_docs, a.n_tokens,
         |  CAST(a.n_tokens AS DOUBLE) / a.n_docs AS mean_tokens,
         |  a.min_tokens, m.p50_tokens, a.max_tokens
-        |FROM a JOIN m ON a.source = m.source""".stripMargin,
+        |FROM a LEFT JOIN m ON a.source = m.source""".stripMargin,
     "ds_quality_floor" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks

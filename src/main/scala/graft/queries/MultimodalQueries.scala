@@ -113,8 +113,9 @@ object MultimodalQueries extends QueryPack {
         |      k -> (11 * doc_id + 13 * k) % 256)) / 255.0 AS mb
         |  FROM d)
         |SELECT doc_id, img_width, img_height, CAST(3 AS INT) AS channels,
-        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
-        |  round(mb, 6) AS mean_b
+        |  floor(mr * 1000000 + 0.5001) / 1000000 AS mean_r,
+        |  floor(mg * 1000000 + 0.5001) / 1000000 AS mean_g,
+        |  floor(mb * 1000000 + 0.5001) / 1000000 AS mean_b
         |FROM m""".stripMargin,
     "mm_schema" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -70,18 +70,19 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** H4 `emb_quantize` — symmetric int8 quantization of the corpus
-    * embeddings (storage/bandwidth step of vector pipelines). Every
-    * output is exact-deterministic arithmetic: `l2_norm` is the same
-    * sequential-accumulation dot both engines compute (the ann_brute
-    * precedent), `qscale` is abs/max + one division, codes are
-    * round-half-up integers — all emitted UNROUNDED. Codes are
-    * CSV-stringified on both sides so the driver's hash compare sees a
-    * scalar column rather than an array dtype.
+    * embeddings (storage/bandwidth step of vector pipelines). `qscale`
+    * (abs/max + one division) and `codes` (round-half-up integers) are
+    * order-free exact arithmetic and stay UNROUNDED; `l2_norm` is a
+    * sequential dot accumulation, so it gets the ann_brute r6 OUTPUT
+    * rounding on both sides (ADVICE r6: hash-comparing it unrounded
+    * relied on DuckDB's list_dot_product never vectorizing its sum).
+    * Codes are CSV-stringified on both sides so the driver's hash
+    * compare sees a scalar column rather than an array dtype.
     */
   def embQuantize(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Similarity
       .quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-      .select(col("vec_id"), col("l2_norm"), col("qscale"),
+      .select(col("vec_id"), r6(col("l2_norm")).as("l2_norm"), col("qscale"),
         concat_ws(",", transform(col("codes"), c => c.cast("string")))
           .as("codes"))
 
@@ -114,7 +115,7 @@ object SimilarityQueries extends QueryPack {
         |m AS (SELECT vec_id, e,
         |    list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
         |SELECT vec_id,
-        |  sqrt(list_dot_product(e, e)) AS l2_norm,
+        |  floor((sqrt(list_dot_product(e, e))) * 1000000 + 0.5001) / 1000000 AS l2_norm,
         |  ma / 127.0 AS qscale,
         |  CASE WHEN ma = 0
         |    THEN array_to_string(list_transform(e, x -> CAST(0 AS BIGINT)), ',')

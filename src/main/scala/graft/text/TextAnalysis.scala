@@ -190,15 +190,19 @@ object TextAnalysis {
     * by (doc, term), df reduced FROM the tf table, so the corpus is
     * exploded once) → broadcast-join the df dim back (vocabulary is
     * orders smaller than the corpus) → per-doc top-k window. The corpus
-    * count N is the one scalar driver value (same bounded pattern as
-    * dedup_clusters' max id). Terms are split on single spaces, the
-    * corpus-vocabulary convention shared with text_topterms.
+    * count N rides along as a cross-joined 1-row aggregate (the
+    * Salting totals pattern), so CONSTRUCTING the DataFrame costs
+    * nothing — N evaluates with the query itself, not eagerly on the
+    * driver (ADVICE r6: the former eager count() here made merely
+    * building the plan scan the corpus). Terms are split on single
+    * spaces, the corpus-vocabulary convention shared with
+    * text_topterms.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")
     val present = docs.filter(col(textCol).isNotNull)
-    val nDocs = present.count()
+    val nDocs = present.agg(count(lit(1)).as("_n"))
     val tf = present
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -218,8 +222,9 @@ object TextAnalysis {
     // dim at runtime when its measured size allows and otherwise
     // keeps the equi-join as an SMJ on term
     tf.join(df, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row total, bounded NLJ
       // integer product first (exact ≤ 2^53), ONE division after
-      .withColumn("_score", (col("_tf") * nDocs).cast("double") / col("_df"))
+      .withColumn("_score", (col("_tf") * col("_n")).cast("double") / col("_df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("rank"), col("term"), col("_score").as("score"))

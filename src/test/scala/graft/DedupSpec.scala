@@ -348,6 +348,46 @@ class DedupSpec extends SparkSpec {
       reopened.sigs.count())
   }
 
+  test("LshIndex.compact rewrites accumulated appends without changing the band table") {
+    val dir = java.nio.file.Files.createTempDirectory("lshcompact").toString
+    val initial = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    val idx = LshIndex.build(initial, "doc_id", "text", dir)
+    // a run of small per-batch appends fragments both tables
+    (10L to 14L).foreach { i =>
+      idx.add(Seq((i, s"fresh unique content number $i never indexed before in this corpus"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    val filesBefore = idx.dataFileCount()
+    val sigsBefore = idx.sigs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val bandedBefore = idx.banded.select("doc_id", "band", "bh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // below the threshold: no-op; above: compacts
+    assert(!idx.compactIfFragmented(maxFiles = 10000))
+    assert(idx.dataFileCount() === filesBefore)
+    assert(idx.compactIfFragmented(maxFiles = 4))
+    assert(idx.dataFileCount() < filesBefore,
+      s"expected fewer files than $filesBefore, got ${idx.dataFileCount()}")
+    // band-table and signature equivalence: same rows, bit for bit
+    assert(idx.sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq === sigsBefore)
+    assert(idx.banded.select("doc_id", "band", "bh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === bandedBefore)
+    // the by-band partition layout survives (one dir per band)
+    assert(new java.io.File(s"$dir/banded").listFiles()
+      .count(_.getName.startsWith("band=")) === 16)
+    // and the compacted index still answers checks against history
+    val probe = Seq(
+      (99L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    val pairs = idx.check(probe, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 99L)))
+  }
+
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {
     val docs = Seq(
       (1L, "a b c d e f g h"),   // 4 of its 5-grams appear in the benchmark
