@@ -76,10 +76,10 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
   /** Centroid drift after incremental [[addVectors]] appends: per
     * bucket, the cosine between the STORED centroid and the current
     * mean of the bucket's members, plus the member count. One
-    * aggregation pass over assignments (posexplode + per-dimension
-    * mean, the same shape k-means iterations use) joined against the
-    * k-row centroid table — no driver materialization beyond the k-row
-    * result the caller reads.
+    * map-side-combining VectorMean pass over assignments (the same
+    * one-aggregate shape k-means iterations use — never a corpus x dim
+    * posexplode) joined against the k-row centroid table — no driver
+    * materialization beyond the k-row result the caller reads.
     *
     * Drift is the re-centering signal: appended vectors land in their
     * nearest EXISTING bucket, so as the corpus grows the stored
@@ -88,11 +88,9 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     */
   def centroidDrift(): DataFrame = {
     val memberMeans = assignments
-      .select(col("cid"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
-      .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
       .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
-      .select(col("cid"), expr("transform(_dm, s -> s._m)").as("mean_vec"))
+      .agg(org.apache.spark.sql.graft.VectorAggregates
+        .vectorMean(col(vecCol)).as("mean_vec"))
     val counts = assignments.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
     centroids.join(memberMeans, Seq("cid"), "left")
       .join(counts, Seq("cid"), "left")
@@ -112,11 +110,10 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     */
   def recenter(): Unit = {
     val memberMeans = assignments
-      .select(col("cid"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
-      .groupBy(col("cid"), col("_d")).agg(avg(col("_x")).as("_m"))
       .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
-      .select(col("cid"), expr("transform(_dm, s -> s._m)").as("centroid"))
+      .agg(org.apache.spark.sql.graft.VectorAggregates
+        .vectorMean(col(vecCol)).as("centroid"))
+      .filter(col("centroid").isNotNull)
     // keep empty buckets' stored centroids (no members to mean over)
     val updated = centroids.select(col("cid"), col("centroid").as("_old"))
       .join(memberMeans, Seq("cid"), "left")

@@ -231,12 +231,14 @@ object Similarity {
       val assigned = vecs.select(
         CentroidExpressions.nearestCentroidId(col("_v"), centroids).as("_cid"),
         col("_v"))
+      // per-centroid mean: ONE map-side-combining VectorMean aggregate
+      // (dim-length partial state per cid) — never a corpus x dim
+      // posexplode through an exchange
       val means = assigned
-        .select(col("_cid"), posexplode(col("_v")).as(Seq("_d", "_x")))
-        .groupBy(col("_cid"), col("_d")).agg(avg(col("_x")).as("_m"))
         .groupBy(col("_cid"))
-        .agg(array_sort(collect_list(struct(col("_d"), col("_m")))).as("_dm"))
-        .select(col("_cid"), transform(col("_dm"), s => s.getField("_m")).as("_cv"))
+        .agg(org.apache.spark.sql.graft.VectorAggregates
+          .vectorMean(col("_v")).as("_cv"))
+        .filter(col("_cv").isNotNull)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       // empty clusters keep their previous centroid
       val updated = means.toMap

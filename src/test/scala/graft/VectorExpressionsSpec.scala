@@ -18,6 +18,39 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("vectorMean matches the posexplode reference: nulls, ragged lengths, empty groups") {
+    import org.apache.spark.sql.graft.VectorAggregates.vectorMean
+    val df = Seq(
+      ("a", Array[java.lang.Double](1.0, 2.0, 3.0)),
+      ("a", Array[java.lang.Double](3.0, null, 5.0)),  // null element: dim 1 averages over 1 value
+      ("a", Array[java.lang.Double](2.0)),             // ragged: dims 1-2 average over fewer vectors
+      ("b", null.asInstanceOf[Array[java.lang.Double]]), // null vector: contributes nothing
+      ("b", Array[java.lang.Double](7.0, 9.0)),
+      ("c", null.asInstanceOf[Array[java.lang.Double]])  // group with no vectors -> null mean
+    ).toDF("k", "v")
+    val got = df.groupBy($"k").agg(vectorMean($"v").as("m"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[java.lang.Double](1))).toMap
+    assert(got("a") === Seq(2.0, 2.0, 4.0)) // (1+3+2)/3, 2/1, (3+5)/2
+    assert(got("b") === Seq(7.0, 9.0))
+    assert(got("c") === null)
+    // agreement with the posexplode + per-dimension avg pipeline on a
+    // dense fixture (the shape this aggregate replaces)
+    val dense = (1L to 50L).map(i =>
+      (i % 3, Array(i.toDouble, i * 0.5, 100.0 - i))).toDF("k", "v")
+    val viaAgg = dense.groupBy($"k").agg(vectorMean($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = dense
+      .select($"k", posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"k", $"d").agg(avg($"x").as("m"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+    viaAgg.foreach { case (k, m) =>
+      m.zip(viaExplode(k)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12, s"k=$k") }
+    }
+  }
+
   test("vectorDot implicit-casts float arrays and stays codegen (no fallback)") {
     val floats = Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
     assert(floats.select(VectorExpressions.vectorDot(col("a"), col("b")))
