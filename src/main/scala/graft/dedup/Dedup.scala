@@ -418,6 +418,25 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("drop_id"))
 
+  /** The near-dup-PRUNED corpus — the end product a curation pipeline
+    * actually ships: verified pairs ([[blockedJaccard]], exact n-gram
+    * Jaccard >= threshold within blocks) → keep-one-per-cluster drop
+    * list ([[dropIdsFromPairs]]) → one left_anti join of the corpus
+    * against it. Survivor = each cluster's smallest id; documents in
+    * no pair pass through untouched. Scale shape: pairs and components
+    * are the already-bounded operators, and the prune itself anti-joins
+    * against a drop list no larger than the clustered-duplicate count
+    * (duplicates are a small corpus fraction — broadcastable).
+    */
+  def pruneNearDups(docs: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, shingleN: Int = 3,
+                    threshold: Double = 0.3): DataFrame =
+    docs.join(
+      dropIdsFromPairs(
+        blockedJaccard(docs, idCol, textCol, blockCol, shingleN, threshold))
+        .withColumnRenamed("drop_id", idCol),
+      Seq(idCol), "left_anti")
+
   /** Distinct xxhash64 values of a benchmark set's shingles (column
     * `_bh`) — the shared build side of batch [[contaminatedIds]] and
     * [[graft.streaming.Streaming.decontaminateStream]]: one definition,

@@ -43,6 +43,19 @@ object DedupQueries extends QueryPack {
       shingleN = 3, threshold = 0.3)
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
 
+  /** G+ `dedup_prune` — the MATERIALIZED deduplicated corpus (what a
+    * curation pipeline actually ships): blocked-Jaccard pairs →
+    * connected components → each cluster keeps its smallest id, every
+    * other member drops, untouched docs pass through. Fully oracled:
+    * DuckDB recomputes the pairs (the dedup_jaccard oracle), derives
+    * components with a recursive min-label CTE, and anti-joins — so
+    * the hash compare proves the whole pair→cluster→prune chain.
+    */
+  def dedupPrune(s: SparkSession, dir: String): DataFrame =
+    Dedup.pruneNearDups(Tables.documents(s, dir), "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.3)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -140,6 +153,7 @@ object DedupQueries extends QueryPack {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_prune" -> dedupPrune,
     "dedup_embed" -> dedupEmbed,
     "dedup_semantic" -> dedupSemantic,
     "dedup_clusters" -> dedupClusters)
@@ -196,6 +210,31 @@ object DedupQueries extends QueryPack {
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
         |FROM p WHERE i / (na + nb - i) >= 0.3""".stripMargin,
+    // the dedup_jaccard pair CTE + recursive min-label components +
+    // keep-smallest-per-cluster anti-join: the full prune chain in SQL
+    "dedup_prune" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |        >= 0.3),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(node, root) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+        |comp AS (SELECT node, min(root) AS component
+        |  FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN
+        |  (SELECT node FROM comp WHERE node <> component)""".stripMargin,
     "dedup_clusters" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |nodes AS (

@@ -348,6 +348,26 @@ class DedupSpec extends SparkSpec {
       reopened.sigs.count())
   }
 
+  test("pruneNearDups keeps each cluster's smallest id and every unpaired doc") {
+    // docs 1-2-3 form one near-dup chain (1~2, 2~3 share most shingles),
+    // 10-11 a second cluster, 20 is unique; 30 matches nothing in its
+    // own block despite matching 1's text (different source = block)
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val docs = Seq(
+      (1L, base, "web"),
+      (2L, base + " ok", "web"),
+      (3L, base + " ok fine", "web"),
+      (10L, "completely different text about spark shuffles at massive scale", "web"),
+      (11L, "completely different text about spark shuffles at massive scale", "web"),
+      (20L, "nothing shares shingles with this one in any block anywhere", "web"),
+      (30L, base, "books"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.pruneNearDups(docs, "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 10L, 20L, 30L))
+  }
+
   test("LshIndex.compact rewrites accumulated appends without changing the band table") {
     val dir = java.nio.file.Files.createTempDirectory("lshcompact").toString
     val initial = Seq(
