@@ -24,9 +24,10 @@ class ContractSpec extends AnyFunSuite {
       "melt_shadow", "melt_albedo", "melt_rate", "melt_pipeline",
       "q1_agg", "q3_join", "q_window_topk", "q_antijoin", "q_topk", "q_sessionize",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embed",
-      "ann_brute", "ann_lsh", "ann_ivf",
+      "dedup_prune",
+      "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join",
       "text_tokens", "text_langid", "text_quality", "text_fingerprint",
-      "mm_schema", "mm_features")
+      "mm_schema", "mm_features", "mm_decode")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

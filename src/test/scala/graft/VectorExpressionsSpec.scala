@@ -51,6 +51,15 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_mean is callable from plain SQL via GraftExtensions") {
+    Seq((1L, Array(1.0, 3.0)), (1L, Array(3.0, 5.0)), (2L, Array(7.0, 7.0)))
+      .toDF("k", "v").createOrReplaceTempView("vm_t")
+    val got = spark.sql("SELECT k, vector_mean(v) AS m FROM vm_t GROUP BY k")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) === Seq(2.0, 4.0))
+    assert(got(2L) === Seq(7.0, 7.0))
+  }
+
   test("vectorDot implicit-casts float arrays and stays codegen (no fallback)") {
     val floats = Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
     assert(floats.select(VectorExpressions.vectorDot(col("a"), col("b")))
