@@ -98,7 +98,7 @@ object Dedup {
     * band table so the two can never drift apart on band layout or
     * bucket hashing.
     */
-  private[dedup] def bandStructsOf(sigCol: Column, numHashes: Int,
+  private[graft] def bandStructsOf(sigCol: Column, numHashes: Int,
                                    bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands

@@ -141,6 +141,57 @@ object Streaming {
     docs.filter(coalesce(!overlap, lit(true)))
   }
 
+  /** Streaming near-dup gate (G7's stream twin): each stream doc is
+    * checked against a persisted [[graft.dedup.LshIndex]]'s banded
+    * HISTORY — MinHash band keys are a row-local codegen projection on
+    * the stream side, candidates come from a stream-static equi-join
+    * on (band, bh) against the index's band table, and hits verify
+    * with the standard estimator (fraction of equal signature
+    * components, the index's cross-batch contract) via a second
+    * stream-static join on the history signatures. No stream-side
+    * state beyond the within-watermark pair dedup (a doc sharing k
+    * bands with the same partner would otherwise emit k identical
+    * pairs — the batch operator's `distinct()`); history stays on
+    * disk. NOTE the snapshot contract: the static side's FILE LISTING
+    * is fixed when the streaming query starts, so batch appends to the
+    * index are picked up on the next query (re)start, not mid-run —
+    * restart the gate after admitting batches. ADMITTING stream docs
+    * to the index stays the LshIndex owner's batch job (checkAndAdd) —
+    * a stream cannot rewrite the table it reads.
+    *
+    * Output: (idCol, doc_b, est_jaccard) — stream doc vs history doc.
+    */
+  def nearDupCheckStream(docs: DataFrame, idCol: String, tsCol: String,
+                         textCol: String, index: graft.dedup.LshIndex,
+                         threshold: Double = 0.7,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val banded = docs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        org.apache.spark.sql.graft.TextExpressions
+          .minhashSignature(col(textCol), index.shingleN, index.numHashes)
+          .as("_sig"))
+      .select(col(idCol), col(tsCol), col("_sig"),
+        explode(graft.dedup.Dedup
+          .bandStructsOf(col("_sig"), index.numHashes, index.bands)).as("_bb"))
+      .select(col(idCol), col(tsCol), col("_sig"),
+        col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+    val hist = index.banded
+      .select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = banded.join(hist, Seq("band", "bh"))
+      .filter(col("doc_b") =!= col(idCol))
+      .dropDuplicatesWithinWatermark(idCol, "doc_b")
+    val matches = expr("aggregate(zip_with(_sig, _sig_b, (x, y) -> " +
+      "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    cand
+      .join(index.sigs.select(col("doc_id").as("doc_b"), col("sig").as("_sig_b")),
+        Seq("doc_b"))
+      .select(col(idCol), col("doc_b"),
+        (matches.cast("double") / index.numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

@@ -75,6 +75,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCheckStream flags stream docs against the persisted LSH history") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lshstream").toString
+    val hist = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (200L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    val idx = graft.dedup.LshIndex.build(hist, "doc_id", "text", dir)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.nearDupCheckStream(df, "doc_id", "ts", "text", idx,
+        threshold = 0.7)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 5L,
+          "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (ts("2024-01-01 00:01:00"), 6L,
+          "nothing like anything indexed so far in any way whatsoever today"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_jaccard")))
+      // the dup of history doc 100 pairs ONCE (identical text shares
+      // every band — the within-watermark dedup collapses the k hits)
+      // at estimator 1.0; the clean doc emits nothing
+      assert(rows.toSeq === Seq((5L, 100L, 1.0)))
+    } finally q.stop()
+    // snapshot contract: a batch append to the index is picked up by the
+    // NEXT query start (the static side's file listing is fixed per run)
+    idx.add(Seq(
+      (300L, "nothing like anything indexed so far in any way whatsoever today"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val q2 = Streaming.nearDupCheckStream(df, "doc_id", "ts", "text",
+        graft.dedup.LshIndex.load(spark, dir), threshold = 0.7)
+      .writeStream.format("memory").queryName("neardup_stream2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), 7L,
+        "nothing like anything indexed so far in any way whatsoever today"))
+      q2.processAllAvailable()
+      val after = spark.table("neardup_stream2").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("doc_b"))).toSet
+      assert(after === Set((7L, 300L)))
+    } finally q2.stop()
+  }
+
   test("sessionize: stateful gap sessions close on gap and emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
