@@ -129,7 +129,21 @@ object TextQueries extends QueryPack {
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", topK = 3)
 
+  /** I3+ `text_entropy` — Shannon entropy (bits/char) over each doc's
+    * codepoint histogram, a row-local codegen expression (the standard
+    * gibberish / degenerate-repetition quality signal). r6-rounded on
+    * both sides: the histogram counts are exact integers in both
+    * engines, but the Σ c·log2(c) accumulation order (and each
+    * engine's log2) can differ in the last ulp.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        r6(org.apache.spark.sql.graft.TextExpressions
+          .charEntropy(col("text"))).as("entropy"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> textEntropy,
     "text_tfidf" -> textTfidf,
     "text_curate" -> textCurate,
     "text_repetition" -> textRepetition,
@@ -142,6 +156,15 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+        |e AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id,
+        |  floor((log2(n) - s / n) * 1000000 + 0.5001) / 1000000 AS entropy
+        |FROM e""".stripMargin,
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents WHERE text IS NOT NULL),

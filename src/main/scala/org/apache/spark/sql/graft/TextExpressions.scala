@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole MinHash signature (k minima over word n-gram shingles) as ONE
@@ -331,6 +331,61 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
     copy(child = newChild)
 }
 
+/** Shannon entropy in bits per character over the document's codepoint
+  * histogram — the standard gibberish/degenerate-repetition signal of
+  * quality filtering (natural prose ~3.5-4.5 bits; "aaaa…" is 0;
+  * uniform noise approaches log2(alphabet)). One row-local pass:
+  * `H = log2(n) - (Σ cᵢ·log2(cᵢ))/n` with the Σ in ascending-codepoint
+  * order, so the value is deterministic; an engine summing in another
+  * order can differ in the last ulp, which is why queries emit it
+  * r6-rounded like every float aggregate. Empty text yields 0.0.
+  */
+case class CharEntropy(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.CharEntropy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  private val InvLn2 = 1.0 / math.log(2.0)
+
+  def compute(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    // TreeMap: the c·log2(c) sum runs in ascending codepoint order —
+    // a defined accumulation order, not hash-map iteration luck
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      acc += c * (math.log(c) * InvLn2)
+    }
+    math.log(n.toDouble) * InvLn2 - acc / n
+  }
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -349,6 +404,10 @@ object TextExpressions {
   def arrayAnyInSet(arr: Column, set: Set[Long]): Column =
     ExpressionUtils.column(ArrayLongAnyInSet(
       ExpressionUtils.expression(arr), set))
+
+  /** Row-local Shannon entropy (bits/char) of a string column. */
+  def charEntropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(text)))
 
   /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
   def simhashBands(text: Column): Column =

@@ -134,6 +134,31 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(4L) === (Some(0.0), Some(0.0)))
   }
 
+  test("charEntropy: known distributions, empty/null text, repetition floor") {
+    import org.apache.spark.sql.graft.TextExpressions.charEntropy
+    val df = Seq(
+      (1L, "aaaa"),           // one symbol -> 0 bits
+      (2L, "abab"),           // two equiprobable -> 1 bit
+      (3L, "abcd"),           // four equiprobable -> 2 bits
+      (4L, ""),               // empty -> 0 by contract
+      (5L, null.asInstanceOf[String]),
+      (6L, "aab"))            // 2/3,1/3 -> log2(3) - 2/3
+      .toDF("id", "t")
+    val out = df.select($"id", charEntropy($"t").as("e")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(1L) === 0.0)
+    assert(math.abs(out(2L).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(out(3L).asInstanceOf[Double] - 2.0) < 1e-12)
+    assert(out(4L) === 0.0)
+    assert(out(5L) === null)
+    val h3 = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(math.abs(out(6L).asInstanceOf[Double] - h3) < 1e-12)
+    // ordering property the quality filter relies on: repetition
+    // scores strictly below varied prose of the same length
+    assert(out(1L).asInstanceOf[Double] < out(2L).asInstanceOf[Double])
+  }
+
   test("multimodal: media schema carries binary payload + typed metadata") {
     val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
     val m = Multimodal.withMediaSchema(docs, "doc_id", "text", "n_chars").head
