@@ -404,7 +404,9 @@ def _():
 
 @timed("q_quantiles")
 def _():
-    li.groupby("l_returnflag")["l_extendedprice"].quantile([0.25, 0.5, 0.75])
+    # r7 semantics: exact LOWER quartiles of integer-valued l_quantity
+    li.groupby("l_returnflag")["l_quantity"].quantile(
+        [0.25, 0.5, 0.75], interpolation="lower")
 
 # B3/B4: per-day extrema amplitude + threshold filter
 @timed("diurnal_amplitude")
@@ -833,6 +835,55 @@ def _():
     T = (t["tokens"] / t["share"]).min()
     t["rate"] = t["share"] * T / t["tokens"]
     t["expected_tokens"] = t["share"] * T
+
+# I3+: Shannon char-entropy per doc (Counter per row — the single-node way)
+@timed("text_entropy")
+def _():
+    from collections import Counter
+    import math as _m
+    for t in docs_pd["text"].dropna():
+        n = len(t)
+        if n:
+            c = Counter(t)
+            _m.log2(n) - sum(v * _m.log2(v) for v in c.values()) / n
+
+# G+: near-dup prune — per-block all-pairs 3-gram jaccard, union-find,
+# keep each cluster's smallest id (the single-node formulation)
+@timed("dedup_prune")
+def _():
+    d = docs_pd[docs_pd["text"].notna()][["doc_id", "source", "text"]]
+    sh = {r.doc_id: set(" ".join(w) for w in zip(*(
+        r.text.split(" ")[i:] for i in range(3)))) or {r.text}
+        for r in d.itertuples()}
+    parent = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+    for _, g in d.groupby("source"):
+        ids = sorted(g["doc_id"])
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    d[~d["doc_id"].isin(drop)]
+
+# H3+: batch kNN self-join — full cosine matrix top-5 (numpy; the
+# single-node way has no index shortcut worth its constant at this n)
+@timed("ann_knn_join")
+def _():
+    v = np.stack(emb["embedding"].to_numpy())
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = n @ n.T
+    np.fill_diagonal(sims, -np.inf)
+    np.argsort(-sims, axis=1)[:, :5]
 
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
