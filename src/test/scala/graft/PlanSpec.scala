@@ -192,6 +192,19 @@ class PlanSpec extends SparkSpec {
       s"ann_ivf reintroduced the xk centroid join:\n$ivfPlan")
   }
 
+  test("ann_knn_join: map-side top-k and dynamically pruned assignments scan") {
+    val plan = planOf(SimilarityQueries.defs("ann_knn_join")(spark, dir))
+    // rank-limit pushdown: each task emits at most k rows per query
+    // BEFORE the query_id exchange — the shuffle carries O(queries x k),
+    // not O(candidates)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query rank lost its group-limit pushdown:\n$plan")
+    // the probed-cid semi-join must reach the assignments scan as a
+    // dynamic partition-pruning filter, not a post-read filter
+    assert(plan.contains("dynamicpruning"),
+      s"assignments scan is not partition-pruned by the probes:\n$plan")
+  }
+
   test("text_tfidf physically explodes the corpus once (tf exchange reused by df)") {
     // the tf subtree is referenced by both the join's left side and the
     // df aggregate; the always-true _tf reference in tfidfTopTerms keeps
