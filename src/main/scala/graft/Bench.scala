@@ -60,12 +60,18 @@ object Bench {
       }
       val times = (1 to repeat).map(_ => onePass())
       val base = if (times.contains(-1.0)) -1.0 else times.min
-      val best = scalingRef.get(name) match {
-        case Some(ref) if base > ref * 1.5 =>
+      // retry triggers: (a) the two passes disagree by >1.5x — direct
+      // evidence of intra-run contention, needs no prior number; (b)
+      // the min exceeds 1.5x the last recorded sf0.1 time. One extra
+      // pass, keep the overall min — a genuine regression stays slow
+      // across all three passes and still ships.
+      val spread = repeat >= 2 && base > 0 && times.max > times.min * 1.5
+      val vsRef = scalingRef.get(name).exists(ref => base > ref * 1.5)
+      val best =
+        if (base >= 0 && (spread || vsRef)) {
           val extra = onePass()
           if (extra >= 0) math.min(base, extra) else base
-        case _ => base
-      }
+        } else base
       name -> best
     }
     // Emit queries in ASCENDING time order (failures first): the driver

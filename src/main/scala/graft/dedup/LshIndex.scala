@@ -137,20 +137,29 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
 
   /** Rewrite sigs/ and banded/ into right-sized files (content
     * identical; banded keeps its BY-BAND partition layout with one file
-    * per band directory). Parquet cannot overwrite a path it is
-    * reading, so each table stages to `<table>_next` and swaps via a
-    * second write — the IvfIndex.recenter pattern. Both stages complete
-    * before either swap, so a crash BETWEEN the swaps leaves one table
-    * compacted and the other not — same rows either way, no
-    * correctness drift. A crash DURING a swap loses that table's
-    * _SUCCESS marker; compaction belongs to the same single-writer
-    * ingest owner as appends (concurrent appends during a compaction
-    * would be dropped by the rewrite), re-run it on such a failure.
+    * per band directory). Each table stages fully to `<table>_next`
+    * BEFORE either live table is touched, then swaps by directory
+    * RENAME (delete live, rename staged) — no second rewrite of the
+    * data, and every crash window is recoverable: a crash between
+    * delete and rename leaves the complete staged copy on disk, and
+    * the next compact() (or load-time caller running it) finishes the
+    * swap before doing anything else. Compaction belongs to the same
+    * single-writer ingest owner as appends — an append racing a
+    * compaction would be dropped by the rewrite.
     */
   def compact(targetFileRows: Long = 4000000L): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    // recovery: a previous compact crashed after deleting a live table
+    // but before renaming its staged replacement — finish that swap
+    Seq("sigs", "banded").foreach { t =>
+      if (!fs.exists(p(t)) && fs.exists(p(s"${t}_next"))) {
+        require(fs.rename(p(s"${t}_next"), p(t)),
+          s"LshIndex compact recovery: rename of ${t}_next failed")
+      }
+    }
     val nSigs = sigs.count()
     val sigFiles = math.max(1, (nSigs / targetFileRows).toInt)
     // stage both tables fully before swapping either
@@ -161,9 +170,9 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
       .repartition(bands, col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/banded_next")
     Seq("sigs", "banded").foreach { t =>
-      val w = spark.read.parquet(s"$path/${t}_next").write.mode("overwrite")
-      (if (t == "banded") w.partitionBy("band") else w).parquet(s"$path/$t")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${t}_next"), true)
+      fs.delete(p(t), true)
+      require(fs.rename(p(s"${t}_next"), p(t)),
+        s"LshIndex compact: rename of ${t}_next into place failed")
     }
   }
 

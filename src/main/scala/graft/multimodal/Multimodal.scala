@@ -48,11 +48,18 @@ object Multimodal {
     * with `decoded = false` — one corrupt blob must not kill a 100 TB
     * job, and must not silently pose as an image either.
     */
+  // per-row byte-array streams must not route through ImageIO's default
+  // DISK cache (a temp file created and deleted per image)
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img =
+        // malformed payloads throw unchecked exceptions from some JDK
+        // readers (not just IOException) — ANY decode failure must
+        // degrade to the fallback row, never abort the job
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) {
         val hist = new Array[Double](8)
         r.payload.foreach(b => hist((b & 0xff) >> 5) += 1.0)
@@ -61,15 +68,27 @@ object Multimodal {
           0, 0, 0, hist.map(_ / n))
       } else {
         val w = img.getWidth; val h = img.getHeight
+        val indexed =
+          img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
         val raster = img.getRaster
-        val ch = raster.getNumBands
+        val ch = if (indexed) 3 else raster.getNumBands
         val sums = new Array[Double](ch)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            var c = 0
-            while (c < ch) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            if (indexed) {
+              // palette PNG/GIF: the raster holds colormap INDICES, not
+              // intensities — resolve through the color model so the
+              // means are real pixel statistics
+              val rgb = img.getRGB(x, y)
+              sums(0) += (rgb >> 16) & 0xff
+              sums(1) += (rgb >> 8) & 0xff
+              sums(2) += rgb & 0xff
+            } else {
+              var c = 0
+              while (c < ch) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            }
             x += 1
           }
           y += 1
@@ -107,12 +126,18 @@ object Multimodal {
     (r << 16) | (g << 8) | b
   }
 
-  /** Render one tiny RGB image for `id` (w = id%6+2, h = id%4+3) and
-    * encode it as REAL PNG bytes with the JDK encoder.
+  /** The ONE definition of the synthesized image dimensions — shared by
+    * the renderer and the metadata so they cannot drift (the DuckDB
+    * oracle states the same formulas).
+    */
+  private def synthDims(id: Long): (Int, Int) =
+    ((id % 6 + 2).toInt, (id % 4 + 3).toInt)
+
+  /** Render one tiny RGB image for `id` ([[synthDims]]) and encode it
+    * as REAL PNG bytes with the JDK encoder.
     */
   private[graft] def pngPayload(id: Long): Array[Byte] = {
-    val w = (id % 6 + 2).toInt
-    val h = (id % 4 + 3).toInt
+    val (w, h) = synthDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -141,8 +166,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long].map { id =>
-      val w = (id % 6 + 2).toInt
-      val h = (id % 4 + 3).toInt
+      val (w, h) = synthDims(id)
       MediaRecord(id, pngPayload(id), w, h, "png")
     }.select(col("doc_id"), col("payload"),
       struct(col("width"), col("height"), col("format")).as("meta"))

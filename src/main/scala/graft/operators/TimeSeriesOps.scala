@@ -233,14 +233,6 @@ object TimeSeriesOps {
     * the key, no per-point lookups; grid size is bounded by
     * range/interval per key.
     */
-  /** [[upsampleNearest]] with a pandas-style duration string — the
-    * reference's `resample('15T').nearest()` form (hydrotools.py:204).
-    */
-  def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
-                      valCol: String, interval: String): DataFrame =
-    upsampleNearest(df, keys, tsCol, valCol,
-      graft.api.Durations.parseSeconds(interval))
-
   def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
                       valCol: String, intervalSec: Long): DataFrame = {
     val iUs = intervalSec * UsPerSec
@@ -272,6 +264,14 @@ object TimeSeriesOps {
           .otherwise(col("_next.v")))
       .select(keys.map(col) ++ Seq(col(tsCol), col(valCol)): _*)
   }
+
+  /** [[upsampleNearest]] with a pandas-style duration string — the
+    * reference's `resample('15T').nearest()` form (hydrotools.py:204).
+    */
+  def upsampleNearest(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valCol: String, interval: String): DataFrame =
+    upsampleNearest(df, keys, tsCol, valCol,
+      graft.api.Durations.parseSeconds(interval))
 
   /** Sampling-rate inference: mode of consecutive timestamp deltas per
     * key, in whole seconds (A7; reference gpstools.py:804

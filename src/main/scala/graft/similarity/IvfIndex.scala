@@ -64,6 +64,10 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
     newVectors
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      // a NULL vector has no nearest centroid: skip it (writing it
+      // would land a meaningless cid=null partition the probes never
+      // read)
+      .filter(col(vecCol).isNotNull)
       .join(assignments.select(col(idCol)), Seq(idCol), "left_anti")
       .select(org.apache.spark.sql.graft.CentroidExpressions
           .nearestCentroidId(col(vecCol), cents).as("cid"),
@@ -156,6 +160,11 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     * window takes the exact top-k. Shuffles: one on cid (bounded by
     * nProbe × queries), one for the final per-query ranking.
     *
+    * Null-vector queries have no nearest centroids and are DROPPED
+    * from the output (no probes to run — the r7 contract; the old
+    * window path emitted arbitrary probes and all-null cosines for
+    * them).
+    *
     * @param queryIdCol column naming each query row (output column
     *        `query_id`)
     * @param excludeSelf drop corpus rows whose id equals the query's id
@@ -210,6 +219,7 @@ object IvfIndex {
     val stored = Similarity.collectCentroids(
       spark.read.parquet(s"$path/centroids"), "cid", "centroid")
     df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .filter(col(vecCol).isNotNull) // null vectors are unindexable
       .select(org.apache.spark.sql.graft.CentroidExpressions
           .nearestCentroidId(col(vecCol), stored).as("cid"),
         col(idCol), col(vecCol))
