@@ -203,6 +203,29 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(math.abs(bad.features.sum - 1.0) < 1e-9) // histogram fallback
   }
 
+  test("multimodal: palette (indexed) PNG decodes to real channel means, not colormap indices") {
+    // 2-entry palette: index 0 = pure red, index 1 = pure blue
+    val cm = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](255.toByte, 0), Array[Byte](0, 0), Array[Byte](0, 255.toByte))
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cm)
+    img.setRGB(0, 0, 0xFF0000) // red -> palette index 0
+    img.setRGB(1, 0, 0x0000FF) // blue -> palette index 1
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq((1L, baos.toByteArray, 2, 1, "png"))
+      .toDF("doc_id", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val f = Multimodal.extractFeatures(spark, media, batchSize = 8).head()
+    assert(f.decoded && f.channels === 3)
+    // raster samples would be indices {0, 1}; real means are half-red,
+    // zero green, half-blue
+    assert(math.abs(f.features(0) - 0.5) < 1e-12)
+    assert(f.features(1) === 0.0)
+    assert(math.abs(f.features(2) - 0.5) < 1e-12)
+  }
+
   test("multimodal: synthesized PNG payloads decode back to the analytic channel means") {
     val docs = Seq((3L, "x", 1L), (10L, "y", 2L), (17L, "z", 3L))
       .toDF("doc_id", "text", "n_chars")
