@@ -569,4 +569,39 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
   }
+
+  /** G8 completion: CUT the duplicated spans out of the corpus — the
+    * Lee et al. 2021 end product (duplicated PASSAGES removed,
+    * documents kept). Each doc's surviving text is its whitespace
+    * tokens minus every [[duplicateSpans]] `[span_start, span_end)`
+    * token range, rejoined with single spaces (the corpus-wide
+    * single-space token convention); docs with no flagged span pass
+    * through unchanged, a doc fully covered by spans survives with
+    * empty text (dropping it is a policy choice left to the caller —
+    * `n_cut_tokens` carries the accounting).
+    *
+    * Scale shape: spans aggregate to ONE bounded array per flagged doc
+    * (cluster count ≤ tokens/window), join back on doc_id (flagged
+    * docs are a small corpus fraction — AQE broadcasts the span
+    * table), and the cut itself is a row-local indexed filter over the
+    * token array. Output: (doc_id, clean_text, n_cut_tokens).
+    */
+  def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, windowTokens, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("_spans"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_ws"))
+          .otherwise(filter(col("_ws"), (t, i) =>
+            !exists(col("_spans"),
+              s => i >= s.getField("s") && i < s.getField("e")))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        (size(col("_ws")) - size(col("_kept"))).cast("long").as("n_cut_tokens"))
+  }
 }

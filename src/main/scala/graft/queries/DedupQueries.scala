@@ -56,6 +56,17 @@ object DedupQueries extends QueryPack {
         shingleN = 3, threshold = 0.3)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** G8+ `dedup_cut` — the passage-level end product: duplicated
+    * 8-token spans CUT from every document (Lee et al. 2021 — remove
+    * the duplicated passages, keep the documents). Fully oracled: the
+    * DuckDB side re-derives the spans (the dedup_substring oracle) and
+    * cuts with an indexed list_filter, so the hash compare proves
+    * span-derivation AND the exact surviving token sequence.
+    */
+  def dedupCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+      windowTokens = 8, minDocs = 2)
+
   /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -154,6 +165,7 @@ object DedupQueries extends QueryPack {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_prune" -> dedupPrune,
+    "dedup_cut" -> dedupCut,
     "dedup_embed" -> dedupEmbed,
     "dedup_semantic" -> dedupSemantic,
     "dedup_clusters" -> dedupClusters)
@@ -198,6 +210,41 @@ object DedupQueries extends QueryPack {
         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
         |  count(*) AS n_windows
         |FROM sp GROUP BY doc_id, span""".stripMargin,
+    // the dedup_substring span CTEs + a per-doc span list + an indexed
+    // list_filter cut (i is 1-based in DuckDB lambdas, spans 0-based)
+    "dedup_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |    i -> {'pos': i - 1, 'g': array_to_string(ws[i:i+7], ' ')})) AS pg
+        |  FROM t),
+        |gg AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
+        |hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gg)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM gg JOIN hot USING (g)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS new_span
+        |  FROM f),
+        |sp AS (SELECT doc_id, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sp GROUP BY doc_id, span),
+        |agg AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
+        |  FROM spans GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, t.ws,
+        |    CASE WHEN a.sps IS NULL THEN t.ws
+        |         ELSE list_filter(t.ws, (tok, i) ->
+        |           len(list_filter(a.sps,
+        |             x -> i - 1 >= x.s AND i - 1 < x.e)) = 0)
+        |    END AS kept
+        |  FROM t LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(len(ws) - len(kept) AS BIGINT) AS n_cut_tokens
+        |FROM k""".stripMargin,
     "dedup_jaccard" ->
       """WITH s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),

@@ -425,6 +425,22 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("cutDuplicateSpans removes exactly the flagged token ranges, keeps everything else") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                  // span [0,6) -> "g h" survives
+      (2L, "x y a b c d e f q r"),              // span [2,8) -> "x y q r"
+      (3L, "m n o p"),                          // untouched
+      (4L, "a b c d g1 g2 g3 g4 g5 a b c d"))   // spans [0,4) + [9,13) -> middle survives
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("g h", 6L)))
+    assert(out(2L) === (("x y q r", 6L)))
+    assert(out(3L) === (("m n o p", 0L)))
+    assert(out(4L) === (("g1 g2 g3 g4 g5", 8L)))
+  }
+
   test("duplicateSpans: merge/gap/adjacency semantics, short docs and within-doc repeats excluded") {
     val docs = Seq(
       (1L, "a b c d e f g h"),                   // shares a..f 4-grams with doc 2
