@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{MinHashSignature, MinShingleMd5, ShingleHashes, SimHashBands, VectorCosineSimilarity, VectorDotProduct, VectorMean}
+import org.apache.spark.sql.graft.{CharEntropy, MinHashSignature, MinShingleMd5, ShingleHashes, SimHashBands, VectorCosineSimilarity, VectorDotProduct, VectorMean}
 
 /** SparkSessionExtensions hook: registers graft's native expressions so
   * plain SQL (`SELECT vector_dot(a, b)`) and downstream tools reach the
@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(children.head, intArg(children(1), "shingle_hashes"),
           boolArg(children(2), "shingle_hashes"),
           boolArg(children(3), "shingle_hashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "char_entropy expects exactly 1 argument")
+        CharEntropy(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vector_mean"),

@@ -475,6 +475,59 @@ object Mix {
       .drop("_floor")
   }
 
+  /** Corpus-distribution drift between two dataset versions: exact
+    * per-value histograms of the same integer-valued column on both
+    * sides, full-outer-joined per (key, value), and the per-key
+    * Jensen-Shannon divergence (base 2, in [0, 1]) of the two
+    * empirical distributions — the monitoring signal that a source's
+    * length/score distribution shifted between corpus versions. JS
+    * rather than KL because it needs no smoothing: a value present on
+    * one side only contributes a finite term, so the exact histograms
+    * are used as-is. A key entirely missing from one side reports the
+    * degenerate 0.5 (its `n_a`/`n_b` column exposes the absence).
+    *
+    * Scale shape: two map-side-combining histogram aggregates (bounded
+    * by the value domain, not the corpus), one join and windows over
+    * HISTOGRAM rows, one scalar aggregate per key. Per-term arithmetic
+    * is stated identically in the DuckDB oracle; only the float SUM
+    * order is engine-defined, so queries emit the divergence
+    * r6-rounded.
+    *
+    * Output: (keyCol, js_divergence, n_a, n_b).
+    */
+  def histogramDivergence(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                          valCol: String): DataFrame = {
+    def hist(df: DataFrame, cnt: String) =
+      df.filter(col(valCol).isNotNull)
+        .groupBy(col(keyCol), col(valCol).as("_v"))
+        .agg(count(lit(1)).as(cnt))
+    val joined = hist(dfA, "_ca")
+      .join(hist(dfB, "_cb"), Seq(keyCol, "_v"), "full_outer")
+      .select(col(keyCol), col("_v"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val p = when(col("_na") > 0,
+      col("_ca").cast("double") / col("_na").cast("double")).otherwise(0.0)
+    val q = when(col("_nb") > 0,
+      col("_cb").cast("double") / col("_nb").cast("double")).otherwise(0.0)
+    val term =
+      lit(0.5) * (when(col("_p") > 0,
+          col("_p") * log2(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+          .otherwise(0.0) +
+        when(col("_q") > 0,
+          col("_q") * log2(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+          .otherwise(0.0))
+    joined
+      .withColumn("_na", sum(col("_ca")).over(byKey))
+      .withColumn("_nb", sum(col("_cb")).over(byKey))
+      .withColumn("_p", p)
+      .withColumn("_q", q)
+      .groupBy(col(keyCol))
+      .agg(sum(term).as("js_divergence"),
+        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
+  }
+
   /** Per-source corpus report — the monitoring read of a curation run:
     * document count, total/mean/min/max tokens, and the exact lower
     * median from [[histogramQuantile]]. Everything is exact integer

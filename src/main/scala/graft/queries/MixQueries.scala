@@ -171,6 +171,26 @@ object MixQueries extends QueryPack {
       "source", "n_toks", targetShares.toDF("source", "share"))
   }
 
+  /** L14 `ds_drift` — corpus-distribution drift between two dataset
+    * versions: per-source Jensen-Shannon divergence (bits) of the
+    * n_chars histograms of the even-id vs odd-id halves of the corpus
+    * (two deterministic stand-ins for "last week's snapshot vs this
+    * week's"). Exact integer histograms on both sides; per-term
+    * arithmetic stated identically in the oracle; the divergence is
+    * r6-rounded (float-sum order over histogram rows is the only
+    * engine-defined part). Two random halves of the same corpus have
+    * near-identical distributions, so the healthy reading is near 0 —
+    * that closeness is the monitoring signal's zero point.
+    */
+  def dsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Mix.histogramDivergence(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "source", "n_chars")
+      .select(col("source"), r6(col("js_divergence")).as("js_divergence"),
+        col("n_a"), col("n_b"))
+  }
+
   /** L12 `ds_stats` — the per-source corpus report (the monitoring read
     * after a curation run): doc counts, token totals, mean, min/max,
     * and the EXACT lower median from the token-count histogram — exact
@@ -207,6 +227,7 @@ object MixQueries extends QueryPack {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_stats" -> dsStats,
+    "ds_drift" -> dsDrift,
     "ds_quality_floor" -> dsQualityFloor,
     "ds_skew" -> dsSkew,
     "ds_reweight" -> dsReweight,
@@ -237,6 +258,34 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // identical per-term arithmetic; only the float SUM order over
+    // histogram rows is engine-defined -> r6 on the divergence
+    "ds_drift" ->
+      """WITH a AS (SELECT source, n_chars AS v, count(*) AS ca
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source, n_chars),
+        |b AS (SELECT source, n_chars AS v, count(*) AS cb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY source, n_chars),
+        |j AS (SELECT coalesce(a.source, b.source) AS source,
+        |    coalesce(a.v, b.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.source = b.source AND a.v = b.v),
+        |w AS (SELECT source, ca, cb,
+        |    sum(ca) OVER (PARTITION BY source) AS na,
+        |    sum(cb) OVER (PARTITION BY source) AS nb
+        |  FROM j),
+        |t AS (SELECT source, na, nb,
+        |    CASE WHEN na > 0
+        |      THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END AS p,
+        |    CASE WHEN nb > 0
+        |      THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END AS q
+        |  FROM w)
+        |SELECT source,
+        |  floor((sum(0.5 * (
+        |    CASE WHEN p > 0 THEN p * log2(2.0 * p / (p + q)) ELSE 0.0 END +
+        |    CASE WHEN q > 0 THEN q * log2(2.0 * q / (p + q)) ELSE 0.0 END)))
+        |    * 1000000 + 0.5001) / 1000000 AS js_divergence,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+        |FROM t GROUP BY source""".stripMargin,
     "ds_stats" ->
       """WITH t AS (SELECT source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks

@@ -327,6 +327,32 @@ class MixSpec extends SparkSpec {
       "c" -> ((1L, 1L, 100L))))
   }
 
+  test("histogramDivergence: 0 for identical distributions, 1 for disjoint, known midpoint") {
+    val a = Seq(("s", 1L), ("s", 1L), ("s", 2L), ("t", 5L), ("t", 6L))
+      .toDF("k", "v")
+    // identical distribution (same values, doubled counts) -> JS = 0
+    val same = Mix.histogramDivergence(a, a.union(a), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same.values.forall(v => math.abs(v) < 1e-12))
+    // disjoint value sets with both sides non-empty -> JS = 1 bit
+    val b = Seq(("s", 9L), ("s", 10L), ("t", 11L)).toDF("k", "v")
+    val disj = Mix.histogramDivergence(a, b, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(disj.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    // hand-computed midpoint: P = {1: 1}, Q = {1: .5, 2: .5}
+    //   JS = .5*(1*log2(2*1/1.5)) + .5*(.5*log2(2*.5/1.5) + .5*log2(2*.5/.5))
+    val c1 = Seq(("s", 1L)).toDF("k", "v")
+    val c2 = Seq(("s", 1L), ("s", 2L)).toDF("k", "v")
+    val exp = 0.5 * (1.0 * (math.log(2.0 / 1.5) / math.log(2))) +
+      0.5 * (0.5 * (math.log(1.0 / 1.5) / math.log(2)) + 0.5 * 1.0)
+    val mid = Mix.histogramDivergence(c1, c2, "k", "v").head.getDouble(1)
+    assert(math.abs(mid - exp) < 1e-12, s"got $mid expected $exp")
+    // counts ride along
+    val r = Mix.histogramDivergence(a, b, "k", "v")
+      .filter($"k" === "s").head
+    assert(r.getLong(2) === 3L && r.getLong(3) === 2L)
+  }
+
   test("floorByLengthQuantile keeps per-source upper three quartiles; sourceReport exact") {
     val df = ((1 to 8).map(i => (i.toLong, "a", i.toLong)) ++
       (11 to 14).map(i => (i.toLong, "b", 5L)))

@@ -51,6 +51,11 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy is callable from plain SQL via GraftExtensions") {
+    val out = spark.sql("SELECT char_entropy('abcd') AS e").head.getDouble(0)
+    assert(math.abs(out - 2.0) < 1e-12)
+  }
+
   test("vector_mean is callable from plain SQL via GraftExtensions") {
     Seq((1L, Array(1.0, 3.0)), (1L, Array(3.0, 5.0)), (2L, Array(7.0, 7.0)))
       .toDF("k", "v").createOrReplaceTempView("vm_t")
