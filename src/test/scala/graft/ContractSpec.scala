@@ -24,7 +24,7 @@ class ContractSpec extends AnyFunSuite {
       "melt_shadow", "melt_albedo", "melt_rate", "melt_pipeline",
       "q1_agg", "q3_join", "q_window_topk", "q_antijoin", "q_topk", "q_sessionize",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embed",
-      "dedup_prune",
+      "dedup_prune", "dedup_cut", "ds_drift",
       "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join",
       "text_tokens", "text_langid", "text_quality", "text_fingerprint",
       "mm_schema", "mm_features", "mm_decode")
