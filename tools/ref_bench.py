@@ -875,6 +875,45 @@ def _():
     drop = {x for x in parent if find(x) != x}
     d[~d["doc_id"].isin(drop)]
 
+# G8+: cut duplicated spans from the text (the Lee et al. end product)
+@timed("dedup_cut")
+def _():
+    nn = docs_pd[["doc_id", "text"]].dropna(subset=["text"])
+    ws = nn["text"].str.split(" ")
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    grams = []
+    for doc_id, w in zip(nn["doc_id"], ws):
+        for i in range(len(w) - 7):
+            g = " ".join(w[i:i + 8])
+            grams.append((doc_id, i, g))
+            docs_of[g].add(doc_id)
+    hot = {g for g, d in docs_of.items() if len(d) >= 2}
+    cut = defaultdict(set)
+    for doc_id, pos, g in grams:
+        if g in hot:
+            cut[doc_id].update(range(pos, pos + 8))
+    out = []
+    for doc_id, w in zip(nn["doc_id"], ws):
+        dead = cut.get(doc_id, ())
+        kept = [t for i, t in enumerate(w) if i not in dead]
+        out.append((doc_id, " ".join(kept), len(w) - len(kept)))
+    pd.DataFrame(out, columns=["doc_id", "clean_text", "n_cut_tokens"])
+
+# L14: per-source JS divergence of the n_chars histograms (even vs odd ids)
+@timed("ds_drift")
+def _():
+    d = docs_pd[["doc_id", "source", "n_chars"]]
+    a = d[d["doc_id"] % 2 == 0].groupby(["source", "n_chars"]).size()
+    b = d[d["doc_id"] % 2 == 1].groupby(["source", "n_chars"]).size()
+    j = pd.concat([a.rename("ca"), b.rename("cb")], axis=1).fillna(0)
+    for src, g in j.groupby(level=0):
+        p = g["ca"] / max(g["ca"].sum(), 1)
+        q = g["cb"] / max(g["cb"].sum(), 1)
+        m = (p + q) / 2
+        js = 0.5 * ((p[p > 0] * np.log2(p[p > 0] / m[p > 0])).sum() +
+                    (q[q > 0] * np.log2(q[q > 0] / m[q > 0])).sum())
+
 # H3+: batch kNN self-join — full cosine matrix top-5 (numpy; the
 # single-node way has no index shortcut worth its constant at this n)
 @timed("ann_knn_join")
