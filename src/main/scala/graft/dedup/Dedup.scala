@@ -480,6 +480,108 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Per-document contamination FRACTION against a benchmark set —
+    * the scoring refinement of [[contaminatedIds]]'s boolean gate:
+    * `n_overlap / n_grams` over the doc's DISTINCT word n-gram
+    * shingles, for EVERY document (a curation pipeline scores the
+    * whole corpus, then thresholds per eval-set policy; the common
+    * cut is frac > 0.1 rather than an absolute overlap count).
+    *
+    * Scale shape: the benchmark's distinct shingle hashes are a
+    * driver-side set (eval sets are tiny by contract — the same
+    * bounded materialization [[graft.streaming.Streaming.decontaminateStream]]
+    * makes), and the whole query is then ONE codegen projection:
+    * shingle hashes, array size, and set-membership count
+    * ([[org.apache.spark.sql.graft.ArrayLongCountInSet]]) are all
+    * row-local — the corpus is never exploded, joined, or shuffled.
+    * Note the benchmark scan runs at CONSTRUCTION time (the collect),
+    * the dedup_clusters/stream-gate precedent.
+    */
+  def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
+                            benchmark: DataFrame, benchTextCol: String,
+                            shingleN: Int = 5): DataFrame = {
+    val benchSet = benchShingleHashes(benchmark, benchTextCol, shingleN)
+      .collect().map(_.getLong(0)).toSet
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), shingleN).as("_g"))
+      .select(col("doc_id"),
+        size(col("_g")).cast("long").as("n_grams"),
+        org.apache.spark.sql.graft.TextExpressions
+          .arrayCountInSet(col("_g"), benchSet).cast("long").as("n_overlap"))
+      .withColumn("contam_frac",
+        col("n_overlap").cast("double") / col("n_grams"))
+  }
+
+  /** Cross-source duplicated-passage overlap matrix: for every pair of
+    * sources, how many DISTINCT duplicated `windowTokens`-token
+    * windows (the [[duplicateSpans]] hot set) occur in both — the
+    * "which sources copy from each other" report that decides whether
+    * per-source dedup blocking is safe or the global pass must run.
+    *
+    * Scale shape: window hashes are the row-local strict-window
+    * projection (8-byte longs, never strings); one distinct + one
+    * groupBy on the hash collapses the corpus to per-window source
+    * sets over a SMALL source domain, and pair enumeration is then
+    * row-local over that bounded array — no hash-side self-join of
+    * corpus-sized tables ever forms, and the final aggregate is
+    * |sources|² rows at most.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, windowTokens: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("_src"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), windowTokens, distinct = false,
+            padShort = false)).as("h"))
+      .distinct()
+    // each doc has exactly one source, so these distinct rows are
+    // distinct (doc_id, h) too: count(*) IS the document frequency
+    val byHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("_df"),
+        array_sort(collect_set(col("_src"))).as("_srcs"))
+      .filter(col("_df") >= minDocs && size(col("_srcs")) >= 2)
+    byHash
+      .select(explode(flatten(transform(col("_srcs"), (a, i) =>
+        transform(slice(col("_srcs"), i + lit(2), size(col("_srcs"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("_p"))
+      .groupBy(col("_p.source_a").as("source_a"),
+        col("_p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Duplication-load profile: the histogram of document frequency
+    * over duplicated `windowTokens`-token windows — how HOT the
+    * duplicated passages are (a corpus where every duplicated window
+    * sits in 2 docs dedups very differently from one where boilerplate
+    * sits in thousands; this is the report that sizes
+    * [[duplicateSpans]]/[[cutDuplicateSpans]] work and flags
+    * skew-risk grams before the big pass).
+    *
+    * Scale shape: strict-window hash projection + distinct + two
+    * map-side-combining aggregations, all on 8-byte longs; output is
+    * at most max-document-frequency rows.
+    */
+  def duplicateProfile(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), windowTokens, distinct = false,
+            padShort = false)).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .groupBy(col("_df").as("n_docs"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   /** G4: blocked n-gram Jaccard verify — exact Jaccard over word
     * n-grams for candidate pairs inside a blocking key (e.g. source),
     * never across the full corpus.

@@ -122,6 +122,38 @@ object DedupQueries extends QueryPack {
       shingleN = 5, minOverlap = 3)
   }
 
+  /** G6+ `dedup_contam_frac` — the whole corpus SCORED against the
+    * dedup_decontam bench set: per doc, distinct 5-gram count, bench
+    * overlap count, and the contamination fraction (the quantity
+    * policy thresholds act on). Fully oracled: shingle strings stand
+    * in for the xxhash64 values (the decontam convention), frac
+    * r6-rounded on both sides.
+    */
+  def dedupContamFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationFraction(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", shingleN = 5)
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        r6(col("contam_frac")).as("contam_frac"))
+  }
+
+  /** G8++ `dedup_overlap` — cross-source duplicated-window overlap
+    * matrix over the dedup_substring hot set (8-token windows, >= 2
+    * docs). Fully oracled on window strings (same collision
+    * convention).
+    */
+  def dedupOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir), "doc_id", "text", "source",
+      windowTokens = 8, minDocs = 2)
+
+  /** G8++ `dedup_profile` — document-frequency histogram of the
+    * duplicated 8-token windows (how hot the duplicated passages
+    * run). Fully oracled.
+    */
+  def dedupProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateProfile(Tables.documents(s, dir), "doc_id", "text",
+      windowTokens = 8, minDocs = 2)
+
   /** G7 `dedup_incremental` — the persisted-index production shape:
     * history = even doc ids (built once, reused across invocations
     * like ann_ivf's index), batch = odd ids checked against it via the
@@ -160,6 +192,9 @@ object DedupQueries extends QueryPack {
     "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_decontam" -> dedupDecontam,
+    "dedup_contam_frac" -> dedupContamFrac,
+    "dedup_overlap" -> dedupOverlap,
+    "dedup_profile" -> dedupProfile,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -188,6 +223,52 @@ object DedupQueries extends QueryPack {
         |FROM d JOIN b ON d.s = b.s
         |GROUP BY d.doc_id
         |HAVING count(*) >= 3""".stripMargin,
+    // the dedup_decontam bench CTE + per-doc distinct-gram lists; a
+    // doc with no bench hit keeps n_overlap 0 via the left join
+    "dedup_contam_frac" ->
+      """WITH b AS (SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS s
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE doc_id % 97 = 0 AND text IS NOT NULL)),
+        |d AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS gs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE text IS NOT NULL)),
+        |o AS (SELECT doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(gs) AS s FROM d) x
+        |  JOIN b USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  floor(coalesce(o.n_overlap, 0) / CAST(len(d.gs) AS DOUBLE)
+        |    * 1000000 + 0.5001) / 1000000 AS contam_frac
+        |FROM d LEFT JOIN o USING (doc_id)""".stripMargin,
+    // the dedup_substring gram CTEs + per-window source sets; window
+    // STRINGS stand in for the strict-window xxhash64 values
+    "dedup_overlap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM t),
+        |dg AS (SELECT DISTINCT doc_id, source, g FROM g),
+        |hot AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+        |hs AS (SELECT DISTINCT g, source FROM dg JOIN hot USING (g))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM hs a JOIN hs b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "dedup_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM t),
+        |d AS (SELECT g, count(*) AS nd FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING count(*) >= 2)
+        |SELECT nd AS n_docs, count(*) AS n_windows
+        |FROM d GROUP BY nd""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL),

@@ -93,6 +93,14 @@ object TextQueries extends QueryPack {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.redactPii(col("text")).as("redacted"))
 
+  /** I+ `text_pii` — the per-source PII incidence audit shipped next
+    * to a scrubbed corpus: per redactPii pattern, the exact number of
+    * substitutions the scrub makes (counted on the same email → num →
+    * phone cascade), plus how many docs it touches. Fully oracled.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiReport(docs(s, dir), "source", "text")
+
   /** I5 `text_repetition` — Gopher-style within-document duplication
     * fractions (dup-line chars, dup-2-gram instances): the standard
     * repetition quality gate of pre-training pipelines. Exact
@@ -148,6 +156,7 @@ object TextQueries extends QueryPack {
     "text_curate" -> textCurate,
     "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
+    "text_pii" -> textPii,
     "text_normalize" -> textNormalize,
     "text_topterms" -> textTopTerms,
     "text_tokens" -> textTokens,
@@ -243,6 +252,27 @@ object TextQueries extends QueryPack {
         |    '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}',
         |    '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+    // the text_redact cascade, counted: emails on raw text, digit
+    // runs on the email-masked text, phone shapes on the num-masked
+    "text_pii" ->
+      """WITH c AS (SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}')) AS n,
+        |    len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g'),
+        |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}')) AS p
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_email,
+        |  CAST(sum(n) AS BIGINT) AS n_num,
+        |  CAST(sum(p) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN e + n + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM c GROUP BY source""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text

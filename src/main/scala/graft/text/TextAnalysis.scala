@@ -92,13 +92,50 @@ object TextAnalysis {
     * patterns are RE2-compatible (no backrefs/lookarounds) so the same
     * scrub is portable to other engines.
     */
+  /** The three redaction patterns, shared by [[redactPii]] and
+    * [[piiReport]] so the scrub and its accounting cannot drift apart.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val LongNumRe = "[0-9]{7,}"
+  private[graft] val PhoneRe =
+    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+
   def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val num = regexp_replace(email, "[0-9]{7,}", "<NUM>")
-    regexp_replace(num,
-      "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}",
-      "<PHONE>")
+    val email = regexp_replace(text, EmailRe, "<EMAIL>")
+    val num = regexp_replace(email, LongNumRe, "<NUM>")
+    regexp_replace(num, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-source PII incidence report (I+): how many matches each
+    * [[redactPii]] pattern finds, counted ON THE SAME CASCADE the
+    * scrub applies (emails on raw text, digit runs on the
+    * email-masked text, phone shapes on the num-masked text) — so
+    * `n_email/n_num/n_phone` are exactly the substitution counts
+    * redaction would make, and `n_flagged` is the number of docs the
+    * scrub would touch. This is the audit table a curation run ships
+    * next to its scrubbed corpus (which sources carry PII, at what
+    * density).
+    *
+    * Scale shape: three row-local codegen regex passes + one
+    * map-side-combining aggregate over the small source domain.
+    */
+  def piiReport(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val nEmail = size(regexp_extract_all(raw, lit(EmailRe), lit(0)))
+    val afterEmail = regexp_replace(raw, EmailRe, "<EMAIL>")
+    val nNum = size(regexp_extract_all(afterEmail, lit(LongNumRe), lit(0)))
+    val afterNum = regexp_replace(afterEmail, LongNumRe, "<NUM>")
+    val nPhone = size(regexp_extract_all(afterNum, lit(PhoneRe), lit(0)))
+    docs.filter(raw.isNotNull)
+      .select(col(sourceCol).as("source"), nEmail.as("_e"), nNum.as("_n"),
+        nPhone.as("_p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_e")).cast("long").as("n_email"),
+        sum(col("_n")).cast("long").as("n_num"),
+        sum(col("_p")).cast("long").as("n_phone"),
+        sum(when(col("_e") + col("_n") + col("_p") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_flagged"))
   }
 
   /** Quality-scoring feature columns (I3): length, word count, mean

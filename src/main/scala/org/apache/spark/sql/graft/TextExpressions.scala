@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole MinHash signature (k minima over word n-gram shingles) as ONE
@@ -331,6 +331,50 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
     copy(child = newChild)
 }
 
+/** Counting twin of [[ArrayLongAnyInSet]]: how many elements of a
+  * long-array column are members of the static set. Same cost model
+  * (one bounded driver-side set, O(|row's array|) probes per row,
+  * benchmark-size-independent); the count — not just the boolean —
+  * is what contamination SCORING needs (`n_overlap / n_grams`), so a
+  * whole-corpus fraction report stays a zero-exchange projection.
+  */
+case class ArrayLongCountInSet(child: Expression, hset: Set[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_in_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      // Null elements carry no shingle hash (ArrayLongAnyInSet note).
+      if (!arr.isNullAt(i) && hset.contains(arr.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", hset, classOf[Set[Long]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = 0;
+         |for (int i = 0; i < $c.numElements(); i++) {
+         |  if (!$c.isNullAt(i) &&
+         |      $setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
+         |    ${ev.value}++;
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayLongCountInSet =
+    copy(child = newChild)
+}
+
 /** Shannon entropy in bits per character over the document's codepoint
   * histogram — the standard gibberish/degenerate-repetition signal of
   * quality filtering (natural prose ~3.5-4.5 bits; "aaaa…" is 0;
@@ -403,6 +447,13 @@ object TextExpressions {
     */
   def arrayAnyInSet(arr: Column, set: Set[Long]): Column =
     ExpressionUtils.column(ArrayLongAnyInSet(
+      ExpressionUtils.expression(arr), set))
+
+  /** Count of a long-array column's elements that are in the static
+    * set (see [[ArrayLongCountInSet]]).
+    */
+  def arrayCountInSet(arr: Column, set: Set[Long]): Column =
+    ExpressionUtils.column(ArrayLongCountInSet(
       ExpressionUtils.expression(arr), set))
 
   /** Row-local Shannon entropy (bits/char) of a string column. */

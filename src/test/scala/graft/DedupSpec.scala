@@ -285,6 +285,78 @@ class DedupSpec extends SparkSpec {
     assert(miss.eval(null) === false)
   }
 
+  test("ArrayLongCountInSet: codegen and interpreted agree; null array yields null") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val set = Set(42L, 7L)
+    val df = Seq(
+      (1L, Seq(42L, 2L, 42L, 7L)), // duplicates count per ELEMENT: 3
+      (2L, Seq(1L, 2L, 3L)),       // 0
+      (3L, Seq.empty[Long]))       // empty -> 0
+      .toDF("id", "arr")
+    val got = df.select(col("id"), org.apache.spark.sql.graft.TextExpressions
+        .arrayCountInSet(col("arr"), set).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 0, 3L -> 0))
+    val nulled = df.select(org.apache.spark.sql.graft.TextExpressions
+      .arrayCountInSet(lit(null).cast(ArrayType(LongType)), set)).head
+    assert(nulled.isNullAt(0))
+    val three = org.apache.spark.sql.graft.ArrayLongCountInSet(
+      Literal.create(Seq(7L, 5L, 42L), ArrayType(LongType)), set)
+    assert(three.eval(null) === 2)
+  }
+
+  test("contaminationFraction scores every doc and agrees with contaminatedIds") {
+    import org.apache.spark.sql.functions._
+    val bench = docs.filter(col("doc_id") === 1L)
+    val frac = Dedup.contaminationFraction(docs, "doc_id", "text", bench, "text",
+        shingleN = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"),
+          r.getAs[Double]("contam_frac")))).toMap
+    // every non-null-text doc is scored, contaminated or not
+    assert(frac.keySet === Set(1L, 2L, 3L, 4L))
+    // the bench doc and its exact dup overlap on every distinct 5-gram
+    assert(frac(1L)._1 === frac(1L)._2 && frac(1L)._3 === 1.0)
+    assert(frac(4L)._1 === frac(4L)._2 && frac(4L)._3 === 1.0)
+    // the unrelated doc shares nothing
+    assert(frac(3L)._2 === 0L && frac(3L)._3 === 0.0)
+    // frac is exactly overlap/grams
+    frac.values.foreach { case (n, o, f) => assert(f === o.toDouble / n) }
+    // the boolean gate and the score agree on overlap counts
+    val gate = Dedup.contaminatedIds(docs, "doc_id", "text", bench, "text",
+        shingleN = 5, minOverlap = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    gate.foreach { case (id, o) => assert(frac(id)._2 === o, s"doc $id") }
+    assert(frac.filter(_._2._2 > 0).keySet === gate.keySet)
+  }
+
+  // shared fixture for the duplicated-window reports: 3-token windows,
+  // "one two three" in docs 1/2/3 (sources A,B,C), "two three four" in 1/3
+  private def windowDocs = Seq(
+    (1L, "one two three four", "A"),
+    (2L, "one two three five", "B"),
+    (3L, "one two three four", "C"),
+    (4L, "nothing shared here at all", "A"))
+    .toDF("doc_id", "text", "source")
+
+  test("sourceOverlap counts distinct shared duplicated windows per source pair") {
+    val got = Dedup.sourceOverlap(windowDocs, "doc_id", "text", "source",
+        windowTokens = 3, minDocs = 2)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got === Map(("A", "B") -> 1L, ("A", "C") -> 2L, ("B", "C") -> 1L))
+  }
+
+  test("duplicateProfile histograms document frequency of duplicated windows") {
+    val got = Dedup.duplicateProfile(windowDocs, "doc_id", "text",
+        windowTokens = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("n_windows")).toMap
+    // "one two three" sits in 3 docs; "two three four" in 2
+    assert(got === Map(3L -> 1L, 2L -> 1L))
+  }
+
   test("LshIndex: incremental batches near-dup against history without rescanning it") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     val initial = Seq(

@@ -157,6 +157,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dedup_contam_frac never moves the corpus — a zero-exchange codegen projection") {
+    // the whole-corpus contamination score: bench hashes are a bounded
+    // driver-side set, so shingling, sizing, and set-count membership
+    // must all stay row-local — any Exchange or Join here would be the
+    // corpus moving to score itself against a tiny eval set
+    val plan = planOf(DedupQueries.dedupContamFrac(spark, dir))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"contamination scoring should be a pure projection:\n$plan")
+  }
+
   test("emb_quantize is a pure row-local projection — no exchange of any kind") {
     val plan = planOf(SimilarityQueries.embQuantize(spark, dir))
     assert(!plan.contains("Exchange"),

@@ -98,6 +98,22 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out === fixtures.map(_._2))
   }
 
+  test("piiReport counts exactly the substitutions redactPii makes, per source") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk today", "s1"),
+      (2L, "card 4111111111111111 leaked", "s1"),
+      (3L, "no pii in this doc at all", "s1"),
+      (4L, "call +1 (555) 123-4567 or 555.123.4567", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.piiReport(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_email"),
+          r.getAs[Long]("n_num"), r.getAs[Long]("n_phone"),
+          r.getAs[Long]("n_flagged")))).toMap
+    assert(got("s1") === ((3L, 1L, 1L, 0L, 2L)))
+    assert(got("s2") === ((1L, 0L, 0L, 2L, 1L)))
+  }
+
   test("multimodal: audio windowing emits hop-spaced windows with exact PCM byte ranges") {
     val docs = Seq((7L, "0123456789abcdef", 3L)).toDF("doc_id", "text", "n_chars")
     // n_chars=3 -> sample_rate 16000, n_samples 3*317%480000+16000 = 16951
