@@ -914,6 +914,78 @@ def _():
         js = 0.5 * ((p[p > 0] * np.log2(p[p > 0] / m[p > 0])).sum() +
                     (q[q > 0] * np.log2(q[q > 0] / m[q > 0])).sum())
 
+# G6+: whole-corpus contamination fraction vs the decontam bench set
+@timed("dedup_contam_frac")
+def _():
+    nn = docs_pd[["doc_id", "text"]][docs_pd["text"].notna()]
+    ws = nn["text"].str.split(" ")
+
+    def grams5(w):
+        if len(w) <= 5:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+    gs = [grams5(w) for w in ws]
+    bench = set()
+    for did, g in zip(nn["doc_id"], gs):
+        if did % 97 == 0:
+            bench |= g
+    pd.DataFrame({
+        "doc_id": nn["doc_id"].to_numpy(),
+        "n_grams": [len(g) for g in gs],
+        "n_overlap": [len(g & bench) for g in gs]})
+
+# G8a: cross-source duplicated-window overlap matrix
+@timed("dedup_overlap")
+def _():
+    nn = docs_pd[["doc_id", "source", "text"]][docs_pd["text"].notna()]
+    from collections import defaultdict
+    from itertools import combinations
+    docs_of = defaultdict(set)
+    srcs_of = defaultdict(set)
+    for did, src, t in zip(nn["doc_id"], nn["source"], nn["text"]):
+        w = t.split(" ")
+        for i in range(len(w) - 7):
+            g = " ".join(w[i:i + 8])
+            docs_of[g].add(did)
+            srcs_of[g].add(src)
+    cnt = defaultdict(int)
+    for g, d in docs_of.items():
+        if len(d) >= 2:
+            for a, b in combinations(sorted(srcs_of[g]), 2):
+                cnt[(a, b)] += 1
+    pd.DataFrame([(a, b, n) for (a, b), n in cnt.items()],
+                 columns=["source_a", "source_b", "n_shared"])
+
+# G8b: document-frequency histogram of duplicated windows
+@timed("dedup_profile")
+def _():
+    nn = docs_pd[["doc_id", "text"]][docs_pd["text"].notna()]
+    from collections import defaultdict, Counter
+    docs_of = defaultdict(set)
+    for did, t in zip(nn["doc_id"], nn["text"]):
+        w = t.split(" ")
+        for i in range(len(w) - 7):
+            docs_of[" ".join(w[i:i + 8])].add(did)
+    hist = Counter(len(d) for d in docs_of.values() if len(d) >= 2)
+    pd.DataFrame(sorted(hist.items()), columns=["n_docs", "n_windows"])
+
+# I9: per-source PII incidence on the redaction cascade
+@timed("text_pii")
+def _():
+    d = docs_pd[docs_pd["text"].notna()]
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    e = d["text"].str.count(email)
+    t1 = d["text"].str.replace(email, "<EMAIL>", regex=True)
+    n = t1.str.count(r"[0-9]{7,}")
+    t2 = t1.str.replace(r"[0-9]{7,}", "<NUM>", regex=True)
+    p = t2.str.count(
+        r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}")
+    rep = pd.DataFrame({"source": d["source"], "e": e, "n": n, "p": p})
+    g = rep.groupby("source").agg(n_docs=("e", "size"), n_email=("e", "sum"),
+                                  n_num=("n", "sum"), n_phone=("p", "sum"))
+    g["n_flagged"] = (rep[["e", "n", "p"]].sum(axis=1) > 0) \
+        .groupby(rep["source"]).sum()
+
 # H3+: batch kNN self-join — full cosine matrix top-5 (numpy; the
 # single-node way has no index shortcut worth its constant at this n)
 @timed("ann_knn_join")
