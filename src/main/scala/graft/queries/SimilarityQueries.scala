@@ -86,11 +86,33 @@ object SimilarityQueries extends QueryPack {
         concat_ws(",", transform(col("codes"), c => c.cast("string")))
           .as("codes"))
 
+  /** H+ `emb_centroids` — per-label centroid of the embedding corpus
+    * via the one-pass [[org.apache.spark.sql.graft.VectorAggregates
+    * .vectorMean]] aggregate (the Lloyd-iteration / IVF-recenter
+    * building block), exploded to (label, dim, mean_v) scalar rows so
+    * the driver's hash compare never sees an array dtype. Fully
+    * oracled: DuckDB re-derives the per-dimension means with an
+    * indexed-lambda unnest; the mean is r6-rounded on both sides (the
+    * per-dim sum is order-sensitive in the last ulps), n_vecs and dim
+    * are exact integers.
+    */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        org.apache.spark.sql.graft.VectorAggregates
+          .vectorMean(col("embedding")).as("_m"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("_m")).as(Seq("dim", "_mv")))
+      .select(col("label"), col("n_vecs"), col("dim").cast("long").as("dim"),
+        r6(col("_mv")).as("mean_v"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_knn_join" -> annKnnJoin,
+    "emb_centroids" -> embCentroids,
     "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +131,18 @@ object SimilarityQueries extends QueryPack {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(cosine, 6) AS cosine
         |FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // per-dimension means re-derived with an indexed-lambda unnest;
+    // both engines widen float32 exactly and divide once per dim
+    "emb_centroids" ->
+      """WITH e AS (SELECT label,
+        |    unnest(list_transform(embedding, (v, i) -> {'dim': i - 1, 'v': v})) AS dv
+        |  FROM embeddings),
+        |m AS (SELECT label, dv.dim AS dim, avg(dv.v) AS mv
+        |  FROM e GROUP BY label, dv.dim),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT m.label, n.n_vecs, CAST(m.dim AS BIGINT) AS dim,
+        |  floor(mv * 1000000 + 0.5001) / 1000000 AS mean_v
+        |FROM m JOIN n USING (label)""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),

@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
       "q1_agg", "q3_join", "q_window_topk", "q_antijoin", "q_topk", "q_sessionize",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embed",
       "dedup_prune", "dedup_cut", "ds_drift",
-      "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join",
+      "dedup_contam_frac", "dedup_overlap", "dedup_profile", "text_pii",
+      "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join", "emb_centroids",
       "text_tokens", "text_langid", "text_quality", "text_fingerprint",
       "mm_schema", "mm_features", "mm_decode")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
