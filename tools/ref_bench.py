@@ -986,6 +986,17 @@ def _():
     g["n_flagged"] = (rep[["e", "n", "p"]].sum(axis=1) > 0) \
         .groupby(rep["source"]).sum()
 
+# H+: per-label embedding centroids (numpy mean per label)
+@timed("emb_centroids")
+def _():
+    v = np.stack(emb["embedding"].to_numpy())
+    lab = emb["label"].to_numpy()
+    rows = []
+    for l in np.unique(lab):
+        m = v[lab == l].mean(axis=0)
+        rows.extend((l, d, mv) for d, mv in enumerate(m))
+    pd.DataFrame(rows, columns=["label", "dim", "mean_v"])
+
 # H3+: batch kNN self-join — full cosine matrix top-5 (numpy; the
 # single-node way has no index shortcut worth its constant at this n)
 @timed("ann_knn_join")
