@@ -528,17 +528,32 @@ object Dedup {
     * corpus-sized tables ever forms, and the final aggregate is
     * |sources|² rows at most.
     */
+  /** Shared front end of [[sourceOverlap]] and [[duplicateProfile]]:
+    * distinct (doc_id[, extra cols], window-hash) rows over STRICT
+    * `windowTokens`-token windows — one definition of "a document
+    * contains this window", so the two reports (and their
+    * document-frequency counts) can never drift apart. The hashes are
+    * the row-local codegen projection (8-byte longs, window strings
+    * never leave the row — the duplicateSpans convention).
+    */
+  private def distinctDocWindows(docs: DataFrame, idCol: String,
+                                 textCol: String, windowTokens: Int,
+                                 extraCols: String*): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    docs.filter(col(textCol).isNotNull)
+      .select((Seq(col(idCol).as("doc_id")) ++ extraCols.map(col) :+
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), windowTokens, distinct = false,
+            padShort = false)).as("h")): _*)
+      .distinct()
+  }
+
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, windowTokens: Int = 8,
                     minDocs: Int = 2): DataFrame = {
-    require(windowTokens > 0, "windowTokens must be positive")
     require(minDocs >= 2, "minDocs must be at least 2")
-    val grams = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(sourceCol).as("_src"),
-        explode(org.apache.spark.sql.graft.TextExpressions
-          .shingleHashes(col(textCol), windowTokens, distinct = false,
-            padShort = false)).as("h"))
-      .distinct()
+    val grams = distinctDocWindows(docs.withColumn("_src", col(sourceCol)),
+      idCol, textCol, windowTokens, "_src")
     // each doc has exactly one source, so these distinct rows are
     // distinct (doc_id, h) too: count(*) IS the document frequency
     val byHash = grams.groupBy(col("h"))
@@ -568,14 +583,8 @@ object Dedup {
     */
   def duplicateProfile(docs: DataFrame, idCol: String, textCol: String,
                        windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(windowTokens > 0, "windowTokens must be positive")
     require(minDocs >= 2, "minDocs must be at least 2")
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(org.apache.spark.sql.graft.TextExpressions
-          .shingleHashes(col(textCol), windowTokens, distinct = false,
-            padShort = false)).as("h"))
-      .distinct()
+    distinctDocWindows(docs, idCol, textCol, windowTokens)
       .groupBy(col("h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)
       .groupBy(col("_df").as("n_docs"))

@@ -96,10 +96,29 @@ object TextQueries extends QueryPack {
   /** I+ `text_pii` — the per-source PII incidence audit shipped next
     * to a scrubbed corpus: per redactPii pattern, the exact number of
     * substitutions the scrub makes (counted on the same email → num →
-    * phone cascade), plus how many docs it touches. Fully oracled.
+    * phone cascade), plus how many docs it touches.
+    *
+    * The synthetic corpus is PII-free (no digits, no '@' at any scale
+    * factor), so reporting on the raw text would make the oracle
+    * VACUOUS — all-zero counts on both engines prove nothing about
+    * the regex cascade. The contract query therefore PLANTS
+    * deterministic PII derived from doc_id (an email, a 10-digit run,
+    * and a phone shape on every third doc) identically on both sides,
+    * so the hash compare genuinely exercises email matching inside
+    * prose, the num-before-phone masking order, and the phone shape —
+    * cross-engine. The library operator ([[TextAnalysis.piiReport]])
+    * stays a report over whatever text column it is given.
     */
-  def textPii(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.piiReport(docs(s, dir), "source", "text")
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555"),
+        lpad(col("doc_id").cast("string"), 7, "0"),
+        when(col("doc_id") % 3 === 0, lit(" call +1 212 555 0199"))
+          .otherwise(lit(""))))
+    TextAnalysis.piiReport(planted, "source", "text")
+  }
 
   /** I5 `text_repetition` — Gopher-style within-document duplication
     * fractions (dup-line chars, dup-2-gram instances): the standard
@@ -253,9 +272,17 @@ object TextQueries extends QueryPack {
         |    '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
     // the text_redact cascade, counted: emails on raw text, digit
-    // runs on the email-masked text, phone shapes on the num-masked
+    // runs on the email-masked text, phone shapes on the num-masked.
+    // PII is PLANTED from doc_id (see textPii scaladoc) — the corpus
+    // itself is PII-free, so raw-text counts would be vacuously zero
     "text_pii" ->
-      """WITH c AS (SELECT source,
+      """WITH a AS (SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' call +1 212 555 0199'
+        |              ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source,
         |    len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
         |    len(regexp_extract_all(regexp_replace(text,
@@ -265,7 +292,7 @@ object TextQueries extends QueryPack {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '[0-9]{7,}', '<NUM>', 'g'),
         |      '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}')) AS p
-        |  FROM documents WHERE text IS NOT NULL)
+        |  FROM a)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(e) AS BIGINT) AS n_email,
         |  CAST(sum(n) AS BIGINT) AS n_num,

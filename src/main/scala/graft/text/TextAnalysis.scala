@@ -82,6 +82,14 @@ object TextAnalysis {
   def normalizeWs(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** The three redaction patterns, shared by [[redactPii]] and
+    * [[piiReport]] so the scrub and its accounting cannot drift apart.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val LongNumRe = "[0-9]{7,}"
+  private[graft] val PhoneRe =
+    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+
   /** PII redaction (I+): mask emails, then unbroken digit runs of 7+
     * (account/card numbers and unseparated phones), then
     * separator-style phone shapes — the standard pre-training scrub
@@ -92,14 +100,6 @@ object TextAnalysis {
     * patterns are RE2-compatible (no backrefs/lookarounds) so the same
     * scrub is portable to other engines.
     */
-  /** The three redaction patterns, shared by [[redactPii]] and
-    * [[piiReport]] so the scrub and its accounting cannot drift apart.
-    */
-  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val LongNumRe = "[0-9]{7,}"
-  private[graft] val PhoneRe =
-    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
-
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val num = regexp_replace(email, LongNumRe, "<NUM>")
