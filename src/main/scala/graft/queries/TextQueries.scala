@@ -73,6 +73,34 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(20)
 
+  /** I+ `text_vocab` — Zipf coverage report: the top-20 terms by
+    * collection frequency with each term's corpus share and the
+    * cumulative coverage share — the stopword-induction / vocab-pruning
+    * companion of text_topterms (which ranks by document frequency and
+    * carries no coverage). Scale shape: one map-side-combining term
+    * count, top-k via TakeOrdered, and the rank/cumsum windows run over
+    * the 20 SURVIVING rows only (never the vocabulary); the corpus
+    * total rides in as a 1-row cross-joined scalar (the tfidf
+    * convention — construction stays lazy). Shares are exact-integer
+    * divisions r6-rounded on both sides.
+    */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("coll_freq"))
+    val total = counts.agg(sum(col("coll_freq")).cast("double").as("_tot"))
+    val byFreq = Window.orderBy(col("coll_freq").desc, col("term"))
+    counts.orderBy(col("coll_freq").desc, col("term")).limit(20)
+      .crossJoin(total)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("coll_freq"))
+        .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("term"), col("coll_freq"),
+        r6(col("coll_freq") / col("_tot")).as("share"),
+        r6(col("cum") / col("_tot")).as("cum_share"))
+  }
+
   /** I+ `text_normalize` — whitespace/case canonicalization (the pass
     * before hashing/dedup) plus the post-normalization token count. The
     * normalized column is projected once and shared by the count.
@@ -178,6 +206,7 @@ object TextQueries extends QueryPack {
     "text_pii" -> textPii,
     "text_normalize" -> textNormalize,
     "text_topterms" -> textTopTerms,
+    "text_vocab" -> textVocab,
     "text_tokens" -> textTokens,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
@@ -313,6 +342,19 @@ object TextQueries extends QueryPack {
         |GROUP BY term
         |ORDER BY doc_freq DESC, term
         |LIMIT 20""".stripMargin,
+    "text_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS coll_freq FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(coll_freq) AS DOUBLE) AS tot FROM c),
+        |top AS (SELECT term, coll_freq,
+        |    row_number() OVER (ORDER BY coll_freq DESC, term) AS rank
+        |  FROM c ORDER BY coll_freq DESC, term LIMIT 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, coll_freq,
+        |  floor(coll_freq / tot * 1000000 + 0.5001) / 1000000 AS share,
+        |  floor(sum(coll_freq) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot
+        |    * 1000000 + 0.5001) / 1000000 AS cum_share
+        |FROM top, tot""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

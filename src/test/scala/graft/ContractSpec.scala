@@ -27,7 +27,7 @@ class ContractSpec extends AnyFunSuite {
       "dedup_prune", "dedup_cut", "ds_drift",
       "dedup_contam_frac", "dedup_overlap", "dedup_profile", "text_pii",
       "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join", "emb_centroids",
-      "text_tokens", "text_langid", "text_quality", "text_fingerprint",
+      "text_tokens", "text_langid", "text_quality", "text_fingerprint", "text_vocab",
       "mm_schema", "mm_features", "mm_decode")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
