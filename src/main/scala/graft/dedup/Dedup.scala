@@ -74,6 +74,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /** G10: Bloom-filter membership gate for incremental exact dedup —
+    * the 100 TB alternative to materializing the history's hash SET:
+    * a broadcast `InSet` of history hashes grows with the history
+    * (10^10 docs × 8 bytes is an 80 GB driver set), while the Bloom
+    * filter is BITS-bounded up front (`numBits`/8 bytes, whatever the
+    * history size) at the price of a sizable-but-bounded
+    * false-positive rate. The filter build is one distributed
+    * aggregate over the history (map-side partial filters, OR-merged
+    * — bitwise OR is commutative, so the result is deterministic
+    * under any partitioning); the probe is a row-local codegen
+    * `might_contain` over the batch with the filter bytes riding
+    * along as a broadcast literal. NO FALSE NEGATIVES: every batch
+    * doc whose content hash is in the history is flagged; a flagged
+    * doc is a CANDIDATE to re-check exactly (the standard
+    * gate-then-verify contract — verify only the flagged sliver
+    * against the history, e.g. by hash anti-join).
+    *
+    * Returns the batch with a `maybe_dup` boolean. Sizing: ~10 bits
+    * per expected item ≈ 1% FP; both knobs are explicit because the
+    * filter is useless when undersized and silently so.
+    */
+  def bloomGate(history: DataFrame, batch: DataFrame, idCol: String,
+                textCol: String, expectedItems: Long = 1L << 20,
+                numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val bytes = history
+      .agg(BloomFunctions.bloomFilterAgg(xxhash64(col(textCol)),
+        expectedItems, numBits).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) batch.withColumn("maybe_dup", lit(false))
+    else batch.withColumn("maybe_dup",
+      BloomFunctions.mightContain(bytes, xxhash64(col(textCol))))
+  }
+
   /** G2: MinHash + banded LSH near-dup pairs.
     *
     * The whole signature is ONE row-local codegen expression

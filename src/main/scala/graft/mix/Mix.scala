@@ -51,6 +51,43 @@ object Mix {
     */
   def hashUniform(id: Column): Column = hashU32(id) / lit(M32.toDouble)
 
+  /** Non-linear 32-bit avalanche mix (murmur-finalizer shape:
+    * xor-shift, multiply, twice over, final xor-shift) in pure
+    * overflow-free int64 arithmetic — bit-identical in any 64-bit
+    * engine, like [[hashU32]].
+    *
+    * Use THIS, not hashU32, when keys are SEQUENTIAL and bits feed a
+    * downstream statistic (e.g. deriving ±1 signs for a projection
+    * matrix cell by cell): hashU32 is multiplicative, i.e. a Weyl
+    * rotation — over sequential keys its individual bits are
+    * quasi-periodic and strongly lag-correlated, which breaks
+    * independence-style guarantees (a JL projection built from its
+    * sign bit systematically cancels structured inputs — caught by
+    * CurationOpsSpec's norm-preservation check). The xor-shifts here
+    * are the non-linearity multiplicative hashing lacks. Max
+    * intermediate is (2^32-1)·73244475 ≈ 3.1e17 < 2^63 — no overflow,
+    * no 16-bit split needed.
+    */
+  def hashMix32(id: Column): Column = {
+    val k0 = pmod(id.cast("long"), lit(M32))
+    val s1 = pmod((k0.bitwiseXOR(shiftright(k0, 16))) * lit(73244475L), lit(M32))
+    val s2 = pmod((s1.bitwiseXOR(shiftright(s1, 16))) * lit(73244475L), lit(M32))
+    s2.bitwiseXOR(shiftright(s2, 16))
+  }
+
+  /** [[hashMix32]] as plain Scala — bit-identical by construction
+    * (same ops on int64), for deriving driver-side literal tables
+    * (e.g. the JL sign matrix) that must agree with any engine-side
+    * derivation. CurationOpsSpec cross-checks the two.
+    */
+  def hashMix32Long(key: Long): Long = {
+    val m32 = 4294967296L
+    val k0 = ((key % m32) + m32) % m32
+    val s1 = ((k0 ^ (k0 >> 16)) * 73244475L) % m32
+    val s2 = ((s1 ^ (s1 >> 16)) * 73244475L) % m32
+    s2 ^ (s2 >> 16)
+  }
+
   /** Reproducible Bernoulli sampling: keep rows whose [[hashUniform]]
     * falls under `rate`. A pure filter — no shuffle, no state, stable
     * under re-runs and partition changes (rand()-based sampling is
@@ -59,6 +96,31 @@ object Mix {
     */
   def sampleByHash(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(hashUniform(col(idCol)) < rate)
+
+  /** Exact-k deterministic stratified sample: for each `keyCol` group,
+    * the k rows whose id HASH is smallest (ties broken by id) — the
+    * same k from every group regardless of group size, and the SAME k
+    * rows on every re-run and under any partitioning, because
+    * membership is hash-order, not `rand()`. Bernoulli sampling
+    * ([[sampleByHash]]) cannot deliver "exactly k per stratum"; this
+    * is the per-source eyeball-sample / few-shot-probe shape.
+    *
+    * Scale: the `rank <= k` filter over the per-group row_number is
+    * optimizer-rewritten to a WindowGroupLimit, so each map task keeps
+    * only its local top-k per group BEFORE the single hash exchange —
+    * the shuffle carries ~k rows per (task, group), never the corpus.
+    * Returns the input columns plus `sample_rank` (1-based hash order
+    * within the group).
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, idCol: String,
+                           k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", hashU32(col(idCol)))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("_h")
+  }
 
   /** Data mixing by per-source rates: each source is down/up-weighted
     * by its own Bernoulli rate from a small dim table `(sourceCol,

@@ -188,7 +188,26 @@ object DedupQueries extends QueryPack {
     Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
       windowTokens = 8, minDocs = 2)
 
+  /** G10 `dedup_bloom` — the Bloom-filter membership gate
+    * ([[Dedup.bloomGate]]): the batch (every odd doc plus a
+    * re-ingestion of the doc_id % 4 == 0 quarter of the history)
+    * flagged against the even-doc history. The filter's bit layout is
+    * Spark-implementation-defined → rows-only; DedupSpec pins the
+    * contract that matters: zero false negatives (every re-ingested
+    * doc flagged) and a bounded false-positive count, both
+    * deterministic because partial-filter OR-merge is commutative.
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.bloomGate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1 || col("doc_id") % 4 === 0),
+      "doc_id", "text", expectedItems = 1L << 16, numBits = 1L << 20)
+      .select(col("doc_id"), col("maybe_dup"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom" -> dedupBloom,
     "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_decontam" -> dedupDecontam,

@@ -225,7 +225,26 @@ object MixQueries extends QueryPack {
     Mix.chunkByTokens(docs(s, dir), "doc_id", "text",
       chunkTokens = 64, stride = 48)
 
+  /** L15 `ds_stratified` — exact-k deterministic stratified sample:
+    * for each source, the k=10 docs with the smallest id hash (the
+    * "eyeball sample" every curation run ships next to its corpus
+    * report — same k from every source regardless of source size, and
+    * the SAME k docs on every re-run because membership is hash-order,
+    * not rand()). Scale shape: the `rank <= k` filter over the
+    * per-source row_number turns into a WindowGroupLimit — each map
+    * task keeps only its local top-k per source BEFORE the single
+    * hash exchange, so the shuffle carries ~k rows per (task, source),
+    * never the corpus. Fully oracled: the Knuth hash and the (hash,
+    * doc_id) tie-break are exact integer arithmetic in both engines.
+    */
+  def dsStratified(s: SparkSession, dir: String): DataFrame =
+    Mix.stratifiedHashSample(
+        docs(s, dir).select(col("source"), col("doc_id")), "source",
+        "doc_id", k = 10)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_stratified" -> dsStratified,
     "ds_stats" -> dsStats,
     "ds_drift" -> dsDrift,
     "ds_quality_floor" -> dsQualityFloor,
@@ -242,22 +261,21 @@ object MixQueries extends QueryPack {
     "ds_pack" -> dsPack,
     "ds_pack_global" -> dsPackGlobal)
 
-  /** The Knuth hash, verbatim in overflow-free SQL — bit-identical to
-    * [[Mix.hashU32]] in any 64-bit engine for the FULL int64 id
-    * domain. The id is normalized to [0, 2^32) with a non-negative mod
-    * first (DuckDB's `%` is C-style and goes negative for negative
-    * ids) and the multiply is split at 16 bits (DuckDB RAISES on
-    * int64 overflow rather than wrapping, and the naive `id * C`
-    * overflows past id ≈ 3.47e9).
-    */
-  private def hashU32Sql(idExpr: String): String = {
-    val idn = s"((($idExpr) % 4294967296 + 4294967296) % 4294967296)"
-    s"(((($idn // 65536) * 2654435761) % 65536) * 65536 + ($idn % 65536) * 2654435761) % 4294967296"
-  }
+  // hashU32Sql lives in QueryPack (shared with SimilarityQueries).
   private def hashUSql(idExpr: String): String =
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // same Knuth hash, same (hash, doc_id) tie-break — all integer
+    "ds_stratified" ->
+      s"""WITH t AS (SELECT source, doc_id, ${hashU32Sql("doc_id")} AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      AS sample_rank
+         |  FROM t)
+         |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+         |FROM r WHERE sample_rank <= 10""".stripMargin,
     // identical per-term arithmetic; only the float SUM order over
     // histogram rows is engine-defined -> r6 on the divergence
     "ds_drift" ->

@@ -43,4 +43,29 @@ trait QueryPack {
   }
   protected def r4(c: Column): Column = rN(c, 4)
   protected def r6(c: Column): Column = rN(c, 6)
+
+  /** The Knuth hash ([[graft.mix.Mix.hashU32]]), verbatim in
+    * overflow-free SQL — bit-identical to the Spark column for the
+    * FULL int64 id domain. The id is normalized to [0, 2^32) with a
+    * non-negative mod first (DuckDB's `%` is C-style and goes negative
+    * for negative ids) and the multiply is split at 16 bits (DuckDB
+    * RAISES on int64 overflow rather than wrapping, and the naive
+    * `id * C` overflows past id ≈ 3.47e9).
+    */
+  protected def hashU32Sql(idExpr: String): String = {
+    val idn = s"((($idExpr) % 4294967296 + 4294967296) % 4294967296)"
+    s"(((($idn // 65536) * 2654435761) % 65536) * 65536 + ($idn % 65536) * 2654435761) % 4294967296"
+  }
+
+  /** [[graft.mix.Mix.hashMix32]] verbatim in SQL: xor-shift, multiply
+    * mod 2^32, twice over, final xor-shift — max intermediate ≈ 3.1e17,
+    * no overflow in int64 (the CAST pins BIGINT arithmetic; DuckDB
+    * would otherwise overflow an INT32 multiply).
+    */
+  protected def hashMix32Sql(keyExpr: String): String = {
+    val k0 = s"(((CAST($keyExpr AS BIGINT)) % 4294967296 + 4294967296) % 4294967296)"
+    val s1 = s"((xor($k0, $k0 >> 16) * CAST(73244475 AS BIGINT)) % 4294967296)"
+    val s2 = s"((xor($s1, $s1 >> 16) * CAST(73244475 AS BIGINT)) % 4294967296)"
+    s"xor($s2, $s2 >> 16)"
+  }
 }

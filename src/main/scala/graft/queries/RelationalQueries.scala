@@ -190,7 +190,28 @@ object RelationalQueries extends QueryPack {
       .select(col("l_returnflag"), col("nd_orders"), col("nd_parts"),
         col("_q")(0).as("p25"), col("_q")(1).as("p50"), col("_q")(2).as("p75"))
 
+  /** F8 `ev_funnel` — ORDERED conversion funnel over the event stream:
+    * users who view, then click strictly after their first view, then
+    * purchase strictly after their first qualifying click. The naive
+    * formulation is three per-step groupBys chained by joins (three
+    * corpus shuffles of the events table); this plan is ONE exchange:
+    * all three "earliest qualifying step time so far" columns are
+    * running-min windows over the SAME (user_id, ts, event_id)
+    * partition/sort, so Spark plans a single Exchange + sort with the
+    * stacked WindowExecs reusing it, then a per-user groupBy of 3
+    * scalar columns and a 3-row report. Ordering includes event_id so
+    * ties are deterministic; "after" is strict (`<` on ts), so a
+    * same-timestamp view+click pair does NOT convert.
+    */
+  def evFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.orderedFunnel(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("step"), col("event_type"), col("users"),
+        r6(col("conv_prev")).as("conv_prev"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> evFunnel,
     "q_approx" -> qApprox,
     "q_rollup" -> qRollup,
     "q_pivot" -> qPivot,
@@ -205,6 +226,45 @@ object RelationalQueries extends QueryPack {
     "q_sessionize" -> qSessionize)
 
   val oracles: Map[String, String] = Map(
+    // identical running-min windows over the same (user_id, ts,
+    // event_id) sort; counts are exact integers, the two conversion
+    // ratios are single divisions r6-rounded on both sides
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, event_type, t1,
+        |    min(CASE WHEN event_type = 'click' AND t1 < ts THEN ts END)
+        |      OVER w AS t2
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (
+        |  SELECT user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND t2 < ts THEN ts END)
+        |      OVER w AS t3
+        |  FROM s2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pu AS (SELECT user_id, min(t1) AS vt, min(t2) AS ct, min(t3) AS pt
+        |  FROM s3 GROUP BY user_id),
+        |u AS (SELECT count(vt) AS u1, count(ct) AS u2, count(pt) AS u3 FROM pu)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |  u1 AS users, CAST(1.0 AS DOUBLE) AS conv_prev FROM u
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', u2,
+        |  CASE WHEN u1 = 0 THEN NULL
+        |       ELSE floor(CAST(u2 AS DOUBLE) / u1 * 1000000 + 0.5001) / 1000000
+        |  END FROM u
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', u3,
+        |  CASE WHEN u2 = 0 THEN NULL
+        |       ELSE floor(CAST(u3 AS DOUBLE) / u2 * 1000000 + 0.5001) / 1000000
+        |  END FROM u""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 10000 + 0.5001) / 10000 AS sum_qty,

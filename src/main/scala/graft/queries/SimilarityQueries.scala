@@ -107,7 +107,26 @@ object SimilarityQueries extends QueryPack {
       .select(col("label"), col("n_vecs"), col("dim").cast("long").as("dim"),
         r6(col("_mv")).as("mean_v"))
 
+  /** H5 `emb_project` — Johnson-Lindenstrauss sign random projection
+    * to 8 dimensions ([[Similarity.randomProject]]): the standard
+    * bandwidth/recall trade of large-scale vector pipelines (project,
+    * then shortlist in the cheap space, then re-rank exact). The
+    * projection matrix is DERIVED (Knuth-hash sign per cell, seed 42),
+    * never materialized, so the operator is a row-local zero-exchange
+    * codegen projection; fully oracled because the matrix derivation
+    * is exact integer arithmetic and the inner sum folds in the same
+    * order on both engines (r6 on the float output). Exploded to
+    * (vec_id, dim, proj_v) scalars for the hash compare.
+    */
+  def embProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", inDim = 64, outDim = 8, seed = 42L)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "_p")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        r6(col("_p")).as("proj_v"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_project" -> embProject,
     "ann_brute" -> annBrute,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -116,6 +135,23 @@ object SimilarityQueries extends QueryPack {
     "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    // same derived sign matrix (avalanche mix hash, exact integers),
+    // same left-to-right fold of the signed terms (list_reduce), same
+    // 1/sqrt(8) multiplier; r6 on the float output
+    "emb_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, j,
+         |    list_reduce(
+         |      list_transform(range(1, len(v) + 1), i ->
+         |        v[i] * (CASE WHEN ${hashMix32Sql("(i-1)*8 + j + 42")}
+         |                       < 2147483648
+         |                THEN 1.0 ELSE -1.0 END)),
+         |      (a, b) -> a + b) * (1.0 / sqrt(8.0)) AS pv
+         |  FROM e, (SELECT unnest(range(0, 8)) AS j))
+         |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+         |  floor(pv * 1000000 + 0.5001) / 1000000 AS proj_v
+         |FROM p""".stripMargin,
     // Exact top-k is SQL-expressible: same double-precision dot/norm
     // arithmetic (sequential accumulation over the float-cast elements
     // in both engines), same (cosine DESC, vec_id) tie-break, rounding

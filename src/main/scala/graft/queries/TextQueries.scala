@@ -197,7 +197,23 @@ object TextQueries extends QueryPack {
         r6(org.apache.spark.sql.graft.TextExpressions
           .charEntropy(col("text"))).as("entropy"))
 
+  /** I11 `text_lm_score` — bigram LM quality score
+    * ([[TextAnalysis.lmScore]]): every doc's average negative
+    * log-likelihood and perplexity under the add-one-smoothed bigram
+    * model fit on the corpus itself (the CCNet-style "reads like the
+    * corpus" gate). Fully oracled: counts are exact integers, each
+    * gram's logp is the same two float ops on both engines, and only
+    * the per-doc SUM of ~n_tokens logps is accumulation-order
+    * exposed — r6 on the two float outputs (the ds_drift /
+    * emb_centroids precedent).
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("avg_nll")).as("avg_nll"), r6(col("ppl")).as("ppl"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> textLmScore,
     "text_entropy" -> textEntropy,
     "text_tfidf" -> textTfidf,
     "text_curate" -> textCurate,
@@ -213,6 +229,30 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    // same token split, same gram enumeration, same (c2+1)/(c1+V)
+    // arithmetic and single ln per gram; r6 on the float outputs
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |grams AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS g FROM toks)),
+        |uni AS (SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2),
+        |scored AS (SELECT g.doc_id AS doc_id,
+        |    ln((b.c2 + 1.0) / (u.c1 + vocab.v)) AS logp
+        |  FROM grams g
+        |  JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |  JOIN uni u ON g.w1 = u.w1, vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(-sum(logp) / count(*) * 1000000 + 0.5001) / 1000000
+        |    AS avg_nll,
+        |  floor(exp(-sum(logp) / count(*)) * 1000000 + 0.5001) / 1000000
+        |    AS ppl
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         |  FROM documents WHERE text IS NOT NULL),

@@ -235,6 +235,59 @@ object TextAnalysis {
     * spaces, the corpus-vocabulary convention shared with
     * text_topterms.
     */
+  /** Bigram language-model quality score (I11, CCNet-style LM
+    * filtering): fit an add-one-smoothed bigram model on the corpus
+    * itself, then score every document by its average negative
+    * log-likelihood and perplexity — the "does this read like the
+    * corpus" gate that ranks boilerplate and gibberish below prose.
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with c(w1) the unigram
+    * occurrence count and V the vocabulary size.
+    *
+    * Scale shape: the gram explode is row-local; the two model
+    * groupBys are map-side-combining, so their exchanges carry
+    * per-task DISTINCT grams (vocabulary-bounded), not the corpus;
+    * the model joins are vocabulary-sized dims left to AQE (the tfidf
+    * convention — a forced broadcast never downgrades and a 100 TB
+    * vocabulary can outgrow the driver); V rides in as a broadcast
+    * 1-row scalar; the only corpus-scale exchange is the final
+    * per-doc sum of (doc_id, logp) scalars. At 100 TB the model
+    * would additionally be pruned to top-K grams + an OOV bucket —
+    * the smoothing already gives every unseen gram a finite mass, so
+    * pruning only sharpens the gate.
+    *
+    * Docs with fewer than 2 tokens have no bigrams and are absent
+    * from the result (score undefined, not zero). Returns (idCol,
+    * n_bigrams, avg_nll, ppl) with floats UNROUNDED — callers on the
+    * oracle surface round once at output.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= 2)
+    val grams = toks.select(col(idCol),
+      explode(transform(sequence(lit(1), size(col("_w")) - 1),
+        i => struct(element_at(col("_w"), i).as("w1"),
+          element_at(col("_w"), i + 1).as("w2")))).as("_g"))
+      .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
+    val uni = toks.select(explode(col("_w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c2"))
+    grams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row total, bounded NLJ
+      // (c2+1) exact in double, (c1+V) exact in long: ONE division,
+      // ONE log per gram — the same two ops the oracle runs
+      .withColumn("_logp",
+        log((col("_c2") + lit(1.0)) / (col("_c1") + col("_v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_logp")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        (-col("_s") / col("n_bigrams")).as("avg_nll"),
+        exp(-col("_s") / col("n_bigrams")).as("ppl"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")

@@ -28,7 +28,9 @@ class ContractSpec extends AnyFunSuite {
       "dedup_contam_frac", "dedup_overlap", "dedup_profile", "text_pii",
       "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join", "emb_centroids",
       "text_tokens", "text_langid", "text_quality", "text_fingerprint", "text_vocab",
-      "mm_schema", "mm_features", "mm_decode")
+      "mm_schema", "mm_features", "mm_decode",
+      "ev_funnel", "ds_stratified", "emb_project", "text_lm_score",
+      "dedup_bloom")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs
@@ -63,7 +65,8 @@ class ContractSpec extends AnyFunSuite {
       "mm_features",         // batch_size depends on physical partitioning
       "q_approx",            // sketch outputs are implementation-defined (r5)
       "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)
-      "dedup_semantic")      // k-means assignment is float-sum-order-defined (r6)
+      "dedup_semantic",      // k-means assignment is float-sum-order-defined (r6)
+      "dedup_bloom")         // Bloom bit layout is Spark-impl-defined (r7)
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

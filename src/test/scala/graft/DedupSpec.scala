@@ -22,6 +22,40 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === 1L && out(3L) === 1L)
   }
 
+  test("bloomGate flags every true duplicate (no false negatives) with bounded false positives") {
+    import org.apache.spark.sql.functions._
+    val history = (1 to 400).map(i => (i.toLong, s"history doc $i payload"))
+      .toDF("doc_id", "text")
+    // batch: 100 re-ingested history docs + 300 genuinely new docs
+    val batch = ((1 to 100).map(i => (1000L + i, s"history doc $i payload")) ++
+      (1 to 300).map(i => (2000L + i, s"fresh doc $i payload")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomGate(history, batch, "doc_id", "text",
+      expectedItems = 1L << 12, numBits = 1L << 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_dup")).toMap
+    assert(out.size === 400)
+    // contract 1: NO false negatives — every re-ingested doc is flagged
+    (1 to 100).foreach(i => assert(out(1000L + i), s"missed true dup $i"))
+    // contract 2: false positives bounded — 16 bits/item over 400 items
+    // keeps the FP rate well under 1%; allow a loose 5% of the fresh set
+    val fp = (1 to 300).count(i => out(2000L + i))
+    assert(fp <= 15, s"false-positive count $fp out of 300 fresh docs")
+    // contract 3: deterministic — OR-merge of partial filters is
+    // commutative, so a repartitioned history builds the same filter
+    val out2 = Dedup.bloomGate(history.repartition(7), batch, "doc_id", "text",
+      expectedItems = 1L << 12, numBits = 1L << 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_dup")).toMap
+    assert(out2 === out)
+  }
+
+  test("bloomGate on an empty history flags nothing") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Dedup.bloomGate(history, batch, "doc_id", "text")
+      .collect().map(_.getAs[Boolean]("maybe_dup"))
+    assert(out.length === 2 && out.forall(_ == false))
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -173,6 +173,30 @@ class PlanSpec extends SparkSpec {
       s"quantization should not move data:\n$plan")
   }
 
+  test("emb_project is a pure row-local projection — the matrix is derived, never joined") {
+    val plan = planOf(SimilarityQueries.embProject(spark, dir))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"JL projection should not move data:\n$plan")
+  }
+
+  test("ds_stratified keeps map-side top-k per group (WindowGroupLimit) before one exchange") {
+    val plan = planOf(MixQueries.dsStratified(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter did not become a group limit:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly the per-source exchange:\n$plan")
+  }
+
+  test("ev_funnel shuffles the events table once — stacked windows share one exchange") {
+    val plan = planOf(RelationalQueries.evFunnel(spark, dir))
+    // one hash exchange on user_id shared by all three running-min
+    // windows AND the per-user groupBy (same key -> no re-shuffle);
+    // the only other exchange is the 1-row-per-partition final reduce
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"funnel should shuffle events exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must stay join-free:\n$plan")
+  }
+
   test("centroid assignment is a zero-exchange row-local projection (no xk join)") {
     // VERDICT r6 #1: the corpus side of k-means/IVF/SemDeDup assignment
     // must never amplify x k through a join or move through an Exchange
