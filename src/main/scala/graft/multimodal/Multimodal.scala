@@ -172,6 +172,66 @@ object Multimodal {
       struct(col("width"), col("height"), col("format")).as("meta"))
   }
 
+  case class ResizedFeatures(doc_id: Long, decoded: Boolean,
+                             src_width: Int, src_height: Int,
+                             out_width: Int, out_height: Int,
+                             means: Array[Double])
+
+  /** J2+: batched nearest-neighbor resize — the "make every image the
+    * model's input size" step of a vision-data pipeline. Decodes each
+    * payload (same javax.imageio path and corrupt-payload fallback as
+    * [[extractFeatures]]), samples the `outW`×`outH` grid with the
+    * standard floor mapping `sx = tx*w / outW` (INTEGER division —
+    * exact, engine-reproducible, no center-offset float), and emits
+    * the resized per-channel means. The pixel sums are integers
+    * accumulated in a double and divided by the sample count then by
+    * 255 (the [[extractFeatures]] order, matching the oracle's
+    * `list_avg(...)/255`), so the means are bit-exact against an
+    * oracle that re-derives the sampled pixels analytically — the
+    * resize has to hit the exact source pixel the floor mapping
+    * names, or the hash breaks. Row-local and batched like the
+    * decode — at 100 TB this is a zero-shuffle projection whose only
+    * cost is the codec itself.
+    */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+                     outW: Int, outH: Int,
+                     batchSize: Int = 64): Dataset[ResizedFeatures] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ResizedFeatures(r.doc_id, decoded = false, 0, 0, outW, outH,
+            Array.empty[Double])
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Double](3)
+          var ty = 0
+          while (ty < outH) {
+            val sy = ty * h / outH
+            var tx = 0
+            while (tx < outW) {
+              val sx = tx * w / outW
+              val rgb = img.getRGB(sx, sy)
+              sums(0) += (rgb >> 16) & 0xff
+              sums(1) += (rgb >> 8) & 0xff
+              sums(2) += rgb & 0xff
+              tx += 1
+            }
+            ty += 1
+          }
+          ResizedFeatures(r.doc_id, decoded = true, w, h, outW, outH,
+            sums.map(_ / (outW.toLong * outH) / 255.0))
+        }
+      }))
+  }
+
   /** J2+: attach video-container metadata (duration, fps) to a binary
     * payload — the video twin of [[withMediaSchema]].
     */

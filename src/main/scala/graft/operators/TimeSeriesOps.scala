@@ -160,6 +160,84 @@ object TimeSeriesOps {
     filled.filter(col("_side") === 0).drop("_side")
   }
 
+  /** As-of FORWARD join: for each left row, the EARLIEST right value
+    * with right.ts >= left.ts, per key — pandas
+    * `merge_asof(direction='forward')`. Same union + single-sort shape
+    * as [[asofJoinBackward]], mirrored: right rows sort AFTER left
+    * rows on timestamp ties (so the inclusive >= catches a same-ts
+    * right) and a `first(value, ignoreNulls)` over (current row,
+    * unbounded following) carries the next right value back. One
+    * exchange, never broadcasts the big side.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_side", lit(0))
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val rTagged = right
+      .withColumn("_side", lit(1))
+      .select(Seq(col("_side")) ++ leftCols.map(c =>
+        if (keys.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = lTagged.unionByName(rTagged)
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v => first(col(v), ignoreNulls = true).over(w).as(v)): _*)
+    filled.filter(col("_side") === 0).drop("_side")
+  }
+
+  /** As-of NEAREST join: for each left row, the right value whose
+    * timestamp is closest in absolute distance, per key — pandas
+    * `merge_asof(direction='nearest')`, with equal-distance ties going
+    * to the EARLIER (backward) match, documented and deterministic.
+    *
+    * Still ONE exchange: both directions are windows over the same
+    * (key; ts, side) sort — the backward running-last and the forward
+    * running-first stack on a single Exchange + Sort, and the pick is
+    * a row-local comparison of exact integer microsecond distances
+    * (no float timestamp arithmetic — a double cast of an epoch loses
+    * sub-µs exactness and could flip near-ties). Right rows sort
+    * before left on timestamp ties, so a same-ts right lands in the
+    * backward frame at distance 0 and wins every tie, keeping the
+    * forward frame's tie-exclusivity harmless.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_side", lit(0))
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val rTagged = right
+      .withColumn("_side", lit(1))
+      .select(Seq(col("_side")) ++ leftCols.map(c =>
+        if (keys.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val part = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").desc)
+    val bwd = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rUs = when(col("_side") === 1, unix_micros(col(tsCol)))
+    val staged = lTagged.unionByName(rTagged)
+      .withColumn("_bus", last(rUs, ignoreNulls = true).over(bwd))
+      .withColumn("_fus", first(rUs, ignoreNulls = true).over(fwd))
+      .withColumn("_tb", col("_fus").isNull || (col("_bus").isNotNull &&
+        unix_micros(col(tsCol)) - col("_bus") <=
+          col("_fus") - unix_micros(col(tsCol))))
+    staged
+      .select(Seq(col("_side")) ++ leftCols.map(col) ++
+        rightVals.map(v =>
+          when(col("_tb"), last(col(v), ignoreNulls = true).over(bwd))
+            .otherwise(first(col(v), ignoreNulls = true).over(fwd)).as(v)): _*)
+      .filter(col("_side") === 0).drop("_side", "_tb")
+  }
+
   /** Linear gap interpolation per key (A5; reference melt_model.py:403
     * `interpolate(method='linear')` with pandas defaults): interior
     * nulls are linearly interpolated between the nearest non-null

@@ -59,6 +59,27 @@ object MultimodalQueries extends QueryPack {
         r6(element_at(col("features"), 3)).as("mean_b"))
   }
 
+  /** J2+ `mm_resize` — REAL decode + nearest-neighbor resize to 4×3,
+    * oracled: source images span 2..7 × 3..6 px so both up- and
+    * down-sampling paths run. The oracle re-derives each SAMPLED
+    * pixel analytically — target (tx, ty) reads source
+    * (tx*w/4, ty*h/3) by integer floor division, channel values from
+    * the shared synthesis formula — so a hash match proves the resize
+    * touched exactly the pixels the mapping names.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPngPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.resizeFeatures(s, media, outW = 4, outH = 3, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("src_width"), col("src_height"),
+        col("out_width"), col("out_height"),
+        r6(element_at(col("means"), 1)).as("mean_r"),
+        r6(element_at(col("means"), 2)).as("mean_g"),
+        r6(element_at(col("means"), 3)).as("mean_b"))
+  }
+
   /** J2+ `mm_frames` — video frame-sampling plumbing: one row per
     * 500 ms of each clip, with the frame index a decoder would seek to
     * and the (stubbed) frame-byte slice, validated by its exact length.
@@ -92,6 +113,7 @@ object MultimodalQueries extends QueryPack {
     "mm_schema" -> mmSchema,
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
+    "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +135,34 @@ object MultimodalQueries extends QueryPack {
         |      k -> (11 * doc_id + 13 * k) % 256)) / 255.0 AS mb
         |  FROM d)
         |SELECT doc_id, img_width, img_height, CAST(3 AS INT) AS channels,
+        |  floor(mr * 1000000 + 0.5001) / 1000000 AS mean_r,
+        |  floor(mg * 1000000 + 0.5001) / 1000000 AS mean_g,
+        |  floor(mb * 1000000 + 0.5001) / 1000000 AS mean_b
+        |FROM m""".stripMargin,
+    // the resize oracle samples the same (tx*w/4, ty*h/3) source
+    // pixels by integer floor division and averages the synthesis
+    // formula's channel values over the 12 sampled cells — list_avg
+    // then /255, the mm_decode division order
+    "mm_resize" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS src_width,
+        |    CAST(doc_id % 4 + 3 AS INT) AS src_height
+        |  FROM documents),
+        |k AS (SELECT doc_id, src_width, src_height,
+        |    list_transform(range(0, 12), t ->
+        |      ((t // 4) * src_height // 3) * src_width
+        |        + ((t % 4) * src_width // 4)) AS ks
+        |  FROM d),
+        |m AS (SELECT doc_id, src_width, src_height,
+        |    list_avg(list_transform(ks, k -> (doc_id + 3 * k) % 256))
+        |      / 255.0 AS mr,
+        |    list_avg(list_transform(ks, k -> (5 * doc_id + 7 * k) % 256))
+        |      / 255.0 AS mg,
+        |    list_avg(list_transform(ks, k -> (11 * doc_id + 13 * k) % 256))
+        |      / 255.0 AS mb
+        |  FROM k)
+        |SELECT doc_id, src_width, src_height,
+        |  CAST(4 AS INT) AS out_width, CAST(3 AS INT) AS out_height,
         |  floor(mr * 1000000 + 0.5001) / 1000000 AS mean_r,
         |  floor(mg * 1000000 + 0.5001) / 1000000 AS mean_g,
         |  floor(mb * 1000000 + 0.5001) / 1000000 AS mean_b

@@ -57,6 +57,37 @@ object TimeSeriesQueries extends QueryPack {
         col("value"), col("ref_value"))
   }
 
+  /** A4f `ts_asof_forward` — the forward direction of the same join:
+    * each click/view gets the NEXT purchase value at-or-after it
+    * (pandas `merge_asof(direction='forward')`).
+    */
+  def tsAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = e(s, dir)
+    val left = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+    TimeSeriesOps.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("ref_value"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value"), col("ref_value"))
+  }
+
+  /** A4n `ts_asof_nearest` — the nearest direction: each click/view
+    * gets the purchase value closest in absolute time (ties to the
+    * earlier match), `merge_asof(direction='nearest')`. The pick runs
+    * on exact integer microsecond distances on both engines.
+    */
+  def tsAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = e(s, dir)
+    val left = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+    TimeSeriesOps.asofJoinNearest(left, right, Seq("user_id"), "ts", Seq("ref_value"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value"), col("ref_value"))
+  }
+
   /** A5 `ts_interpolate` — linear gap fill (melt_model.py:403); gaps are
     * synthesized deterministically (every 10th event).
     */
@@ -128,6 +159,8 @@ object TimeSeriesQueries extends QueryPack {
     "ts_rolling_multi" -> tsRollingMulti,
     "ts_resample_1d" -> tsResample1d,
     "ts_asof_join" -> tsAsofJoin,
+    "ts_asof_forward" -> tsAsofForward,
+    "ts_asof_nearest" -> tsAsofNearest,
     "ts_interpolate" -> tsInterpolate,
     "ts_doy" -> tsDoy,
     "ts_infer_sampling" -> tsInferSampling,

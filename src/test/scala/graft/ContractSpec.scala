@@ -28,7 +28,7 @@ class ContractSpec extends AnyFunSuite {
       "dedup_contam_frac", "dedup_overlap", "dedup_profile", "text_pii",
       "ann_brute", "ann_lsh", "ann_ivf", "ann_knn_join", "emb_centroids",
       "text_tokens", "text_langid", "text_quality", "text_fingerprint", "text_vocab",
-      "mm_schema", "mm_features", "mm_decode",
+      "mm_schema", "mm_features", "mm_decode", "mm_resize",
       "ev_funnel", "ds_stratified", "emb_project", "text_lm_score",
       "dedup_bloom")
     val missing = inventory.filterNot(SparkEntry.queries.contains)

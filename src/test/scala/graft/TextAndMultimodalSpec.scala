@@ -262,6 +262,56 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: nearest-neighbor resize samples the floor-mapped pixels exactly") {
+    // 2x2 image, four distinct pixels
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      (1L, baos.toByteArray, 2, 2, "png"),
+      (2L, "not an image".getBytes("UTF-8"), 9, 9, "png"))
+      .toDF("doc_id", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    // downsample to 1x1: floor mapping names source pixel (0,0) only
+    val down = Multimodal.resizeFeatures(spark, media, outW = 1, outH = 1)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(down(1L).decoded && down(1L).src_width === 2)
+    assert(down(1L).means.toSeq === Seq(1.0, 0.0, 0.0)) // pure red
+    assert(!down(2L).decoded && down(2L).means.isEmpty)  // corrupt fallback
+    // upsample to 4x4: each source pixel replicated 2x2 -> means are
+    // the full-image means (each pixel sampled equally often)
+    val up = Multimodal.resizeFeatures(spark, media, outW = 4, outH = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    val m = up(1L).means
+    assert(math.abs(m(0) - (255.0 + 0 + 0 + 255) / 4 / 255.0) < 1e-12)
+    assert(math.abs(m(1) - (0.0 + 255 + 0 + 255) / 4 / 255.0) < 1e-12)
+    assert(math.abs(m(2) - (0.0 + 0 + 255 + 255) / 4 / 255.0) < 1e-12)
+  }
+
+  test("multimodal: resize of synthesized PNGs matches the analytic floor-mapped means") {
+    val docs = Seq((3L, "x", 1L), (10L, "y", 2L), (17L, "z", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.withPngPayloads(docs, "doc_id")
+    val out = Multimodal.resizeFeatures(spark, media, outW = 4, outH = 3)
+      .collect().map(f => f.doc_id -> f).toMap
+    Seq(3L, 10L, 17L).foreach { id =>
+      val w = (id % 6 + 2).toInt; val h = (id % 4 + 3).toInt
+      val f = out(id)
+      assert(f.decoded && f.src_width === w && f.src_height === h, s"id $id")
+      val ks = for (ty <- 0 until 3; tx <- 0 until 4)
+        yield (ty * h / 3).toLong * w + (tx * w / 4)
+      def mean(m: Long, a: Long): Double =
+        ks.map(k => (m * id + a * k) % 256).sum.toDouble / 12 / 255.0
+      assert(math.abs(f.means(0) - mean(1, 3)) < 1e-12, s"id $id R")
+      assert(math.abs(f.means(1) - mean(5, 7)) < 1e-12, s"id $id G")
+      assert(math.abs(f.means(2) - mean(11, 13)) < 1e-12, s"id $id B")
+    }
+  }
+
   test("multimodal: frame sampling emits one row per interval with decoder seek indices") {
     // duration 2200 ms at 25 fps -> samples at 0/500/1000/1500/2000 ms
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef0123456789", 1200L))

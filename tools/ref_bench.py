@@ -1007,6 +1007,78 @@ def _():
     np.fill_diagonal(sims, -np.inf)
     np.argsort(-sims, axis=1)[:, :5]
 
+
+# ---- late-r7 twins -------------------------------------------------
+
+# F8: ordered funnel — the pandas way is per-step cummin scans over a
+# user-sorted frame (same strictly-after semantics as graft's windows)
+_prev_timed = timed("ev_funnel")
+def _():
+    d = ev.sort_values(["user_id", "ts", "event_id"])
+    t1 = d["ts"].where(d["event_type"] == "view")
+    t1 = t1.groupby(d["user_id"]).cummin()
+    t2 = d["ts"].where((d["event_type"] == "click") & (t1 < d["ts"]))
+    t2 = t2.groupby(d["user_id"]).cummin()
+    t3 = d["ts"].where((d["event_type"] == "purchase") & (t2 < d["ts"]))
+    g = pd.DataFrame({"u": d["user_id"], "t1": t1, "t2": t2, "t3": t3}) \
+        .groupby("u").min()
+    u1, u2, u3 = g["t1"].notna().sum(), g["t2"].notna().sum(), g["t3"].notna().sum()
+    (u1, u2, u3, u2 / u1 if u1 else None, u3 / u2 if u2 else None)
+_prev_timed(_)
+
+# L15: exact-k stratified sample by Knuth hash order
+_prev_timed = timed("ds_stratified")
+def _():
+    h = (docs_pd["doc_id"].astype("uint64") * 2654435761) % 4294967296
+    d = docs_pd.assign(_h=h).sort_values(["source", "_h", "doc_id"])
+    d.groupby("source").head(10)
+_prev_timed(_)
+
+# H5: JL sign projection — numpy matmul against the same derived matrix
+_prev_timed = timed("emb_project")
+def _():
+    def mix(k):
+        m32 = 4294967296
+        k0 = k % m32
+        s1 = ((k0 ^ (k0 >> 16)) * 73244475) % m32
+        s2 = ((s1 ^ (s1 >> 16)) * 73244475) % m32
+        return s2 ^ (s2 >> 16)
+    idx = np.arange(64)[:, None] * 8 + np.arange(8)[None, :] + 42
+    signs = np.where(mix(idx.astype(np.uint64)) < 2147483648, 1.0, -1.0)
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    v @ signs / np.sqrt(8.0)
+_prev_timed(_)
+
+# I11: bigram LM perplexity — dict counts + per-doc score
+_prev_timed = timed("text_lm_score")
+def _():
+    toks = docs_pd["text"].dropna().str.split(" ")
+    toks = toks[toks.str.len() >= 2]
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for ws in toks:
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    V = len(uni)
+    out = []
+    for did, ws in zip(toks.index, toks):
+        s = sum(np.log((big[(a, b)] + 1.0) / (uni[a] + V))
+                for a, b in zip(ws, ws[1:]))
+        n = len(ws) - 1
+        out.append((did, n, -s / n, np.exp(-s / n)))
+_prev_timed(_)
+
+# G10: Bloom gate — single-node pandas has no bounded-bits shortcut;
+# the honest equivalent is the exact hash-set membership the filter
+# approximates (footnote-4 class: the set grows with the history)
+_prev_timed = timed("dedup_bloom")
+def _():
+    hist = docs_pd[docs_pd["doc_id"] % 2 == 0]["text"]
+    batch = docs_pd[(docs_pd["doc_id"] % 2 == 1) | (docs_pd["doc_id"] % 4 == 0)]
+    seen = set(hist)
+    batch["text"].isin(seen)
+_prev_timed(_)
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
