@@ -94,18 +94,27 @@ object Dedup {
     * Returns the batch with a `maybe_dup` boolean. Sizing: ~10 bits
     * per expected item ≈ 1% FP; both knobs are explicit because the
     * filter is useless when undersized and silently so.
+    *
+    * Null texts: `xxhash64(null)` degenerates to the seed, which would
+    * silently treat every null-text row as a duplicate of every other
+    * (one null-text history doc ⇒ all null-text batch docs flagged).
+    * Null-text history rows are excluded from the build and null-text
+    * batch rows probe as `maybe_dup = false` — a null document has no
+    * content to duplicate; route nulls to a quality filter instead.
     */
   def bloomGate(history: DataFrame, batch: DataFrame, idCol: String,
                 textCol: String, expectedItems: Long = 1L << 20,
                 numBits: Long = 1L << 23): DataFrame = {
     import org.apache.spark.sql.graft.BloomFunctions
     val bytes = history
+      .filter(col(textCol).isNotNull)
       .agg(BloomFunctions.bloomFilterAgg(xxhash64(col(textCol)),
         expectedItems, numBits).as("_bf"))
       .head().getAs[Array[Byte]](0)
     if (bytes == null) batch.withColumn("maybe_dup", lit(false))
     else batch.withColumn("maybe_dup",
-      BloomFunctions.mightContain(bytes, xxhash64(col(textCol))))
+      col(textCol).isNotNull &&
+        BloomFunctions.mightContain(bytes, xxhash64(col(textCol))))
   }
 
   /** G2: MinHash + banded LSH near-dup pairs.

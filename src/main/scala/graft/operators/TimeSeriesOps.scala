@@ -133,7 +133,10 @@ object TimeSeriesOps {
     * a running `last(value, ignoreNulls)` carries the right value
     * forward. O(n log n) per key and never broadcasts the big side —
     * this beats a per-row range lookup at scale. Right rows sort before
-    * left rows on timestamp ties (asof is inclusive).
+    * left rows on timestamp ties (asof is inclusive). Right rows that
+    * share (key, ts) are ordered by their value columns (nulls first)
+    * so the carried value is deterministic, not partition-order-defined:
+    * backward's running-last picks the LARGEST value among exact ties.
     *
     * @param rightVals right-side value columns to carry (left must not
     *                  already contain columns with these names)
@@ -151,8 +154,9 @@ object TimeSeriesOps {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(col): _*)
+    val tie = struct(rightVals.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").desc)
+      .orderBy(col(tsCol).asc, col("_side").desc, tie.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .select(Seq(col("_side")) ++ leftCols.map(col) ++
@@ -167,7 +171,9 @@ object TimeSeriesOps {
     * rows on timestamp ties (so the inclusive >= catches a same-ts
     * right) and a `first(value, ignoreNulls)` over (current row,
     * unbounded following) carries the next right value back. One
-    * exchange, never broadcasts the big side.
+    * exchange, never broadcasts the big side. Right rows sharing
+    * (key, ts) carry the same value-column tie-break as backward
+    * (forward's running-first picks the SMALLEST value among ties).
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       tsCol: String, rightVals: Seq[String]): DataFrame = {
@@ -182,8 +188,9 @@ object TimeSeriesOps {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(col): _*)
+    val tie = struct(rightVals.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, tie.asc_nulls_first)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = lTagged.unionByName(rTagged)
       .select(Seq(col("_side")) ++ leftCols.map(col) ++
@@ -197,14 +204,19 @@ object TimeSeriesOps {
     * to the EARLIER (backward) match, documented and deterministic.
     *
     * Still ONE exchange: both directions are windows over the same
-    * (key; ts, side) sort — the backward running-last and the forward
-    * running-first stack on a single Exchange + Sort, and the pick is
-    * a row-local comparison of exact integer microsecond distances
-    * (no float timestamp arithmetic — a double cast of an epoch loses
-    * sub-µs exactness and could flip near-ties). Right rows sort
-    * before left on timestamp ties, so a same-ts right lands in the
-    * backward frame at distance 0 and wins every tie, keeping the
-    * forward frame's tie-exclusivity harmless.
+    * (key; ts, side, tie) sort — the backward running-last and the
+    * forward running-first each carry ONE struct holding the right
+    * row's timestamp AND its value columns, so the distance decision
+    * and the returned values always come from the same right row (a
+    * nearest right row whose value is null matches and yields null —
+    * pandas row semantics — rather than silently skipping to a
+    * farther row). The pick is a row-local comparison of exact
+    * integer microsecond distances (no float timestamp arithmetic — a
+    * double cast of an epoch loses sub-µs exactness and could flip
+    * near-ties). Right rows sort before left on timestamp ties, so a
+    * same-ts right lands in the backward frame at distance 0 and wins
+    * every tie; right rows sharing (key, ts) are ordered by their
+    * value columns (nulls first) so the carried row is deterministic.
     */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                       tsCol: String, rightVals: Seq[String]): DataFrame = {
@@ -219,23 +231,30 @@ object TimeSeriesOps {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(col): _*)
+    val tie = struct(rightVals.map(col): _*)
     val part = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").desc)
+      .orderBy(col(tsCol).asc, col("_side").desc, tie.asc_nulls_first)
     val bwd = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rUs = when(col("_side") === 1, unix_micros(col(tsCol)))
+    // one struct per right row: its exact-µs timestamp plus ALL carried
+    // values — non-null whenever the row is a right row, even if every
+    // value in it is null, so IGNORE NULLS skips sides, never values
+    val pt = when(col("_side") === 1,
+      struct(unix_micros(col(tsCol)).as("_t") +: rightVals.map(col): _*))
+    val us = unix_micros(col(tsCol))
     val staged = lTagged.unionByName(rTagged)
-      .withColumn("_bus", last(rUs, ignoreNulls = true).over(bwd))
-      .withColumn("_fus", first(rUs, ignoreNulls = true).over(fwd))
-      .withColumn("_tb", col("_fus").isNull || (col("_bus").isNotNull &&
-        unix_micros(col(tsCol)) - col("_bus") <=
-          col("_fus") - unix_micros(col(tsCol))))
+      .withColumn("_b", last(pt, ignoreNulls = true).over(bwd))
+      .withColumn("_f", first(pt, ignoreNulls = true).over(fwd))
+    val pick = when(col("_f").isNull, col("_b"))
+      .when(col("_b").isNull, col("_f"))
+      .when(us - col("_b").getField("_t") <= col("_f").getField("_t") - us,
+        col("_b"))
+      .otherwise(col("_f"))
     staged
+      .withColumn("_pick", pick)
       .select(Seq(col("_side")) ++ leftCols.map(col) ++
-        rightVals.map(v =>
-          when(col("_tb"), last(col(v), ignoreNulls = true).over(bwd))
-            .otherwise(first(col(v), ignoreNulls = true).over(fwd)).as(v)): _*)
-      .filter(col("_side") === 0).drop("_side", "_tb")
+        rightVals.map(v => col("_pick").getField(v).as(v)): _*)
+      .filter(col("_side") === 0).drop("_side")
   }
 
   /** Linear gap interpolation per key (A5; reference melt_model.py:403

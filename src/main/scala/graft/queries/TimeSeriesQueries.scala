@@ -237,12 +237,63 @@ object TimeSeriesQueries extends QueryPack {
          |  UNION ALL
          |  SELECT 1, NULL, user_id, ts, NULL, ref_value FROM r),
          |f AS (SELECT *, last_value(ref_value IGNORE NULLS) OVER (
-         |        PARTITION BY user_id ORDER BY ts ASC, side DESC
+         |        PARTITION BY user_id
+         |        ORDER BY ts ASC, side DESC, ref_value ASC NULLS FIRST
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
          |      FROM u)
          |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts, value,
          |       rv AS ref_value
          |FROM f WHERE side = 0""".stripMargin,
+    "ts_asof_forward" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             event_type, value FROM events),
+         |l AS (SELECT event_id, user_id, ts, value FROM e
+         |      WHERE event_type IN ('click', 'view')),
+         |r AS (SELECT user_id, ts, value AS ref_value FROM e
+         |      WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT 0 AS side, event_id, user_id, ts, value,
+         |         CAST(NULL AS DOUBLE) AS ref_value FROM l
+         |  UNION ALL
+         |  SELECT 1, NULL, user_id, ts, NULL, ref_value FROM r),
+         |f AS (SELECT *, first_value(ref_value IGNORE NULLS) OVER (
+         |        PARTITION BY user_id
+         |        ORDER BY ts ASC, side ASC, ref_value ASC NULLS FIRST
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rv
+         |      FROM u)
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts, value,
+         |       rv AS ref_value
+         |FROM f WHERE side = 0""".stripMargin,
+    "ts_asof_nearest" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             event_type, value FROM events),
+         |l AS (SELECT event_id, user_id, ts, value FROM e
+         |      WHERE event_type IN ('click', 'view')),
+         |r AS (SELECT user_id, ts, value AS ref_value FROM e
+         |      WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT 0 AS side, event_id, user_id, ts, value,
+         |         CAST(NULL AS DOUBLE) AS ref_value FROM l
+         |  UNION ALL
+         |  SELECT 1, NULL, user_id, ts, NULL, ref_value FROM r),
+         |w AS (SELECT *,
+         |  last_value(CASE WHEN side = 1
+         |      THEN struct_pack(t := epoch_us(ts), v := ref_value) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id
+         |          ORDER BY ts ASC, side DESC, ref_value ASC NULLS FIRST
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+         |  first_value(CASE WHEN side = 1
+         |      THEN struct_pack(t := epoch_us(ts), v := ref_value) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id
+         |          ORDER BY ts ASC, side DESC, ref_value ASC NULLS FIRST
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+         |  FROM u)
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts, value,
+         |  CASE WHEN nx IS NULL THEN pr.v
+         |       WHEN pr IS NULL THEN nx.v
+         |       WHEN epoch_us(ts) - pr.t <= nx.t - epoch_us(ts) THEN pr.v
+         |       ELSE nx.v END AS ref_value
+         |FROM w WHERE side = 0""".stripMargin,
     "ts_interpolate" ->
       s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
          |b AS (SELECT event_id, user_id, ts, epoch_us(ts) AS eu,

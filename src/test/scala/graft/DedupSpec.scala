@@ -56,6 +56,18 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 2 && out.forall(_ == false))
   }
 
+  test("bloomGate: null texts never collide (a null-text history doc flags no null-text batch doc)") {
+    val history = Seq((1L, "real doc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "real doc"), (11L, null.asInstanceOf[String]),
+      (12L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.bloomGate(history, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_dup")).toMap
+    assert(out(10L) === true)   // true dup still flagged
+    assert(out(11L) === false)  // null ≠ null: xxhash64-seed collapse guarded
+    assert(out(12L) === false)
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -74,6 +74,50 @@ class TimeSeriesOpsSpec extends SparkSpec {
       Array(Some(1.0), Some(2.0), None)) // key b: no right row before 01:00
   }
 
+  test("asofJoinForward takes earliest right value at or after each left ts, per key") {
+    val left = series(("a", "2024-01-01 00:10:00", 10.0), ("a", "2024-01-01 02:00:00", 20.0),
+      ("b", "2024-01-01 01:00:00", 30.0))
+      .withColumnRenamed("v", "lv")
+    val right = series(("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 01:00:00", 2.0),
+      ("b", "2024-01-01 00:30:00", 3.0))
+      .withColumnRenamed("v", "rv")
+    val out = TimeSeriesOps.asofJoinForward(left, right, Seq("k"), "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+    // equal timestamps inclusive (right at 00:10 visible to left 00:10);
+    // key a 02:00 has no later right; key b's only right is BEFORE its left
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))) ===
+      Array(Some(1.0), None, None))
+  }
+
+  test("asofJoinNearest picks the closest right row by exact |Δt|, ties to backward") {
+    val left = series(("a", "2024-01-01 01:00:00", 10.0),
+      ("a", "2024-01-01 03:30:00", 20.0), ("a", "2024-01-01 04:30:00", 30.0))
+      .withColumnRenamed("v", "lv")
+    val right = series(("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 02:00:00", 2.0), ("a", "2024-01-01 05:00:00", 3.0))
+      .withColumnRenamed("v", "rv")
+    val out = TimeSeriesOps.asofJoinNearest(left, right, Seq("k"), "t", Seq("rv"))
+      .orderBy("t").collect()
+    // 01:00: 00:00 and 02:00 both 3600 s away -> tie goes backward (1.0)
+    // 03:30: 02:00 and 05:00 both 5400 s away -> backward (2.0)
+    // 04:30: 05:00 (1800 s) beats 02:00 (9000 s) -> forward (3.0)
+    assert(out.map(_.getAs[Double]("rv")) === Array(1.0, 2.0, 3.0))
+  }
+
+  test("asofJoinNearest: distance and value come from the SAME right row (null value carried)") {
+    val left = series(("a", "2024-01-01 01:59:00", 5.0))
+      .withColumnRenamed("v", "lv")
+    val right = series(("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 02:00:00", null))
+      .withColumnRenamed("v", "rv")
+    val out = TimeSeriesOps.asofJoinNearest(left, right, Seq("k"), "t", Seq("rv"))
+      .collect()
+    // nearest row is 02:00 (60 s away); its value is null, and THAT is
+    // what must be returned — not the farther 00:00 row's 1.0
+    assert(out.length === 1)
+    assert(Option(out(0).getAs[java.lang.Double]("rv")) === None)
+  }
+
   test("interpolateLinear: interior linear by time, trailing ffill, leading stays null") {
     val df = series(
       ("a", "2024-01-01 00:00:00", null), // leading
