@@ -758,4 +758,60 @@ object Dedup {
         concat_ws(" ", col("_kept")).as("clean_text"),
         (size(col("_ws")) - size(col("_kept"))).cast("long").as("n_cut_tokens"))
   }
+
+  /** G11: line-level cross-document boilerplate removal — the CCNet /
+    * C4 cleaning step (Wenzek et al. 2020, arXiv:1911.00359 §4.1):
+    * drop every LINE whose normalized form appears in >= `minDocs`
+    * distinct documents (navigation chrome, cookie banners,
+    * "subscribe" footers — text that repeats across pages without the
+    * pages being duplicates of each other). Complements the passage
+    * machinery: [[duplicateSpans]] finds long token runs, this finds
+    * exact recurring lines regardless of length.
+    *
+    * Matching is on `lower(trim(line))`; lines that normalize to the
+    * empty string are structure, not content — they never count
+    * toward document frequency and are never dropped. Every instance
+    * of an over-threshold line is dropped from every document
+    * (frequency across the corpus is the evidence of boilerplate;
+    * there is no "first copy" to keep). Output: (doc_id, clean_text,
+    * n_cut_lines) with surviving lines rejoined by `\n` — a doc whose
+    * every line is boilerplate survives with empty text (dropping it
+    * is the caller's policy; `n_cut_lines` carries the accounting).
+    *
+    * Scale shape: lines are hashed to 8-byte longs inside the
+    * posexplode projection, so the document-frequency pass — the only
+    * corpus-scale aggregation — shuffles (doc_id, pos, hash), never
+    * line strings; the hot set is hash-bounded (distinct boilerplate
+    * lines, tiny vs the corpus); the cut is one doc_id equi-join of
+    * the bounded per-doc drop-position array back onto the corpus
+    * (the dedup_cut shape — AQE broadcasts the drop table when small)
+    * and a row-local indexed filter.
+    */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "_line")))
+      .select(col("doc_id"), col("pos"), lower(trim(col("_line"))).as("_norm"))
+      .filter(col("_norm") =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("_norm")).as("h"))
+    val hot = lines.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("h"))
+    val drops = lines.join(hot, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("_drop"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("_ls"))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("_kept",
+        when(col("_drop").isNull, col("_ls"))
+          .otherwise(filter(col("_ls"), (_, i) =>
+            !array_contains(col("_drop"), i))))
+      .select(col("doc_id"),
+        concat_ws("\n", col("_kept")).as("clean_text"),
+        (size(col("_ls")) - size(col("_kept"))).cast("long").as("n_cut_lines"))
+  }
 }

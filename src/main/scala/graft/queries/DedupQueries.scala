@@ -67,6 +67,29 @@ object DedupQueries extends QueryPack {
     Dedup.cutDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
       windowTokens = 8, minDocs = 2)
 
+  /** G11 `text_lines_dedup` — CCNet-style line-level boilerplate
+    * removal: drop every line whose normalized form appears in >= 2
+    * distinct documents. The corpus texts are single-line token
+    * streams, so the query synthesizes deterministic lines first —
+    * 10-token segments joined by `\n` (the ts_interpolate
+    * convention of deriving the tested structure from the data) —
+    * then cuts cross-doc recurring lines. Fully oracled: DuckDB
+    * re-derives the segments, counts normalized-line document
+    * frequency on the strings (standing in for the xxhash64 values,
+    * the dedup_substring convention), and re-cuts with an indexed
+    * list_filter, so the hash compare proves the hot-line set AND the
+    * exact surviving line sequence of every document.
+    */
+  def textLinesDedup(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nLines = ceil(size(ws) / lit(10.0)).cast("int")
+    val lined = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))).as("text"))
+    Dedup.dropBoilerplateLines(lined, "doc_id", "text", minDocs = 2)
+  }
+
   /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -209,6 +232,7 @@ object DedupQueries extends QueryPack {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_bloom" -> dedupBloom,
     "dedup_substring" -> dedupSubstring,
+    "text_lines_dedup" -> textLinesDedup,
     "dedup_incremental" -> dedupIncremental,
     "dedup_decontam" -> dedupDecontam,
     "dedup_contam_frac" -> dedupContamFrac,
@@ -344,6 +368,34 @@ object DedupQueries extends QueryPack {
         |SELECT doc_id,
         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_cut_tokens
+        |FROM k""".stripMargin,
+    // the synthesized 10-token segments + normalized-line document
+    // frequency; line STRINGS stand in for the xxhash64 values
+    "text_lines_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id,
+        |    list_transform(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1),
+        |      i -> array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ')) AS lines
+        |  FROM t),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(lines) + 1),
+        |    i -> {'pos': i - 1, 'norm': lower(trim(lines[i]))})) AS pl
+        |  FROM d),
+        |ll AS (SELECT doc_id, pl.pos AS pos, pl.norm AS norm FROM l
+        |  WHERE pl.norm <> ''),
+        |hot AS (SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM ll)
+        |  GROUP BY norm HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM ll JOIN hot USING (norm)),
+        |agg AS (SELECT doc_id, list(pos) AS drops FROM f GROUP BY doc_id),
+        |k AS (SELECT d.doc_id, d.lines,
+        |    CASE WHEN a.drops IS NULL THEN d.lines
+        |         ELSE list_filter(d.lines, (x, i) ->
+        |           NOT list_contains(a.drops, i - 1))
+        |    END AS kept
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_cut_lines
         |FROM k""".stripMargin,
     "dedup_jaccard" ->
       """WITH s AS (SELECT doc_id, source,

@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) === false)
   }
 
+  test("dropBoilerplateLines cuts cross-doc lines, keeps within-doc repeats and empty lines") {
+    val docs = Seq(
+      (1L, "Breaking News\nunique story one\nSubscribe now!"),
+      (2L, "breaking news \nunique story two\nSubscribe now!"),
+      (3L, "totally original\n\nsubscribe now!"),
+      (4L, "repeat me\nrepeat me")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_cut_lines"))).toMap
+    // "breaking news" matches across docs 1/2 through lower+trim
+    // normalization; "subscribe now!" is in three docs — every
+    // instance of both is dropped
+    assert(out(1L) === ("unique story one", 2L))
+    assert(out(2L) === ("unique story two", 2L))
+    // doc 3's empty line is structure: never counted, never dropped
+    assert(out(3L) === ("totally original\n", 1L))
+    // doc 4 repeats a line WITHIN one doc: document frequency is over
+    // distinct docs, so it stays — repetition is text_repetition's job
+    assert(out(4L) === ("repeat me\nrepeat me", 0L))
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -157,6 +157,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("text_lines_dedup: line DF shuffles hashes as longs; only the cut join moves document content") {
+    // the Scaladoc's scale claim: raw line strings never reach an
+    // Exchange — the document-frequency pass ships (doc_id, pos,
+    // xxhash64) longs, and the only exchange carrying document content
+    // (the array<string> line split) is the single doc_id cut join
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = DedupQueries.textLinesDedup(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffles in the line-DF plan")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == StringType),
+          s"a raw line string is being shuffled:\n$e")
+      }
+      val contentMoves = exchanges.count(_.output.exists(
+        _.dataType == ArrayType(StringType, containsNull = false)))
+      assert(contentMoves <= 1,
+        s"document content crossed $contentMoves exchanges; only the cut join may move it")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("dedup_contam_frac never moves the corpus — a zero-exchange codegen projection") {
     // the whole-corpus contamination score: bench hashes are a bounded
     // driver-side set, so shingling, sizing, and set-count membership
