@@ -288,6 +288,119 @@ object Multimodal {
           col("start_sample")) * 2).as("byte_len"))
   }
 
+  /** Deterministic PCM formula shared by the WAV synthesis and the
+    * DuckDB oracle: sample k of clip `id` is
+    * `((31·id + 17·k) mod 65536) − 32768` — an exact int16, so the
+    * expected per-window means are computable in plain SQL and the
+    * real decode can be hash-compared against them (the synthPixel
+    * convention, one octave down).
+    */
+  private def synthSample(id: Long, k: Long): Int =
+    (((31 * id + 17 * k) % 65536) - 32768).toInt
+
+  /** The ONE definition of the synthesized clip length in samples —
+    * shared by the renderer and the oracle so they cannot drift.
+    */
+  private def synthClipSamples(id: Long): Int = (id % 120 + 40).toInt
+
+  /** Render one tiny mono clip for `id` ([[synthClipSamples]] samples
+    * at 8 kHz) and encode it as REAL WAV bytes (RIFF container,
+    * PCM s16le) with the JDK's javax.sound.sampled encoder.
+    */
+  private[graft] def wavPayload(id: Long): Array[Byte] = {
+    val n = synthClipSamples(id)
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = synthSample(id, k)
+      data(2 * k) = (s & 0xff).toByte
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  case class AudioRecord(doc_id: Long, payload: Array[Byte])
+
+  /** J3: real-WAV payload synthesis — the audio twin of
+    * [[withPngPayloads]]: the container ships no audio corpus, so each
+    * doc id renders to a tiny deterministic WAV clip (real RIFF
+    * encoder, 40..159 samples). Row-local, no shuffle.
+    */
+  def withWavPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => AudioRecord(id, wavPayload(id)))
+      .select(col("doc_id"), col("payload"))
+  }
+
+  case class AudioWindowMeans(doc_id: Long, decoded: Boolean,
+                              sample_rate: Int, n_samples: Long,
+                              start_sample: Long, end_sample: Long,
+                              mean_amp: Double)
+
+  /** J3: REAL batched WAV decode + fixed-hop window means — the audio
+    * analogue of [[extractFeatures]]: javax.sound.sampled parses the
+    * RIFF container (sample rate, channel count, frame length all come
+    * from the DECODER, not ridden-along metadata), the PCM s16le
+    * samples are parsed exactly, and each `hopSamples`-strided window
+    * emits its exact integer-sum mean amplitude — bit-comparable
+    * against an oracle that re-derives the samples analytically. A
+    * payload the codec cannot read (or any format other than 16-bit
+    * signed little-endian mono PCM) degrades to one `decoded = false`
+    * row — the per-row corrupt fallback every 100 TB decode needs.
+    * Row-local and batched like the image path: zero shuffle.
+    */
+  def decodeAudioWindows(spark: SparkSession, media: DataFrame,
+                         windowSamples: Int, hopSamples: Int,
+                         batchSize: Int = 64): Dataset[AudioWindowMeans] = {
+    require(windowSamples > 0 && hopSamples > 0,
+      "windowSamples and hopSamples must be positive")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[AudioRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        val fmt = if (ais == null) null else ais.getFormat
+        if (fmt == null ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian)
+          Seq(AudioWindowMeans(r.doc_id, decoded = false, 0, 0L, 0L, 0L, 0.0))
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val sr = fmt.getSampleRate.toInt
+          val out = Seq.newBuilder[AudioWindowMeans]
+          var start = 0
+          while (start < n) {
+            val end = math.min(start + windowSamples, n)
+            var sum = 0L
+            var k = start
+            while (k < end) {
+              // s16le: low byte unsigned, high byte signed
+              sum += ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8))
+              k += 1
+            }
+            out += AudioWindowMeans(r.doc_id, decoded = true, sr, n.toLong,
+              start.toLong, end.toLong, sum.toDouble / (end - start))
+            start += hopSamples
+          }
+          out.result()
+        }
+      }))
+  }
+
   /** J2+: frame sampling — one output row per sampled frame, every
     * `everyMs` milliseconds of the clip: frame timestamp, the frame
     * index a decoder would seek to (round(ts·fps/1000)), and a

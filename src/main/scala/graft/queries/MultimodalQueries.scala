@@ -108,7 +108,29 @@ object MultimodalQueries extends QueryPack {
     Multimodal.sampleAudioWindows(audio, windowMs = 5000, hopMs = 2500)
   }
 
+  /** J3 `mm_audio_decode` — REAL audio decode, oracled like mm_decode:
+    * each doc id renders to a tiny deterministic WAV (real RIFF
+    * encoder), javax.sound.sampled re-parses the container (sample
+    * rate, mono s16le format, frame count all come from the decoder),
+    * and 32-sample windows hopping 16 emit exact integer-sum mean
+    * amplitudes, hash-compared against a DuckDB oracle that re-derives
+    * every sample from the shared formula
+    * `(31·id + 17·k) mod 65536 − 32768` — the decode has to reproduce
+    * the PCM bit-for-bit to pass.
+    */
+  def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val audio = Multimodal.withWavPayloads(Tables.documents(s, dir), "doc_id")
+    Multimodal.decodeAudioWindows(s, audio, windowSamples = 32,
+        hopSamples = 16, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("start_sample"), col("end_sample"),
+        r6(col("mean_amp")).as("mean_amp"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_schema" -> mmSchema,
     "mm_features" -> mmFeatures,
@@ -121,6 +143,25 @@ object MultimodalQueries extends QueryPack {
     // per-channel means analytically from the synthesis pixel formula
     // (exact integer arithmetic), so a hash match proves the Spark side
     // decoded every PNG pixel bit-for-bit
+    // the audio oracle re-derives the PCM from the shared sample
+    // formula and averages each 32-sample window (hop 16) analytically
+    "mm_audio_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 120 + 40 AS BIGINT) AS n
+        |  FROM documents),
+        |w AS (SELECT doc_id, n, unnest(range(0, n, 16)) AS start_sample
+        |  FROM d),
+        |m AS (SELECT doc_id, n, start_sample,
+        |    least(start_sample + 32, n) AS end_sample
+        |  FROM w),
+        |a AS (SELECT doc_id, n, start_sample, end_sample,
+        |    list_avg(list_transform(range(start_sample, end_sample),
+        |      k -> (31 * doc_id + 17 * k) % 65536 - 32768)) AS mean_amp
+        |  FROM m)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  start_sample, end_sample,
+        |  floor(mean_amp * 1000000 + 0.5001) / 1000000 AS mean_amp
+        |FROM a""".stripMargin,
     "mm_decode" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(doc_id % 6 + 2 AS INT) AS img_width,

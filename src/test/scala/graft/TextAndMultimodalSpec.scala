@@ -262,6 +262,45 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: synthesized WAV payloads decode back to the analytic window means") {
+    val docs = Seq((5L, "x", 1L), (42L, "y", 2L), (119L, "z", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val audio = Multimodal.withWavPayloads(docs, "doc_id")
+    val out = Multimodal
+      .decodeAudioWindows(spark, audio, windowSamples = 32, hopSamples = 16)
+      .collect().groupBy(_.doc_id)
+    Seq(5L, 42L, 119L).foreach { id =>
+      val n = (id % 120 + 40).toInt
+      val rows = out(id).sortBy(_.start_sample)
+      // decoder-reported container facts, not ridden-along metadata
+      assert(rows.forall(r => r.decoded && r.sample_rate === 8000 &&
+        r.n_samples === n.toLong), s"id $id")
+      // hop-16 window starts strictly below n
+      assert(rows.map(_.start_sample).toSeq ===
+        (0 until n by 16).map(_.toLong), s"id $id starts")
+      rows.foreach { r =>
+        val e = math.min(r.start_sample + 32, n.toLong)
+        assert(r.end_sample === e)
+        val exp = (r.start_sample until e)
+          .map(k => ((31 * id + 17 * k) % 65536 - 32768).toDouble)
+        assert(math.abs(r.mean_amp - exp.sum / exp.size) < 1e-12,
+          s"id $id window ${r.start_sample}")
+      }
+    }
+  }
+
+  test("multimodal: corrupt or non-s16le-mono audio degrades to one decoded=false row") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.AudioRecord(1L, "not a wav at all".getBytes("UTF-8")),
+      Multimodal.AudioRecord(2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal
+      .decodeAudioWindows(spark, bad, windowSamples = 32, hopSamples = 16)
+      .collect()
+    assert(out.length === 2 && out.forall(r => !r.decoded))
+  }
+
   test("multimodal: nearest-neighbor resize samples the floor-mapped pixels exactly") {
     // 2x2 image, four distinct pixels
     val img = new java.awt.image.BufferedImage(
