@@ -237,6 +237,71 @@ object Streaming {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_id: Long, event_type: String)
+  case class FunnelState(stepTimes: Seq[Option[Long]],
+                         pending: Seq[(Long, Long, String)])
+  case class FunnelStepOut(user_id: Long, step: Int, event_type: String,
+                           step_ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Funnel.orderedFunnel]]: emits
+    * one row per (user, step) the first time the user completes that
+    * funnel step — step i counts when an event of `steps(i)`'s type
+    * occurs STRICTLY after the user's earliest completion of step i−1
+    * (same strict-< chain as the batch window formulation; per-step
+    * user counts over this output equal the batch `users` column).
+    *
+    * Out-of-order safety: events are BUFFERED in per-user state and
+    * folded into the step chain only once the watermark passes them,
+    * in (ts, event_id) order — so any disorder inside the watermark
+    * horizon cannot mis-order the chain, and anything later is dropped
+    * by the watermark like every other keyed-state operator here. An
+    * event-time timeout drains a user's buffer when no new events
+    * arrive for them. State is the k step timestamps plus only the
+    * not-yet-ripe events — bounded by the user's event rate times the
+    * watermark horizon, the same bound sessionization lives with.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[FunnelEvent],
+                   steps: Seq[String], watermarkDelay: String = "1 hour")
+      : Dataset[FunnelStepOut] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStepOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, batch, state: GroupState[FunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelState(Seq.fill(steps.size)(None), Nil))
+          val incoming = batch
+            .filter(e => stepIdx.contains(e.event_type))
+            .map(e => (e.ts.getTime, e.event_id, e.event_type)).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, hold) = (prev.pending ++ incoming).partition(_._1 <= wm)
+          val times = prev.stepTimes.toArray
+          val emits = Seq.newBuilder[FunnelStepOut]
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (t, _, typ) =>
+            val i = stepIdx(typ)
+            val qualifies = i == 0 || times(i - 1).exists(_ < t)
+            if (qualifies && times(i).forall(t < _)) {
+              times(i) = Some(t)
+              emits += FunnelStepOut(userId, i + 1, typ,
+                new java.sql.Timestamp(t))
+            }
+          }
+          if (hold.isEmpty && times.forall(_.isEmpty)) state.remove()
+          else {
+            state.update(FunnelState(times.toSeq, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          }
+          emits.result().iterator
+      }
+  }
+
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,
                         total_value: Double)

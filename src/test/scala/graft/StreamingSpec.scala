@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streaming
-import graft.streaming.Streaming.SessionEvent
+import graft.streaming.Streaming.{FunnelEvent, SessionEvent}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -249,6 +249,64 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((ts("2024-01-01 01:00:00"), 3.0, 2L)))
       // the [01:00, 03:00) slide holds only the 01:30 event -> at 02:00
       assert(rows.contains((ts("2024-01-01 02:00:00"), 4.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("funnelStream parity: per-step user counts match the batch ordered funnel, under disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // the shared fixture: user 1 completes all three; user 2's first
+    // click precedes their view (doesn't convert) but a later one does;
+    // user 3's click ties the view timestamp (strict < : no conversion)
+    val fixture = Seq(
+      FunnelEvent(1L, ts("2024-01-01 00:00:00"), 10L, "view"),
+      FunnelEvent(1L, ts("2024-01-01 00:01:00"), 11L, "click"),
+      FunnelEvent(1L, ts("2024-01-01 00:02:00"), 12L, "purchase"),
+      FunnelEvent(2L, ts("2024-01-01 00:00:00"), 20L, "click"),
+      FunnelEvent(2L, ts("2024-01-01 00:01:00"), 21L, "view"),
+      FunnelEvent(2L, ts("2024-01-01 00:05:00"), 22L, "click"),
+      FunnelEvent(3L, ts("2024-01-01 00:03:00"), 30L, "view"),
+      FunnelEvent(3L, ts("2024-01-01 00:03:00"), 31L, "click"))
+
+    val input = MemoryStream[FunnelEvent]
+    val out = Streaming.funnelStream(spark, input.toDS(), steps,
+      watermarkDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // deliver OUT OF ORDER within one batch (disorder beyond the
+      // watermark horizon is dropped by contract, like every keyed
+      // stream here): the state buffer must re-order before folding
+      input.addData(fixture(2), fixture(7), fixture(5), fixture(0),
+        fixture(3), fixture(6), fixture(1), fixture(4))
+      q.processAllAvailable()
+      // watermark pushers: fold the buffered events, then fire timeouts
+      input.addData(FunnelEvent(99L, ts("2024-01-01 01:00:00"), 990L, "noop"))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99L, ts("2024-01-01 02:00:00"), 991L, "noop"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("funnel_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+          r.getAs[java.sql.Timestamp]("step_ts")))
+      assert(streamed.toSet === Set(
+        (1L, 1, ts("2024-01-01 00:00:00")),
+        (1L, 2, ts("2024-01-01 00:01:00")),
+        (1L, 3, ts("2024-01-01 00:02:00")),
+        (2L, 1, ts("2024-01-01 00:01:00")),
+        (2L, 2, ts("2024-01-01 00:05:00")),
+        (3L, 1, ts("2024-01-01 00:03:00"))))
+
+      // parity: per-step distinct users equal the batch funnel's counts
+      val batch = graft.operators.Funnel.orderedFunnel(
+        fixture.toDF(), "user_id", "ts", "event_id", "event_type", steps)
+        .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+      val byStep = streamed.groupBy(_._2).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      steps.indices.foreach { i =>
+        assert(byStep.getOrElse(i + 1, 0L) === batch(i + 1L),
+          s"step ${i + 1} stream/batch count")
+      }
     } finally q.stop()
   }
 
