@@ -19,31 +19,34 @@ import graft.functions.cosineSimilarity
   */
 object Similarity {
 
-  /** Deterministic +/-1 hyperplanes (seeded), as literal columns. */
-  private def planes(numBits: Int, dim: Int, seed: Long): Seq[Column] = {
+  /** Deterministic +/-1 hyperplanes (seeded) — the matrix embedded in
+    * the banding expression. Same Random-consumption order as the
+    * original literal-column formulation, so the planes — and every
+    * downstream candidate set — are bit-identical across the rewrite.
+    */
+  private def planes(numBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(numBits)(array(Seq.fill(dim)(
-      lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*))
+    Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
   /** Sign-of-dot-product bit per hyperplane, packed into band values of
     * `bitsPerBand` bits each. Output: idCol, band (index), bv (value).
+    *
+    * The whole signature is ONE row-local codegen expression
+    * ([[org.apache.spark.sql.graft.HyperplaneBandValues]]) + posexplode
+    * — the MinHashSignature shape. The previous formulation (numBits
+    * `when(vectorDot > 0)` columns summed per band) built an expression
+    * tree too large for whole-stage codegen, dropping the projection to
+    * interpreted eval (measured 1.8 s of dedup_embed's 2.9 s wall).
+    * Null-vector rows produce NO band rows (a shared null bucket would
+    * pair every null-vector doc with every other).
     */
   def lshBands(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-               numBits: Int, bitsPerBand: Int, seed: Long = 42L): DataFrame = {
-    require(numBits % bitsPerBand == 0)
-    val v = col(vecCol).cast("array<double>")
-    val bits = planes(numBits, dim, seed).map(p =>
-      when(org.apache.spark.sql.graft.VectorExpressions.vectorDot(v, p) > 0, 1L).otherwise(0L))
-    val bands = (0 until numBits / bitsPerBand).map { b =>
-      val bv = (0 until bitsPerBand)
-        .map(j => bits(b * bitsPerBand + j) * (1L << j))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), bv.as("bv"))
-    }
-    df.select(col(idCol), explode(array(bands: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bv").as("bv"))
-  }
+               numBits: Int, bitsPerBand: Int, seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+      posexplode(org.apache.spark.sql.graft.VectorExpressions
+        .hyperplaneBands(col(vecCol), planes(numBits, dim, seed), bitsPerBand))
+        .as(Seq("band", "bv")))
 
   /** Exact-cosine verification of a candidate pair list: two equi-joins
     * pull each side's vector, one fused codegen cosine per pair, filter

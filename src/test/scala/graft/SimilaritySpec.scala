@@ -31,6 +31,58 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("vec_id") == 9L && r.isNullAt(1)))
   }
 
+  test("HyperplaneBandValues matches the per-plane vectorDot formulation bit-for-bit") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val numBits = 16; val bitsPerBand = 4; val dim = 8
+    // randomized vectors + a length-mismatched row (bit 0 contract)
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1))) :+
+      (99L, Array(1.0, 2.0)) // wrong dim -> all-zero bands
+    val df = rows.toDF("vec_id", "embedding")
+    // the replaced formulation: one when(vectorDot > 0) column per bit
+    val planesRnd = new scala.util.Random(42L)
+    val planeMats = Seq.fill(numBits)(Seq.fill(dim)(
+      if (planesRnd.nextBoolean()) 1.0 else -1.0))
+    val v = col("embedding").cast("array<double>")
+    val bits = planeMats.map(p => when(
+      VectorExpressions.vectorDot(v, lit(p.toArray)) > 0, 1L).otherwise(0L))
+    val oldBands = (0 until numBits / bitsPerBand).map { b =>
+      (0 until bitsPerBand).map(j => bits(b * bitsPerBand + j) * (1L << j))
+        .reduce(_ + _).as(s"b$b")
+    }
+    val old = df.select(col("vec_id") +: oldBands: _*)
+    val neu = df.select(col("vec_id"),
+      VectorExpressions.hyperplaneBands(v, planeMats, bitsPerBand).as("bv"))
+    val joined = old.join(neu, "vec_id").collect()
+    assert(joined.length === rows.length)
+    joined.foreach { r =>
+      val bv = r.getAs[scala.collection.Seq[Long]]("bv")
+      (0 until numBits / bitsPerBand).foreach(b =>
+        assert(bv(b) === r.getAs[Long](s"b$b"),
+          s"vec ${r.getAs[Long]("vec_id")} band $b"))
+    }
+    // null vector -> null array (NO bands; the null-collapse guard),
+    // in both codegen and interpreted eval
+    val withNull = Seq((1L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    assert(withNull.select(VectorExpressions
+      .hyperplaneBands(col("embedding"), planeMats, bitsPerBand)).head.isNullAt(0))
+    val expr = org.apache.spark.sql.graft.HyperplaneBandValues(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, -1.0, 0.5, 0.5, -0.5, 1.0, -1.0, 0.25),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      planeMats, bitsPerBand)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaDf = Seq((1L, Array(1.0, -1.0, 0.5, 0.5, -0.5, 1.0, -1.0, 0.25)))
+      .toDF("vec_id", "embedding")
+      .select(VectorExpressions.hyperplaneBands(col("embedding"), planeMats,
+        bitsPerBand)).head.getAs[scala.collection.Seq[Long]](0)
+    assert(interp.toSeq === viaDf.toSeq)
+  }
+
   test("LSH ANN finds an identical vector (same signature in every band)") {
     val out = Similarity.lshTopK(corpus, "vec_id", "embedding", 8, query, 2)
       .collect()
