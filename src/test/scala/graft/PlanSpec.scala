@@ -183,6 +183,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dedup_embed banding stays inside whole-stage codegen (no interpreted projection)") {
+    // the r8 regression guard: the banding projection fell out of
+    // codegen when it was a 64-column expression tree; the packed
+    // HyperplaneBandValues expression must keep its scan+project span
+    // compiled
+    val banded = graft.similarity.Similarity.lshBands(
+      graft.tables.Tables.embeddings(spark, dir), "vec_id", "embedding",
+      64, 64, 8)
+    val plan = banded.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the whole-stage-codegen stage marker; the
+    // banding Generate node must carry it
+    assert("""\*\(\d+\) Generate posexplode\(hyperplane_band_values""".r
+      .findFirstIn(plan).isDefined,
+      s"banding projection left whole-stage codegen:\n$plan")
+  }
+
   test("dedup_contam_frac never moves the corpus — a zero-exchange codegen projection") {
     // the whole-corpus contamination score: bench hashes are a bounded
     // driver-side set, so shingling, sizing, and set-count membership

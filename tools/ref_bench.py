@@ -1079,6 +1079,70 @@ def _():
     batch["text"].isin(seen)
 _prev_timed(_)
 
+# A4f/A4n: forward / nearest merge_asof directions (per series, like
+# the backward twin above)
+_prev_timed = timed("ts_asof_forward")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        left = g[g.event_type.isin(["click", "view"])][["ts", "value"]]
+        right = g[g.event_type == "purchase"][["ts", "value"]]
+        if left.empty or right.empty:
+            continue
+        pd.merge_asof(left, right, on="ts", direction="forward",
+                      suffixes=("", "_r"))
+_prev_timed(_)
+
+_prev_timed = timed("ts_asof_nearest")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        left = g[g.event_type.isin(["click", "view"])][["ts", "value"]]
+        right = g[g.event_type == "purchase"][["ts", "value"]]
+        if left.empty or right.empty:
+            continue
+        pd.merge_asof(left, right, on="ts", direction="nearest",
+                      suffixes=("", "_r"))
+_prev_timed(_)
+
+# G11: line-level cross-doc boilerplate removal — 10-token segments,
+# normalized-line document frequency, drop every instance of DF>=2
+# lines (the single-node shape holds every line in one frame)
+_prev_timed = timed("text_lines_dedup")
+def _():
+    t = docs_pd.dropna(subset=["text"])[["doc_id", "text"]].copy()
+    ws = t["text"].str.split(" ")
+    lines = ws.apply(lambda w: [" ".join(w[i:i + 10])
+                                for i in range(0, len(w), 10)])
+    ex = t.assign(line=lines).explode("line")
+    ex["pos"] = ex.groupby("doc_id").cumcount()
+    ex["norm"] = ex["line"].str.strip().str.lower()
+    ex = ex[ex["norm"] != ""]
+    df_counts = ex.drop_duplicates(["doc_id", "norm"])["norm"].value_counts()
+    hot = set(df_counts[df_counts >= 2].index)
+    kept = ex[~ex["norm"].isin(hot)]
+    kept.groupby("doc_id")["line"].agg("\n".join)
+_prev_timed(_)
+
+# J3r: real WAV decode + 32/16 hop-window means — python wave module
+# decodes the same RIFF containers the Spark side synthesizes
+_prev_timed = timed("mm_audio_decode")
+def _():
+    import io, wave
+    for did in docs_pd["doc_id"].to_numpy():
+        n = int(did) % 120 + 40
+        k = np.arange(n, dtype=np.int64)
+        pcm = ((31 * int(did) + 17 * k) % 65536 - 32768).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        buf.seek(0)
+        with wave.open(buf, "rb") as r:
+            frames = np.frombuffer(r.readframes(r.getnframes()), dtype="<i2")
+        [frames[s:s + 32].mean() for s in range(0, len(frames), 16)]
+_prev_timed(_)
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
