@@ -628,6 +628,66 @@ object Mix {
     * Output: idCol + `chunk_idx` (0-based), `chunk_start` (0-based
     * token offset), `n_chunk_tokens`, `chunk_text`.
     */
+  /** L16: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed-bigram
+    * features are under a TARGET distribution (a curated subset
+    * standing in for "high-quality text") than under the raw corpus —
+    * `log w(doc) = Σ_grams [log p̂_target(bucket) − log p̂_corpus(bucket)]`
+    * with add-one smoothing over `numBuckets` hashed buckets. The
+    * selection policy (top-k, weight-proportional resample) is the
+    * caller's; this emits the per-doc evidence.
+    *
+    * Feature hashing is md5-based (`int(md5(gram)[0:8]) mod buckets`)
+    * — engine-portable, so the DuckDB oracle restates the identical
+    * bucketing (the text_fingerprint convention) and the whole score
+    * is hash-checked end-to-end. Docs with fewer than 2 tokens have no
+    * features and emit no row (the text_lm_score convention).
+    *
+    * Scale shape: bigram→bucket is a row-local projection + explode
+    * carrying (doc_id, bucket, is_target) — 8-byte longs, never gram
+    * strings; BOTH models fit in ONE `numBuckets`-bounded aggregation
+    * (conditional count for the target side — the target is a subset
+    * of the corpus, not a second scan); totals are a 1-row broadcast;
+    * the log-ratio table is `numBuckets` rows broadcast back; the only
+    * corpus-scale exchange is the per-doc weight sum. The gram
+    * projection is referenced twice (model fit + scoring) — both are
+    * the same cheap projection over the scan, no shuffle (the
+    * semanticNearDup recompute note).
+    *
+    * Output: (idCol, n_bigrams, logw) — logw UNROUNDED; callers on the
+    * oracle surface round once at output.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("_tgt"),
+        split(col(textCol), " ").as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col(idCol), col("_tgt"), col("_ws"),
+        explode(sequence(lit(1), size(col("_ws")) - 1)).as("_i"))
+      .select(col(idCol), col("_tgt"),
+        (conv(substring(md5(concat_ws(" ",
+            element_at(col("_ws"), col("_i")),
+            element_at(col("_ws"), col("_i") + 1))), 1, 8), 16, 10)
+          .cast("long") % numBuckets).as("bucket"))
+    val model = grams.groupBy(col("bucket")).agg(
+      count(lit(1)).as("_cq"),
+      count(when(col("_tgt"), lit(1))).as("_cp"))
+    val totals = grams.agg(
+      count(lit(1)).as("_nq"),
+      count(when(col("_tgt"), lit(1))).as("_np"))
+    val ratio = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("_cp") + 1.0) / (col("_np") + numBuckets)) -
+          log((col("_cq") + 1.0) / (col("_nq") + numBuckets))).as("_lr"))
+    grams.join(broadcast(ratio), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("_lr")).as("logw"))
+  }
+
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

@@ -171,6 +171,21 @@ object MixQueries extends QueryPack {
       "source", "n_toks", targetShares.toDF("source", "share"))
   }
 
+  /** L16 `ds_dsir` — DSIR importance weights (Xie et al. 2023): every
+    * doc scored by hashed-bigram likelihood under the target subset
+    * (doc_id % 97 == 0, the decontam benchmark convention standing in
+    * for curated text) vs the raw corpus, 1024 md5-hashed buckets,
+    * add-one smoothing. Fully oracled: DuckDB restates the md5 bucket
+    * (`CAST('0x'||substr(md5(g),1,8) AS BIGINT) % 1024`), both model
+    * fits, and the per-doc log-ratio sum; logw is r6-rounded (log ulp
+    * + float-sum order are the only engine-defined parts, the
+    * text_lm_score precedent).
+    */
+  def dsDsir(s: SparkSession, dir: String): DataFrame =
+    Mix.dsirWeights(docs(s, dir), "doc_id", "text",
+        isTarget = col("doc_id") % 97 === 0, numBuckets = 1024)
+      .select(col("doc_id"), col("n_bigrams"), r6(col("logw")).as("logw"))
+
   /** L14 `ds_drift` — corpus-distribution drift between two dataset
     * versions: per-source Jensen-Shannon divergence (bits) of the
     * n_chars histograms of the even-id vs odd-id halves of the corpus
@@ -244,6 +259,7 @@ object MixQueries extends QueryPack {
       .select(col("source"), col("sample_rank"), col("doc_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_dsir" -> dsDsir,
     "ds_stratified" -> dsStratified,
     "ds_stats" -> dsStats,
     "ds_drift" -> dsDrift,
@@ -266,6 +282,28 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // identical md5 bucketing, model counts, and smoothing; ln ulp +
+    // float-sum order are the only engine-defined parts -> r6 on logw
+    "ds_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))
+        |             AS BIGINT) % 1024)) AS bucket
+        |  FROM t WHERE len(ws) >= 2),
+        |m AS (SELECT bucket, count(*) AS cq,
+        |    count(CASE WHEN tgt THEN 1 END) AS cp
+        |  FROM g GROUP BY bucket),
+        |tot AS (SELECT count(*) AS nq,
+        |    count(CASE WHEN tgt THEN 1 END) AS np FROM g),
+        |r AS (SELECT bucket,
+        |    ln((cp + 1.0) / (np + 1024)) - ln((cq + 1.0) / (nq + 1024)) AS lr
+        |  FROM m CROSS JOIN tot)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(sum(lr) * 1000000 + 0.5001) / 1000000 AS logw
+        |FROM g JOIN r USING (bucket)
+        |GROUP BY g.doc_id""".stripMargin,
     // same Knuth hash, same (hash, doc_id) tie-break — all integer
     "ds_stratified" ->
       s"""WITH t AS (SELECT source, doc_id, ${hashU32Sql("doc_id")} AS h

@@ -212,4 +212,46 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids === Set(1L))
   }
+
+  // ---- dsirWeights --------------------------------------------------
+
+  test("dsirWeights: docs made of target-like bigrams outscore off-target docs") {
+    val targetish = "clean careful prose with structure and citations"
+    val junk = "buy now click here free offer buy now click here"
+    val docs = Seq(
+      (1L, targetish), (2L, targetish),           // the curated target
+      (3L, targetish + " plus a little more"),    // target-like raw doc
+      (4L, junk), (5L, junk)                      // off-target raw docs
+    ).toDF("doc_id", "text")
+    val out = Mix.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("doc_id") <= 2, numBuckets = 256)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 5)
+    // target-like raw doc strictly outscores the junk docs
+    assert(out(3L).getAs[Double]("logw") > out(4L).getAs[Double]("logw"))
+    // identical docs get identical weights (pure function of content)
+    assert(out(4L).getAs[Double]("logw") === out(5L).getAs[Double]("logw"))
+    // n_bigrams = token count - 1
+    assert(out(3L).getAs[Long]("n_bigrams") === 10L)
+  }
+
+  test("dsirWeights: docs without bigrams are absent; weights don't depend on partitioning") {
+    val docs = Seq((1L, "two tokens here"), (2L, "single"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Mix.dsirWeights(docs, "doc_id", "text", col("doc_id") === 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(1L))
+    // determinism under repartitioning: counts are exact integers and
+    // the ratio table is keyed, so only float-sum order could differ —
+    // and each doc's grams land in one group
+    val big = Seq.tabulate(50)(i =>
+      (i.toLong, s"word$i common text shared tail ${i % 5}"))
+      .toDF("doc_id", "text")
+    val w1 = Mix.dsirWeights(big, "doc_id", "text", col("doc_id") % 7 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    val w2 = Mix.dsirWeights(big.repartition(13), "doc_id", "text",
+        col("doc_id") % 7 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(w1 === w2)
+  }
 }
