@@ -688,6 +688,42 @@ object Mix {
         sum(col("_lr")).as("logw"))
   }
 
+  /** L16b: Gumbel-top-k importance RESAMPLING — the selection half of
+    * DSIR (Xie et al. 2023 §2: sampling k docs without replacement
+    * with probability ∝ w(doc) equals taking the top k of
+    * `log w + Gumbel noise`). The noise is hash-derived, NOT random:
+    * `g = −ln(−ln(u))` with `u = (hashU32(id) + 0.5) / 2^32` — the
+    * portable Knuth hash, so the same corpus + weights select the SAME
+    * k docs on every engine and every re-run (the reproducibility
+    * contract every sampler in this file carries).
+    *
+    * The selection key is the score ROUNDED to 1e-6 (the shared
+    * `floor(x·10⁶ + 0.5001)/10⁶` output-rounding formula) with the id
+    * as tie-break: engines agree on ln only to the last ulp, and an
+    * unrounded order could flip two docs straddling the k-cutoff by
+    * 1e-15 — on the rounded grid both engines state the identical
+    * selection.
+    *
+    * Scale shape: score is a row-local projection; `orderBy(...).limit(k)`
+    * plans as TakeOrdered — map-side partial top-k per partition, one
+    * k-row collect to the driver side of the exchange, never a full
+    * sort; the rank window then runs over k rows only.
+    *
+    * Output: (idCol, logw, score, sample_rank 1..k).
+    */
+  def dsirResample(weights: DataFrame, idCol: String, logwCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hashU32(col(idCol)).cast("double") + 0.5) / M32.toDouble
+    val gumbel = -log(-log(u))
+    val score = floor((col(logwCol) + gumbel) * 1e6 + lit(0.5001)) / 1e6
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc)
+    weights.select(col(idCol), col(logwCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+  }
+
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

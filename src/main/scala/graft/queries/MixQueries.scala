@@ -186,6 +186,22 @@ object MixQueries extends QueryPack {
         isTarget = col("doc_id") % 97 === 0, numBuckets = 1024)
       .select(col("doc_id"), col("n_bigrams"), r6(col("logw")).as("logw"))
 
+  /** L16b `ds_select` — the selection half of DSIR: Gumbel-top-k
+    * importance resampling over the `ds_dsir` weights (top 50 of
+    * `logw + hash-derived Gumbel noise` on the r6-rounded score grid,
+    * ids as tie-break). Fully oracled: the Knuth hash, the Gumbel
+    * transform, the rounding, and the (score, id) order are stated
+    * identically in DuckDB, so the oracle proves the SAME 50 documents
+    * get selected.
+    */
+  def dsSelect(s: SparkSession, dir: String): DataFrame =
+    Mix.dsirResample(
+        Mix.dsirWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("doc_id") % 97 === 0, numBuckets = 1024),
+        "doc_id", "logw", k = 50)
+      .select(col("doc_id"), r6(col("logw")).as("logw"), col("score"),
+        col("sample_rank"))
+
   /** L14 `ds_drift` — corpus-distribution drift between two dataset
     * versions: per-source Jensen-Shannon divergence (bits) of the
     * n_chars histograms of the even-id vs odd-id halves of the corpus
@@ -260,6 +276,7 @@ object MixQueries extends QueryPack {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_dsir" -> dsDsir,
+    "ds_select" -> dsSelect,
     "ds_stratified" -> dsStratified,
     "ds_stats" -> dsStats,
     "ds_drift" -> dsDrift,
@@ -304,6 +321,38 @@ object MixQueries extends QueryPack {
         |  floor(sum(lr) * 1000000 + 0.5001) / 1000000 AS logw
         |FROM g JOIN r USING (bucket)
         |GROUP BY g.doc_id""".stripMargin,
+    // the ds_dsir CTE chain + the Knuth-hash Gumbel noise and the
+    // shared rounding formula; selection is on the rounded grid so
+    // both engines state the identical 50 docs
+    "ds_select" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 8))
+         |             AS BIGINT) % 1024)) AS bucket
+         |  FROM t WHERE len(ws) >= 2),
+         |m AS (SELECT bucket, count(*) AS cq,
+         |    count(CASE WHEN tgt THEN 1 END) AS cp
+         |  FROM g GROUP BY bucket),
+         |tot AS (SELECT count(*) AS nq,
+         |    count(CASE WHEN tgt THEN 1 END) AS np FROM g),
+         |r AS (SELECT bucket,
+         |    ln((cp + 1.0) / (np + 1024)) - ln((cq + 1.0) / (nq + 1024)) AS lr
+         |  FROM m CROSS JOIN tot),
+         |w AS (SELECT g.doc_id, sum(lr) AS logw
+         |  FROM g JOIN r USING (bucket) GROUP BY g.doc_id),
+         |sc AS (SELECT doc_id, logw,
+         |    floor((logw - ln(-ln((${hashU32Sql("doc_id")} + 0.5)
+         |      / 4294967296.0))) * 1000000 + 0.5001) / 1000000 AS score
+         |  FROM w)
+         |SELECT doc_id,
+         |  floor(logw * 1000000 + 0.5001) / 1000000 AS logw, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |    AS BIGINT) AS sample_rank
+         |FROM sc
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 50""".stripMargin,
     // same Knuth hash, same (hash, doc_id) tie-break — all integer
     "ds_stratified" ->
       s"""WITH t AS (SELECT source, doc_id, ${hashU32Sql("doc_id")} AS h

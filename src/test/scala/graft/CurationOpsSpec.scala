@@ -254,4 +254,30 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
     assert(w1 === w2)
   }
+
+  test("dsirResample: deterministic Gumbel-top-k, weight-dominant docs always selected") {
+    val weights = Seq.tabulate(100)(i => (i.toLong, (i % 10).toDouble / 10.0))
+      .toDF("doc_id", "logw")
+      // doc 7 gets an overwhelming weight: e^50 times any other —
+      // Gumbel noise (a few units) can never knock it out of the top
+      .withColumn("logw", when(col("doc_id") === 7L, lit(50.0))
+        .otherwise(col("logw")))
+    val out = Mix.dsirResample(weights, "doc_id", "logw", k = 10).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("sample_rank")).sorted.toSeq === (1L to 10L))
+    assert(out.exists(_.getAs[Long]("doc_id") === 7L))
+    // ranks follow (score desc, id asc)
+    val sorted = out.sortBy(_.getAs[Long]("sample_rank"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      val c = java.lang.Double.compare(a.getAs[Double]("score"),
+        b.getAs[Double]("score"))
+      assert(c > 0 || (c == 0 &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    // re-run + repartition select the SAME docs in the SAME order
+    val again = Mix.dsirResample(weights.repartition(9), "doc_id", "logw", 10)
+      .collect().sortBy(_.getAs[Long]("sample_rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(again === sorted.map(_.getAs[Long]("doc_id")).toSeq)
+  }
 }
