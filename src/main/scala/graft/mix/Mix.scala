@@ -658,10 +658,13 @@ object Mix {
     * Output: (idCol, n_bigrams, logw) — logw UNROUNDED; callers on the
     * oracle surface round once at output.
     */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, numBuckets: Int = 1024): DataFrame = {
-    require(numBuckets > 0, "numBuckets must be positive")
-    val grams = df.filter(col(textCol).isNotNull)
+  /** The (idCol, _tgt, bucket) hashed-bigram projection shared by the
+    * model fit and the scoring pass — row-local + explode, 8-byte
+    * longs only past this point.
+    */
+  private def bigramBuckets(df: DataFrame, idCol: String, textCol: String,
+                            isTarget: Column, numBuckets: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), isTarget.as("_tgt"),
         split(col(textCol), " ").as("_ws"))
       .filter(size(col("_ws")) >= 2)
@@ -672,20 +675,38 @@ object Mix {
             element_at(col("_ws"), col("_i")),
             element_at(col("_ws"), col("_i") + 1))), 1, 8), 16, 10)
           .cast("long") % numBuckets).as("bucket"))
+
+  /** The fitted DSIR model on its own: (bucket, lr) — the bounded
+    * artifact a STREAMING gate embeds
+    * ([[graft.streaming.Streaming.dsirScoreStream]]). Buckets the fit
+    * corpus never produced are simply absent (their smoothed ratio is
+    * a constant the scorers treat as 0 by the inner-join convention).
+    */
+  def dsirModel(df: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val grams = bigramBuckets(df, idCol, textCol, isTarget, numBuckets)
     val model = grams.groupBy(col("bucket")).agg(
       count(lit(1)).as("_cq"),
       count(when(col("_tgt"), lit(1))).as("_cp"))
     val totals = grams.agg(
       count(lit(1)).as("_nq"),
       count(when(col("_tgt"), lit(1))).as("_np"))
-    val ratio = model.crossJoin(broadcast(totals))
+    model.crossJoin(broadcast(totals))
       .select(col("bucket"),
         (log((col("_cp") + 1.0) / (col("_np") + numBuckets)) -
-          log((col("_cq") + 1.0) / (col("_nq") + numBuckets))).as("_lr"))
-    grams.join(broadcast(ratio), "bucket")
+          log((col("_cq") + 1.0) / (col("_nq") + numBuckets))).as("lr"))
+  }
+
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val grams = bigramBuckets(df, idCol, textCol, isTarget, numBuckets)
+    grams.join(broadcast(dsirModel(df, idCol, textCol, isTarget, numBuckets)),
+        "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sum(col("_lr")).as("logw"))
+        sum(col("lr")).as("logw"))
   }
 
   /** L16b: Gumbel-top-k importance RESAMPLING — the selection half of

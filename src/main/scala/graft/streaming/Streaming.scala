@@ -141,6 +141,30 @@ object Streaming {
     docs.filter(coalesce(!overlap, lit(true)))
   }
 
+  /** Streaming DSIR admission gate (L16's stream twin): score each
+    * stream doc's hashed-bigram features against a PREFIT
+    * [[graft.mix.Mix.dsirModel]] ratio table. The table is bounded by
+    * construction (numBuckets rows), so it is collected ONCE into a
+    * bucket-indexed array and embedded in a codegen expression
+    * ([[org.apache.spark.sql.graft.HashedBigramBucketScore]]) —
+    * scoring is pure row-local compute, no join, no state, the
+    * decontaminateStream shape. Unscorable docs (null text, fewer
+    * than 2 tokens) carry a NULL `dsir_logw`; thresholding is the
+    * caller's filter so admit/quarantine policy stays with the
+    * pipeline, not the gate. Fitting stays a BATCH job over the
+    * accumulated corpus — a stream cannot fit the model it scores
+    * against (the LshIndex admission note).
+    */
+  def dsirScoreStream(docs: DataFrame, textCol: String,
+                      model: DataFrame, numBuckets: Int = 1024): DataFrame = {
+    val table = new Array[Double](numBuckets)
+    model.select(col("bucket"), col("lr")).collect()
+      .foreach(r => table(r.getLong(0).toInt) = r.getDouble(1))
+    docs.withColumn("dsir_logw",
+      org.apache.spark.sql.graft.TextExpressions
+        .hashedBigramBucketScore(col(textCol), table.toSeq))
+  }
+
   /** Streaming near-dup gate (G7's stream twin): each stream doc is
     * checked against a persisted [[graft.dedup.LshIndex]]'s banded
     * HISTORY — MinHash band keys are a row-local codegen projection on

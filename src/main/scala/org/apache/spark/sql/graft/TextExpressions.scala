@@ -430,6 +430,79 @@ object CharEntropy {
   }
 }
 
+/** Row-local DSIR score: the sum over a document's word bigrams of a
+  * per-BUCKET log-likelihood-ratio table, with buckets assigned by the
+  * md5-based feature hash the batch operator uses
+  * (`int(md5(gram)[0:4]) mod table.length` — the first four digest
+  * bytes big-endian, exactly the integer the batch side's
+  * `conv(substring(md5(gram), 1, 8), 16, 10)` parses). This is the
+  * STREAMING admission-gate form of [[graft.mix.Mix.dsirWeights]]: the
+  * (bounded) ratio table is fit offline in batch and embedded here, so
+  * scoring a stream row is pure row-local compute — no join, no state.
+  *
+  * Parity contract with the batch operator: buckets absent from the
+  * table contribute 0 (the batch scoring join is inner — a gram whose
+  * bucket the fit corpus never produced contributes nothing), and the
+  * sum runs in document order (the batch per-doc sum sees grams in the
+  * same order; float-sum order is the only engine-defined part, the
+  * text_lm_score caveat). Tokenization is `split(text, " ", -1)` —
+  * Spark's split semantics, trailing empties kept. Fewer than 2 tokens
+  * (no features) or null text yields NULL, not 0 — an unscorable doc
+  * is the caller's policy decision, never a silent neutral score.
+  *
+  * `table` is a Seq so case-class equality is structural (plan
+  * canonicalization, the [[NearestCentroidIds]] note).
+  */
+case class HashedBigramBucketScore(child: Expression, table: Seq[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(table.nonEmpty, "ratio table must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_bigram_bucket_score"
+
+  @transient private lazy val tableArr: Array[Double] = table.toArray
+
+  /** Null (boxed) when the doc has no bigram features. */
+  def score(text: UTF8String): java.lang.Double = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 2) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = tableArr.length
+      var sum = 0.0
+      var i = 0
+      while (i < toks.length - 1) {
+        md.reset()
+        val d = md.digest((toks(i) + " " + toks(i + 1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        sum += tableArr((v % n).toInt)
+        i += 1
+      }
+      java.lang.Double.valueOf(sum)
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dsirScore", this,
+      classOf[HashedBigramBucketScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double r = $self.score($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBigramBucketScore =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -468,4 +541,11 @@ object TextExpressions {
   def minShingleMd5(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(MinShingleMd5(
       ExpressionUtils.expression(text), shingleN))
+
+  /** Row-local DSIR score against an embedded bucket→log-ratio table
+    * (see [[HashedBigramBucketScore]]).
+    */
+  def hashedBigramBucketScore(text: Column, table: Seq[Double]): Column =
+    ExpressionUtils.column(HashedBigramBucketScore(
+      ExpressionUtils.expression(text), table))
 }

@@ -387,6 +387,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreStream scores stream docs against the prefit model with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.mix.Mix
+    import org.apache.spark.sql.functions._
+    // fit corpus: docs 1-2 are the curated target, 3-5 raw
+    val corpus = Seq(
+      (1L, "clean careful prose with structure"),
+      (2L, "clean careful prose with structure"),
+      (3L, "clean careful prose with structure and extras"),
+      (4L, "buy now click here free offer"),
+      (5L, "buy now click here free offer")
+    ).toDF("doc_id", "text")
+    val model = Mix.dsirModel(corpus, "doc_id", "text",
+      isTarget = col("doc_id") <= 2, numBuckets = 128)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text"), "text", model, numBuckets = 128)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((3L, "clean careful prose with structure and extras"),
+        (4L, "buy now click here free offer"),
+        (6L, "single"))
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[java.lang.Double]("dsir_logw"))).toMap
+      // batch weights on the same corpus: identical scores (same model,
+      // same grams, same in-doc sum order)
+      val batch = Mix.dsirWeights(corpus, "doc_id", "text",
+          col("doc_id") <= 2, numBuckets = 128)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("logw")).toMap
+      assert(math.abs(streamed(3L).get - batch(3L)) < 1e-9)
+      assert(math.abs(streamed(4L).get - batch(4L)) < 1e-9)
+      // target-like stream doc outscores the junk one
+      assert(streamed(3L).get > streamed(4L).get)
+      // one token -> no features -> null score, row passes through
+      assert(streamed(6L).isEmpty)
+    } finally q.stop()
+  }
+
   test("quantizeInt8 applies to streams with batch parity (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.similarity.Similarity
