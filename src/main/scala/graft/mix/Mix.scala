@@ -537,6 +537,44 @@ object Mix {
       .drop("_floor")
   }
 
+  /** L17: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3) —
+    * label every document `head` / `middle` / `tail` by which
+    * per-source perplexity TERCILE it falls in (head = most fluent
+    * third), the artifact CCNet pipelines mix from (train mostly on
+    * head+middle, keep tail for diversity ablations).
+    *
+    * The tercile cutpoints are exact LOWER quantiles from
+    * [[histogramQuantiles]] — integer reach arithmetic over the score
+    * histogram, no float percentile definition to disagree about — so
+    * the assignment is fully deterministic and sql-oracled. The
+    * alternative `ntile(3)` formulation would be exact too but
+    * partitions the window by source: every source's whole corpus in
+    * ONE task, the classic single-task-window scale-killer. Here the
+    * corpus never sorts: cutpoints are histogram-sized work, come back
+    * as a per-source broadcast dim, and the label is one row-local
+    * comparison chain. (Ties straddling a cutpoint all take the lower
+    * bucket, so bucket sizes can deviate from exact thirds — the
+    * deterministic trade CCNet itself makes by cutting on score
+    * values.)
+    *
+    * Scores should arrive on a fixed grid (round first — the r6
+    * convention) so the histogram groupBy keys compare exactly across
+    * engines. Null scores get a null bucket, never a silent `tail`.
+    */
+  def pplBuckets(scored: DataFrame, keyCol: String,
+                 scoreCol: String): DataFrame = {
+    val cuts = histogramQuantiles(scored, keyCol, scoreCol,
+        Seq((1, 3), (2, 3)))
+      .select(col(keyCol), col("q_1_3").as("_c1"), col("q_2_3").as("_c2"))
+    scored.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket",
+        when(col(scoreCol).isNull, lit(null).cast("string"))
+          .when(col(scoreCol) <= col("_c1"), lit("head"))
+          .when(col(scoreCol) <= col("_c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_c1", "_c2")
+  }
+
   /** Corpus-distribution drift between two dataset versions: exact
     * per-value histograms of the same integer-valued column on both
     * sides, full-outer-joined per (key, value), and the per-key

@@ -274,7 +274,25 @@ object MixQueries extends QueryPack {
         "doc_id", k = 10)
       .select(col("source"), col("sample_rank"), col("doc_id"))
 
+  /** L17 `ds_ppl_buckets` — CCNet head/middle/tail perplexity
+    * bucketing ([[Mix.pplBuckets]]): every scorable doc labeled by
+    * which per-source tercile of the `text_lm_score` perplexity it
+    * falls in (head = most fluent third). Cutpoints are exact lower
+    * quantiles — integer reach arithmetic on the r6-rounded ppl grid —
+    * so the oracle restates the whole chain (LM fit, ppl, histogram
+    * cutpoints, comparison) and proves the SAME label per document.
+    */
+  def dsPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = TextAnalysis.lmScore(d, "doc_id", "text")
+      .select(col("doc_id"), r6(col("ppl")).as("ppl"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Mix.pplBuckets(scored, "source", "ppl")
+      .select(col("doc_id"), col("source"), col("ppl"), col("bucket"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_ppl_buckets" -> dsPplBuckets,
     "ds_dsir" -> dsDsir,
     "ds_select" -> dsSelect,
     "ds_stratified" -> dsStratified,
@@ -299,6 +317,47 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // the text_lm_score CTE chain for the rounded ppl, then the
+    // histogramQuantiles integer reach arithmetic for the per-source
+    // tercile cutpoints and the identical comparison chain: the label
+    // is decided on the shared r6 grid, so both engines state the
+    // same bucket per doc
+    "ds_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |grams AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS g FROM toks)),
+        |uni AS (SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY w1, w2),
+        |lp AS (SELECT g.doc_id AS doc_id,
+        |    ln((b.c2 + 1.0) / (u.c1 + vocab.v)) AS logp
+        |  FROM grams g
+        |  JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |  JOIN uni u ON g.w1 = u.w1, vocab),
+        |ppl AS (SELECT doc_id,
+        |    floor(exp(-sum(logp) / count(*)) * 1000000 + 0.5001) / 1000000
+        |      AS ppl
+        |  FROM lp GROUP BY doc_id),
+        |sdoc AS (SELECT p.doc_id, d.source, p.ppl
+        |  FROM ppl p JOIN documents d USING (doc_id)),
+        |h AS (SELECT source, ppl, count(*) AS n FROM sdoc
+        |  GROUP BY source, ppl),
+        |c AS (SELECT source, ppl,
+        |    sum(n) OVER (PARTITION BY source ORDER BY ppl) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot FROM h),
+        |q AS (SELECT source,
+        |    min(CASE WHEN cum * 3 >= tot * 1 THEN ppl END) AS c1,
+        |    min(CASE WHEN cum * 3 >= tot * 2 THEN ppl END) AS c2
+        |  FROM c GROUP BY source)
+        |SELECT s.doc_id, s.source, s.ppl,
+        |  CASE WHEN s.ppl <= q.c1 THEN 'head'
+        |       WHEN s.ppl <= q.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sdoc s JOIN q USING (source)""".stripMargin,
     // identical md5 bucketing, model counts, and smoothing; ln ulp +
     // float-sum order are the only engine-defined parts -> r6 on logw
     "ds_dsir" ->

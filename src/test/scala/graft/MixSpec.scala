@@ -327,6 +327,27 @@ class MixSpec extends SparkSpec {
       "c" -> ((1L, 1L, 100L))))
   }
 
+  test("pplBuckets labels per-key terciles from exact lower-quantile cutpoints") {
+    val df = (
+      (1 to 6).map(i => ("a", i.toLong, Some(i.toDouble))) ++ // a: 1..6
+        Seq(("b", 7L, Some(10.0)), ("b", 8L, Some(10.0)),     // b: all tied
+          ("b", 9L, Some(10.0)),
+          ("a", 10L, None))                                   // unscorable
+      ).toDF("source", "id", "ppl")
+    val out = Mix.pplBuckets(df, "source", "ppl")
+      .collect().map(r => r.getLong(1) -> Option(r.getAs[String]("bucket")))
+      .toMap
+    // a: n=6, cut1 = first v with cum*3 >= 6 -> 2.0; cut2 -> 4.0
+    assert(out(1L) === Some("head") && out(2L) === Some("head"))
+    assert(out(3L) === Some("middle") && out(4L) === Some("middle"))
+    assert(out(5L) === Some("tail") && out(6L) === Some("tail"))
+    // b: every value ties at the cutpoints -> all take the lower bucket
+    assert(out(7L) === Some("head") && out(8L) === Some("head") &&
+      out(9L) === Some("head"))
+    // null score -> null bucket, never a silent tail
+    assert(out(10L) === None)
+  }
+
   test("histogramDivergence: 0 for identical distributions, 1 for disjoint, known midpoint") {
     val a = Seq(("s", 1L), ("s", 1L), ("s", 2L), ("t", 5L), ("t", 6L))
       .toDF("k", "v")
