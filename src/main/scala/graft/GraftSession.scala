@@ -14,11 +14,18 @@ import org.apache.spark.sql.SparkSession
   *     invalid arithmetic as NaN/null instead of aborting; a single
   *     degenerate row must not kill a 100 TB job. Divisions in this
   *     code base therefore yield null on /0 rather than throwing.
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: the events table is
-  *     written with nanosecond timestamps, which the vectorized parquet
-  *     reader otherwise rejects; we read them as long and convert to
-  *     microsecond timestamps in [[graft.tables.Tables]] (truncation —
-  *     identical to DuckDB's ns->us cast).
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: older testdata
+  *     generations wrote the events table with nanosecond timestamps,
+  *     which the vectorized parquet reader otherwise rejects; we read
+  *     them as long and convert to microsecond timestamps in
+  *     [[graft.tables.Tables]] (truncation — identical to DuckDB's
+  *     ns->us cast). Harmless for the current timestamp[us] schema.
+  *   - `spark.sql.parquet.inferTimestampNTZ.enabled=false`: the current
+  *     testdata stores timestamps without a timezone flag, which Spark
+  *     would otherwise surface as TIMESTAMP_NTZ — a type `unix_micros`
+  *     and friends reject. With the session timezone pinned to UTC,
+  *     reading them as plain TimestampType is value-identical to
+  *     DuckDB's tz-less TIMESTAMP (epoch_us agrees on every tick).
   *   - timezone pinned to UTC so timestamp<->epoch conversions are
   *     total-order stable across engines.
   */
@@ -29,6 +36,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

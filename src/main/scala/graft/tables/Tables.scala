@@ -26,35 +26,53 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** events with `ts` as a proper microsecond TimestampType.
-    * Requires spark.sql.legacy.parquet.nanosAsLong=true (GraftSession).
+    *
+    * Schema-adaptive: current testdata stores `ts` as parquet
+    * timestamp[us] (read natively as TimestampType); older generations
+    * stored nanos-as-long (surfaced as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true, see GraftSession). The
+    * long case truncates ns -> us with integer division — double
+    * division loses precision at 1.7e18 ns (ulp there is 256!).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    // nanos-as-long -> truncate to micros. Must be integer division:
-    // double division loses precision at 1.7e18 ns (ulp there is 256!).
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already TimestampType
+    }
+  }
+
+  private def usOf(t: String): Long = {
+    val norm = if (t.contains(" ") || t.contains("T")) t.replace(" ", "T")
+      else t + "T00:00:00"
+    val inst = java.time.LocalDateTime.parse(norm)
+      .toInstant(java.time.ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
   /** events clipped to [start, end) with the time predicate applied to
-    * the RAW nanosecond long column, so it reaches the parquet scan as
-    * a PushedFilter (a filter on the converted timestamp cannot be
-    * pushed past the conversion expression — at 100 TB that is the
-    * difference between reading one day and reading everything).
-    * Bounds are exact: ts_us >= X  <=>  ts_ns >= X*1000 under
-    * truncation.
+    * the RAW stored column, so it reaches the parquet scan as a
+    * PushedFilter — at 100 TB that is the difference between reading
+    * one day and reading everything. For a native TimestampType column
+    * the timestamp literal predicate pushes down directly; for the
+    * legacy nanos-as-long schema the predicate is applied to the raw
+    * long (exact: ts_us >= X  <=>  ts_ns >= X*1000 under truncation)
+    * before the conversion expression, which would otherwise block
+    * pushdown.
     */
   def eventsClipped(s: SparkSession, d: String,
                     startInclusive: String, endExclusive: String): DataFrame = {
-    def usOf(t: String): Long = {
-      val norm = if (t.contains(" ") || t.contains("T")) t.replace(" ", "T")
-        else t + "T00:00:00"
-      val inst = java.time.LocalDateTime.parse(norm)
-        .toInstant(java.time.ZoneOffset.UTC)
-      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-    }
     val raw = load(s, d, "events")
-      .filter(col("ts") >= usOf(startInclusive) * 1000L &&
-        col("ts") < usOf(endExclusive) * 1000L)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .filter(col("ts") >= usOf(startInclusive) * 1000L &&
+            col("ts") < usOf(endExclusive) * 1000L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= timestamp_micros(lit(usOf(startInclusive))) &&
+          col("ts") < timestamp_micros(lit(usOf(endExclusive))))
+    }
   }
 }
