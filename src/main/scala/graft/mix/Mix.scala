@@ -575,6 +575,44 @@ object Mix {
       .drop("_c1", "_c2")
   }
 
+  /** L18: per-key winsorization at exact histogram quantiles — clip a
+    * numeric column to its key's [lo, hi] quantile band instead of
+    * dropping the outliers (the robust-statistics companion of
+    * [[floorByLengthQuantile]], which drops; winsorizing keeps the row
+    * but caps its leverage — the standard pre-normalization step
+    * before fitting length/quality models on heavy-tailed corpus
+    * stats). Emits the clip direction per row (`low`/`high`/
+    * `in_range`, null value → null tag) so the clipped-mass accounting
+    * ships with the clipped column.
+    *
+    * Cutpoints are exact LOWER quantiles from [[histogramQuantiles]]
+    * (integer reach arithmetic, engine-portable) coming back as a
+    * broadcast dim; the clip itself is one row-local comparison chain.
+    * Requires an integer-or-gridded value column (the histogram
+    * groupBy keys must compare exactly across engines).
+    */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+                loNum: Int, loDen: Int, hiNum: Int, hiDen: Int): DataFrame = {
+    require(loNum * hiDen < hiNum * loDen,
+      s"lo quantile $loNum/$loDen must be below hi $hiNum/$hiDen")
+    val cuts = histogramQuantiles(df, keyCol, valCol,
+        Seq((loNum, loDen), (hiNum, hiDen)))
+      .select(col(keyCol), col(s"q_${loNum}_$loDen").as("_lo"),
+        col(s"q_${hiNum}_$hiDen").as("_hi"))
+    df.join(broadcast(cuts), Seq(keyCol))
+      // explicit null guard: Spark's greatest/least SKIP nulls (a null
+      // value would silently clip to _lo), so a null value must stay null
+      .withColumn("clipped",
+        when(col(valCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valCol), col("_lo")), col("_hi"))))
+      .withColumn("clip_tag",
+        when(col(valCol).isNull, lit(null).cast("string"))
+          .when(col(valCol) < col("_lo"), lit("low"))
+          .when(col(valCol) > col("_hi"), lit("high"))
+          .otherwise(lit("in_range")))
+      .drop("_lo", "_hi")
+  }
+
   /** Corpus-distribution drift between two dataset versions: exact
     * per-value histograms of the same integer-valued column on both
     * sides, full-outer-joined per (key, value), and the per-key

@@ -291,7 +291,21 @@ object MixQueries extends QueryPack {
       .select(col("doc_id"), col("source"), col("ppl"), col("bucket"))
   }
 
+  /** L18 `ds_winsorize` — per-source winsorization of `n_chars` at the
+    * exact [p05, p95] histogram-quantile band ([[Mix.winsorize]]):
+    * outliers keep their rows but are clipped to the band, with the
+    * clip direction per row. The oracle restates the cutpoint reach
+    * arithmetic and the comparison chain.
+    */
+  def dsWinsorize(s: SparkSession, dir: String): DataFrame =
+    Mix.winsorize(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", 1, 20, 19, 20)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("clipped"), col("clip_tag"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_winsorize" -> dsWinsorize,
     "ds_ppl_buckets" -> dsPplBuckets,
     "ds_dsir" -> dsDsir,
     "ds_select" -> dsSelect,
@@ -317,6 +331,26 @@ object MixQueries extends QueryPack {
     s"(${hashU32Sql(idExpr)}) / 4294967296.0"
 
   val oracles: Map[String, String] = Map(
+    // histogramQuantiles reach arithmetic for the per-source p05/p95
+    // cutpoints, then the identical clip + tag comparison chain
+    "ds_winsorize" ->
+      """WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+        |h AS (SELECT source, n_chars, count(*) AS n FROM t
+        |  WHERE n_chars IS NOT NULL GROUP BY source, n_chars),
+        |c AS (SELECT source, n_chars,
+        |    sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot FROM h),
+        |q AS (SELECT source,
+        |    min(CASE WHEN cum * 20 >= tot * 1 THEN n_chars END) AS lo,
+        |    min(CASE WHEN cum * 20 >= tot * 19 THEN n_chars END) AS hi
+        |  FROM c GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_chars,
+        |  least(greatest(t.n_chars, q.lo), q.hi) AS clipped,
+        |  CASE WHEN t.n_chars IS NULL THEN NULL
+        |       WHEN t.n_chars < q.lo THEN 'low'
+        |       WHEN t.n_chars > q.hi THEN 'high'
+        |       ELSE 'in_range' END AS clip_tag
+        |FROM t JOIN q USING (source)""".stripMargin,
     // the text_lm_score CTE chain for the rounded ppl, then the
     // histogramQuantiles integer reach arithmetic for the per-source
     // tercile cutpoints and the identical comparison chain: the label

@@ -212,7 +212,39 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("n_bigrams"),
         r6(col("avg_nll")).as("avg_nll"), r6(col("ppl")).as("ppl"))
 
+  /** I12 `text_c4_filter` — the C4/Gopher heuristic cleaning cascade
+    * ([[TextAnalysis.c4QualityFilter]]) over synthesized 10-token
+    * lines (the text_lines_dedup convention — the corpus texts are
+    * single-line token streams): line rule = >= 5 tokens and no
+    * blocklist token (`slow` stands in for the bad-word list), doc
+    * rule = >= 3 surviving lines. Non-vacuous at sf0.01: 349 kept /
+    * 151 rejected, with both rules firing. One row-local projection,
+    * zero shuffle; fully oracled including the exact surviving text.
+    */
+  def textC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nLines = ceil(size(ws) / lit(10.0)).cast("int")
+    val lined = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(ws, i * 10 + 1, lit(10))))).as("text"))
+    TextAnalysis.c4QualityFilter(lined, "doc_id", "text",
+      badWords = Seq("slow"), minLineTokens = 5, minLinesKept = 3)
+  }
+
+  /** I13 `text_bm25` — Okapi BM25 top-20 against the fixed query bag
+    * {spark, vector, stream} ([[TextAnalysis.bm25TopK]]). Selection is
+    * stated on the r6-rounded score grid with doc-id tie-breaks (the
+    * ds_select convention), so both engines produce the identical
+    * ranked set despite libm-ulp `ln` differences.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+      queryTerms = Seq("spark", "vector", "stream"), topK = 20)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_c4_filter" -> textC4Filter,
+    "text_bm25" -> textBm25,
     "text_lm_score" -> textLmScore,
     "text_entropy" -> textEntropy,
     "text_tfidf" -> textTfidf,
@@ -229,6 +261,63 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    // the synthesized 10-token lines (text_lines_dedup convention),
+    // then the same line-rule filter and >=3-surviving-lines doc gate
+    "text_c4_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id,
+        |    list_transform(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1),
+        |      i -> array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ')) AS lines
+        |  FROM t),
+        |k AS (SELECT doc_id, lines,
+        |    list_filter(lines, l -> len(string_split(l, ' ')) >= 5
+        |      AND NOT list_has_any(string_split(l, ' '), ['slow'])) AS kept
+        |  FROM d)
+        |SELECT doc_id, len(kept) >= 3 AS kept,
+        |  CASE WHEN len(kept) >= 3 THEN array_to_string(kept, chr(10))
+        |       ELSE '' END AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_cut
+        |FROM k""".stripMargin,
+    // identical parenthesization term by term; ranking on the rounded
+    // grid + doc_id so libm-ulp ln differences cannot reorder the set
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'vector')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'stream')) AS BIGINT) AS tf2
+        |  FROM t),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM f),
+        |sc AS (SELECT doc_id, dl,
+        |    ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |        / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |        / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |        / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    AS score
+        |  FROM f, s)
+        |SELECT doc_id, dl AS n_tokens,
+        |  floor(score * 1000000 + 0.5001) / 1000000 AS score
+        |FROM sc ORDER BY floor(score * 1000000 + 0.5001) / 1000000 DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // same token split, same gram enumeration, same (c2+1)/(c1+V)
     // arithmetic and single ln per gram; r6 on the float outputs
     "text_lm_score" ->

@@ -205,6 +205,102 @@ object TextAnalysis {
       .join(grams, Seq(idCol), "left")
   }
 
+  /** C4/Gopher-style heuristic cleaning (I12): the line-then-document
+    * filter cascade every web-scale pretraining pipeline runs before
+    * dedup (Raffel et al. 2020 §2.2; Rae et al. 2021 table A1):
+    *
+    *   1. LINE rule: keep a line only if it has at least
+    *      `minLineTokens` whitespace tokens AND contains no token from
+    *      `badWords` (the blocklist stands in for C4's bad-word list;
+    *      the synthetic corpus has no punctuation, so C4's
+    *      terminal-punctuation test is represented by the token-count
+    *      floor — the cascade's PLUMBING, line split → line filter →
+    *      document gate → rejoin, is the operator);
+    *   2. DOCUMENT rule: a document survives only if at least
+    *      `minLinesKept` lines survive (C4's "fewer than 3 sentences"
+    *      gate).
+    *
+    * Every document stays in the output with a `kept` flag plus the
+    * per-doc accounting (`n_lines_kept`/`n_lines_cut`) — the filter
+    * funnel needs the rejected counts, and dropping rows here would
+    * hide them. `clean_text` is empty for rejected docs.
+    *
+    * Scale shape: one row-local projection — array HOFs over the line
+    * split, no explode, no shuffle of any kind; trivially parallel at
+    * 100 TB.
+    */
+  def c4QualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                      badWords: Seq[String], minLineTokens: Int,
+                      minLinesKept: Int): DataFrame = {
+    require(badWords.nonEmpty, "badWords must be non-empty")
+    val bad = array(badWords.map(lit): _*)
+    val ls = split(col(textCol), "\n")
+    val keptLines = filter(ls, l => {
+      val ws = split(l, " ")
+      size(ws) >= minLineTokens && !arrays_overlap(ws, bad)
+    })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), ls.as("_ls"), keptLines.as("_kept"))
+      .select(col("doc_id"),
+        (size(col("_kept")) >= minLinesKept).as("kept"),
+        when(size(col("_kept")) >= minLinesKept,
+          concat_ws("\n", col("_kept"))).otherwise(lit("")).as("clean_text"),
+        size(col("_kept")).cast("long").as("n_lines_kept"),
+        (size(col("_ls")) - size(col("_kept"))).cast("long").as("n_lines_cut"))
+  }
+
+  /** BM25 retrieval scoring (I13): Okapi BM25 (Robertson & Zaragoza
+    * 2009) of every document against a fixed bag of query terms, top-k
+    * by score — the lexical-retrieval primitive behind quality-aware
+    * corpus selection (score against a "looks like the target domain"
+    * query) and eval-set mining.
+    *
+    * Scale shape: per-term tf and doclen are row-local array HOFs over
+    * ONE token split (no corpus explode — the query bag is tiny, so
+    * counting per term beats exploding the vocabulary); the corpus
+    * stats (N, Σdl, per-term df) ride ONE map-side-combining scalar
+    * aggregate broadcast back as a 1-row dim; the final top-k is
+    * TakeOrdered (map-side partial top-k, never a full sort).
+    *
+    * Cross-engine determinism: the score uses libm `ln`, which can
+    * differ by ulps between engines, so ranking runs on the r6-ROUNDED
+    * score grid with doc-id tie-breaks (the ds_select convention) —
+    * both engines state the identical top-k set. avgdl is never
+    * materialized as a float: `dl/avgdl` is stated as the
+    * integer-exact `(dl*N)/Σdl` product-then-divide.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val ws = split(col(textCol), " ")
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === lit(t))).cast("long").as(s"_tf$i")
+    }
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id") +: size(ws).cast("long").as("_dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("long").as("_n") +:
+      sum(col("_dl")).cast("long").as("_sdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).cast("long").as(s"_df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val nD = col("_n").cast("double")
+    val scored = base.crossJoin(broadcast(stats))
+    val perTerm = queryTerms.indices.map { i =>
+      val tfD = col(s"_tf$i").cast("double")
+      val dfD = col(s"_df$i").cast("double")
+      val idf = log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val normdl = (col("_dl").cast("double") * nD) / col("_sdl").cast("double")
+      idf * ((tfD * (k1 + 1.0)) / (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * normdl)))
+    }
+    val p = 1e6
+    val scoreR = floor(perTerm.reduce(_ + _) * p + 0.5001) / p
+    scored
+      .select(col("doc_id"), col("_dl").as("n_tokens"), scoreR.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Document fingerprint (I4): min of md5 over 5-word shingles — a
     * deterministic MinHash-style content fingerprint robust to word
     * reordering outside a 5-window.

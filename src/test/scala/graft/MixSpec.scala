@@ -414,4 +414,29 @@ class MixSpec extends SparkSpec {
     val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
     assert(covered === (0L until 10L).toSet)
   }
+
+  test("winsorize clips to exact per-key quantile band and tags the direction") {
+    // key A: values 1..10 -> p20 (2/10) = 2, p80 (8/10) = 8
+    val a = (1L to 10L).map(v => ("A", v, v))
+    // key B: constant -> lo = hi = 5, nothing clips
+    val b = (11L to 14L).map(i => ("B", i, 5L))
+    val df = (a ++ b).toDF("src", "id", "v")
+    val out = Mix.winsorize(df, "src", "v", 1, 5, 4, 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("clipped"), r.getAs[String]("clip_tag")))).toMap
+    assert(out(1L) === ((2L, "low")))
+    assert(out(2L) === ((2L, "in_range")))  // exactly at the cutpoint
+    assert(out(5L) === ((5L, "in_range")))
+    assert(out(8L) === ((8L, "in_range")))
+    assert(out(9L) === ((8L, "high")))
+    assert(out(10L) === ((8L, "high")))
+    (11L to 14L).foreach(i => assert(out(i) === ((5L, "in_range"))))
+    // null value -> null clipped, null tag (never a silent in_range)
+    val withNull = Seq(("A", 99L, Option.empty[Long]), ("A", 98L, Some(3L)))
+      .toDF("src", "id", "v")
+    val nr = Mix.winsorize(withNull, "src", "v", 1, 2, 1, 1)
+      .filter(col("id") === 99L).head
+    assert(nr.isNullAt(nr.fieldIndex("clipped")))
+    assert(nr.isNullAt(nr.fieldIndex("clip_tag")))
+  }
 }

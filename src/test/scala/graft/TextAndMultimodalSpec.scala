@@ -65,6 +65,53 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out2 === Set(1L, 2L, 3L))
   }
 
+  test("c4QualityFilter: line rule (token floor + blocklist) then doc gate, with accounting") {
+    val df = Seq(
+      // 3 clean 3-token lines, floor 2 -> kept
+      (1L, "a b c\nd e f\ng h i"),
+      // badword line + a 2-token line cut, leaving 2 -> doc rejected
+      (2L, "a b c\nbad x y\nd e f\ng h"),
+      // short lines cut by the token floor
+      (3L, "a\nb\nc d e\nf g h\ni j k")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4QualityFilter(df, "doc_id", "text",
+        badWords = Seq("bad"), minLineTokens = 3, minLinesKept = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), r.getAs[String]("clean_text"),
+          r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_cut")))).toMap
+    assert(out(1L) === ((true, "a b c\nd e f\ng h i", 3L, 0L)))
+    // badword line and the 2-token tail line both cut -> 2 kept < 3
+    assert(out(2L) === ((false, "", 2L, 2L)))
+    // two 1-token lines cut, 3 kept -> passes the doc gate
+    assert(out(3L) === ((true, "c d e\nf g h\ni j k", 3L, 2L)))
+  }
+
+  test("bm25TopK: rarer term dominates, length-normalization demotes long docs") {
+    val df = Seq(
+      (1L, "x y moon"),          // rare term once, short doc
+      (2L, "x y z w q r s t u v a b c d e f g h i j k l m n o p moon"), // rare term, long doc
+      (3L, "x cat y cat"),       // common term twice
+      (4L, "x y z"),             // no query term
+      (5L, "cat z")).toDF("doc_id", "text") // common term once
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queryTerms = Seq("moon", "cat"), topK = 4).collect()
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSeq
+    val scores = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // doc3: tf=2 of a query term beats every single-hit doc
+    assert(ranked.head === 3L)
+    // same tf of moon but doc2 is ~9x longer -> strictly lower score,
+    // lowest of the docs with any hit
+    assert(scores(2L) < scores(1L))
+    assert(ranked.last === 2L)
+    // doc4 has no query term (score 0): pushed out of the top-4
+    // entirely by the four docs with hits
+    assert(ranked.toSet === Set(1L, 2L, 3L, 5L))
+    // every score is on the r6 grid (selection ran on the grid)
+    out.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s === math.floor(s * 1e6 + 0.5001) / 1e6)
+    }
+  }
+
   test("fingerprint is deterministic and order-sensitive beyond the shingle window") {
     val df = Seq(
       (1L, (1 to 20).map("w" + _).mkString(" ")),
