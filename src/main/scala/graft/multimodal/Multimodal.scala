@@ -232,6 +232,76 @@ object Multimodal {
       }))
   }
 
+  case class PhashResult(doc_id: Long, decoded: Boolean,
+                         phash_bits: String, n_set: Long)
+
+  /** J4: average-hash perceptual image fingerprint (aHash) — the
+    * image-dedup primitive: decode, floor-map NN-downsample to a
+    * `gridW`×`gridH` luminance grid (the [[resizeFeatures]] mapping),
+    * and emit one bit per cell (1 = brighter than the grid mean).
+    * Near-identical images agree on most bits, so exact-matching or
+    * low-Hamming-distance fingerprints bucket duplicate images the way
+    * MinHash buckets duplicate text.
+    *
+    * Engine-exact by construction: luminance is the INTEGER BT.601
+    * weighting `299·r + 587·g + 114·b` (never divided by 1000) and the
+    * mean test is the integer cross-multiplication
+    * `lum·cells > Σlum` — no float enters the hash, so the oracle can
+    * re-derive every bit analytically from the synthesis formula. Ties
+    * (lum·cells == Σlum, e.g. a constant image) emit 0. The bits ship
+    * as a '0'/'1' string (row-major) — a packed int64 would be
+    * sign-ambiguous across engines at bit 0.
+    *
+    * Scale shape: row-local batched decode, zero shuffle; downstream
+    * bucketing is one hash-groupBy on the fingerprint.
+    */
+  def phashFeatures(spark: SparkSession, media: DataFrame,
+                    gridW: Int = 8, gridH: Int = 8,
+                    batchSize: Int = 64): Dataset[PhashResult] = {
+    require(gridW > 0 && gridH > 0, "grid dims must be positive")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) PhashResult(r.doc_id, decoded = false, "", 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cells = gridW * gridH
+          val lums = new Array[Long](cells)
+          var sum = 0L
+          var ty = 0
+          while (ty < gridH) {
+            val sy = ty * h / gridH
+            var tx = 0
+            while (tx < gridW) {
+              val rgb = img.getRGB(tx * w / gridW, sy)
+              val lum = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              lums(ty * gridW + tx) = lum
+              sum += lum
+              tx += 1
+            }
+            ty += 1
+          }
+          val sb = new java.lang.StringBuilder(cells)
+          var nSet = 0L
+          var i = 0
+          while (i < cells) {
+            val bit = lums(i) * cells > sum
+            sb.append(if (bit) '1' else '0')
+            if (bit) nSet += 1
+            i += 1
+          }
+          PhashResult(r.doc_id, decoded = true, sb.toString, nSet)
+        }
+      }))
+  }
+
   /** J2+: attach video-container metadata (duration, fps) to a binary
     * payload — the video twin of [[withMediaSchema]].
     */

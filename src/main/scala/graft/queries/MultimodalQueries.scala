@@ -129,7 +129,25 @@ object MultimodalQueries extends QueryPack {
         r6(col("mean_amp")).as("mean_amp"))
   }
 
+  /** J4 `mm_phash` — average-hash perceptual image fingerprint
+    * ([[Multimodal.phashFeatures]]): REAL decode of the synthesized
+    * PNGs, 8×8 floor-mapped luminance grid, one bit per cell vs the
+    * grid mean. The whole hash is integer arithmetic (BT.601 ×1000
+    * weights, cross-multiplied mean test), so the oracle re-derives
+    * every BIT analytically from the synthesis pixel formula — a hash
+    * match proves decode + floor mapping + luminance + threshold all
+    * bit-for-bit.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPngPayloads(Tables.documents(s, dir), "doc_id")
+    Multimodal.phashFeatures(s, media, gridW = 8, gridH = 8, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("phash_bits"), col("n_set"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> mmPhash,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_schema" -> mmSchema,
@@ -139,6 +157,31 @@ object MultimodalQueries extends QueryPack {
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    // every bit re-derived analytically: sampled cell (tx, ty) reads
+    // source pixel k = (ty*h//8)*w + (tx*w//8), luminance is the
+    // integer 299r+587g+114b over the synthesis channel formulas, and
+    // the bit is the exact integer test lum*64 > sum(lums)
+    "mm_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 3 AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      ((i // 8) * h // 8) * w + ((i % 8) * w // 8)) AS ks
+        |  FROM d),
+        |l AS (SELECT doc_id,
+        |    list_transform(ks, k ->
+        |      299 * ((doc_id + 3 * k) % 256)
+        |      + 587 * ((5 * doc_id + 7 * k) % 256)
+        |      + 114 * ((11 * doc_id + 13 * k) % 256)) AS lums
+        |  FROM p),
+        |b AS (SELECT doc_id, lums, list_sum(lums) AS s FROM l)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(lums,
+        |    x -> CASE WHEN x * 64 > s THEN '1' ELSE '0' END), '') AS phash_bits,
+        |  CAST(len(list_filter(lums, x -> x * 64 > s)) AS BIGINT) AS n_set
+        |FROM b""".stripMargin,
     // the oracle never decodes anything: it computes the EXPECTED
     // per-channel means analytically from the synthesis pixel formula
     // (exact integer arithmetic), so a hash match proves the Spark side

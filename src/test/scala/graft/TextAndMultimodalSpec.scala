@@ -239,6 +239,37 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
   }
 
+  test("multimodal: phash bits follow the floor-mapped luminance threshold; ties and corrupt payloads handled") {
+    // 2x1 black|white: grid cells tx<4 sample pixel 0 (lum 0), tx>=4
+    // sample pixel 1 (lum 255000) -> every row reads "00001111"
+    val bw = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bw.setRGB(0, 0, 0x000000); bw.setRGB(1, 0, 0xFFFFFF)
+    // constant image: every lum equals the mean -> tie -> all bits 0
+    val const = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) const.setRGB(x, y, 0x123456)
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", b); b.toByteArray
+    }
+    val media = Seq(
+      (1L, png(bw), 2, 1, "png"),
+      (2L, png(const), 3, 2, "png"),
+      (3L, "not an image".getBytes("UTF-8"), 9, 9, "png"))
+      .toDF("doc_id", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    val out = Multimodal.phashFeatures(spark, media, batchSize = 8)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).decoded)
+    assert(out(1L).phash_bits === "00001111" * 8)
+    assert(out(1L).n_set === 32L)
+    assert(out(2L).decoded)
+    assert(out(2L).phash_bits === "0" * 64 && out(2L).n_set === 0L)
+    assert(!out(3L).decoded && out(3L).phash_bits === "")
+  }
+
   test("multimodal: real PNG decode recovers known pixel values; corrupt payloads fall back") {
     // hand-built 2x1 image with known pixels: (255,0,0) and (0,128,255)
     val img = new java.awt.image.BufferedImage(
