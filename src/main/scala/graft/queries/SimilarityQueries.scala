@@ -49,6 +49,20 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 
+  /** H6 `ann_pq` — product-quantization ANN ([[Similarity.pqTopK]]):
+    * 8 subspaces × 16-codeword spherical codebooks, asymmetric
+    * inner-product ADC top-10 against the vec_id-0 query. Encode +
+    * score is ONE fused codegen projection over the scan (the
+    * codebooks and the query LUTs ride as literals); codebooks are
+    * float-sum-order-defined like every k-means → rows-only;
+    * SimilaritySpec pins the kSub=n exactness degenerate case and
+    * cluster recall.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(corpus(s, dir), "vec_id", "embedding", 64,
+        query(s, dir), 10, m = 8, kSub = 16, iterations = 2)
+      .select(col("vec_id"), r6(col("adc_score")).as("adc_score"))
+
   /** H3+ `ann_knn_join` — batch kNN SELF-join: EVERY corpus vector's
     * top-5 neighbors in one pass through the persisted IVF index
     * ([[graft.similarity.IvfIndex.topKBatch]] with excludeSelf) — the
@@ -131,6 +145,7 @@ object SimilarityQueries extends QueryPack {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_knn_join" -> annKnnJoin,
+    "ann_pq" -> annPq,
     "emb_centroids" -> embCentroids,
     "emb_quantize" -> embQuantize)
 

@@ -309,6 +309,117 @@ object Similarity {
     cents.select(col(cidCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  /** H6: product-quantization ANN (Jégou et al. 2011, the FAISS `PQ`
+    * index family) in its asymmetric inner-product form: the vector
+    * splits into `m` subvectors, each subspace gets a `kSub`-centroid
+    * spherical-k-means codebook (all m fit TOGETHER in one exploded
+    * Lloyd's pass per iteration — [[pqCodebooks]]; sample-fit via
+    * `fitSampleRate`, the IVF contract), and every vector is ENCODED
+    * as m small codes by the zero-exchange codegen argmax. The query never decodes anything: per subspace it
+    * precomputes the m×kSub look-up table `lut_j[c] = <q_j, c_jc>`
+    * driver-side, so the estimated score `Σ_j lut_j[code_j]` —
+    * asymmetric distance computation — is a row-local array-literal
+    * lookup, and the top-k is TakeOrdered.
+    *
+    * Scale shape: the corpus is scanned once for encoding+scoring
+    * (fused in one codegen projection — codes never materialize unless
+    * asked), the codebooks are m×kSub×subDim driver-side literals
+    * (the centroid-table bound), and nothing shuffles but the final
+    * top-k partials. At 100 TB the codes (m bytes/vector vs 4·dim) are
+    * the point: encode once, store codes, re-score any query from LUTs
+    * without touching the float corpus.
+    *
+    * Approximate by construction (codebooks are float-sum-order-
+    * defined like every distributed k-means) → rows-only contract;
+    * the spec pins an exactness degenerate case (kSub = n: every
+    * vector is its own codeword, ADC = exact dot) and cluster recall.
+    *
+    * Output: (idCol, `adc_score` = estimated <q, x>), top `k` by
+    * (score desc, id).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             query: DataFrame, k: Int, m: Int = 8, kSub: Int = 16,
+             iterations: Int = 2, fitSampleRate: Double = 1.0): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val vecD = col(vecCol).cast("array<double>")
+    val books = pqCodebooks(df, idCol, vecCol, dim, m, kSub, iterations,
+      fitSampleRate)
+    val q = query.select(vecD.as("_qv")).head.getSeq[Double](0).toArray
+    require(q.length == dim, s"query dim ${q.length} != $dim")
+    val luts: IndexedSeq[Array[Double]] = (0 until m).map { j =>
+      val qj = q.slice(j * subDim, (j + 1) * subDim)
+      books(j).map { case (_, cv) =>
+        var s = 0.0; var i = 0
+        while (i < subDim) { s += qj(i) * cv(i); i += 1 }
+        s
+      }
+    }
+    val adc = (0 until m).map { j =>
+      val code = CentroidExpressions.nearestCentroidId(
+        slice(vecD, j * subDim + 1, subDim), books(j))
+      element_at(lit(luts(j)), code.cast("int") + 1)
+    }.reduce(_ + _)
+    df.select(col(idCol), adc.as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The m per-subspace PQ codebooks, fit TOGETHER: all m spherical
+    * Lloyd's runs share one seed collect and ONE exploded
+    * assign-and-mean pass per iteration (posexplode by subspace, a
+    * per-subspace argmax CASE, one grouped VectorMean) — instead of m
+    * independent fits each paying its own persist + per-iteration jobs
+    * (m×iterations scheduler round-trips; 6.7 s → sub-second at
+    * sf0.1). Semantically identical to the per-subspace fits: seeds
+    * are the first kSub subvectors by id, assignments are the same
+    * cosine argmax, empty clusters keep their previous centroid.
+    * Returns per subspace the codebook renumbered 0..kSub-1 so the
+    * code doubles as the ADC LUT index (k-means cids are corpus ids —
+    * arbitrary longs).
+    */
+  private[graft] def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                                 dim: Int, m: Int, kSub: Int, iterations: Int,
+                                 fitSampleRate: Double)
+      : IndexedSeq[Array[(Long, Array[Double])]] = {
+    require(fitSampleRate > 0.0 && fitSampleRate <= 1.0,
+      s"fitSampleRate must be in (0, 1], got $fitSampleRate")
+    val subDim = dim / m
+    val fit = if (fitSampleRate >= 1.0) df
+              else graft.mix.Mix.sampleByHash(df, idCol, fitSampleRate)
+    val vecs = fit.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v")).persist()
+    val seeds = vecs.orderBy(col(idCol)).limit(kSub)
+      .select(col("_v")).collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)))
+    for (_ <- 0 until iterations) {
+      val subCols = array((0 until m).map(j =>
+        slice(col("_v"), j * subDim + 1, subDim)): _*)
+      def nci(j: Int) = CentroidExpressions.nearestCentroidId(col("_sv"),
+        books(j).zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
+      val cidExpr = (1 until m).foldLeft(when(col("_j") === 0, nci(0))) {
+        (acc, j) => acc.when(col("_j") === j, nci(j))
+      }
+      val means = vecs
+        .select(posexplode(subCols).as(Seq("_j", "_sv")))
+        .select(col("_j"), cidExpr.as("_cid"), col("_sv"))
+        .groupBy(col("_j"), col("_cid"))
+        .agg(org.apache.spark.sql.graft.VectorAggregates
+          .vectorMean(col("_sv")).as("_cv"))
+        .filter(col("_cv").isNotNull)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val updated = means.map { case (j, c, v) => (j, c) -> v }.toMap
+      books = Array.tabulate(m)(j => books(j).zipWithIndex.map {
+        case (prev, c) => updated.getOrElse((j, c.toLong), prev)
+      })
+    }
+    vecs.unpersist()
+    (0 until m).map(j =>
+      books(j).zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
+  }
+
   /** H3: IVF-style ANN — vectors are assigned to their nearest centroid
     * by the row-local argmax projection (zero joins, zero exchanges);
     * the query probes the `nProbe` nearest centroids and ranks only

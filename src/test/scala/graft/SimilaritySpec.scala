@@ -374,4 +374,55 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.sum / hits.size
     assert(recall >= 0.9, s"batch kNN recall $recall below 0.9")
   }
+
+  test("pqTopK: kSub=n degenerates to exact dot ranking; clustered recall holds") {
+    import spark.implicits._
+    // exactness degenerate case: with iterations=0 the codebook IS the
+    // vectors (seeds untouched) and every subvector is nonzero and
+    // pairwise non-parallel, so the cosine argmax assigns each vector
+    // its own codeword and ADC = Σ_j <q_j, x_j> = <q, x> exactly —
+    // ranking equals brute dot
+    val vs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.3f, 0.9f)),
+      (2L, Array(0.1f, 1.0f, 0.8f, 0.2f)),
+      (3L, Array(0.5f, 0.6f, 0.4f, 0.5f)),
+      (4L, Array(0.9f, 0.4f, 1.0f, 0.1f)),
+      (5L, Array(0.2f, 0.8f, 0.6f, 1.0f)),
+      (6L, Array(0.7f, 0.3f, 0.2f, 0.6f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val qdf = Seq((0L, Array(1.0f, 0.5f, 0.0f, 0.2f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, "vec_id", "embedding", dim = 4,
+        qdf, k = 6, m = 2, kSub = 6, iterations = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_score"))
+    // widen through float32 exactly as the embedding column does
+    val q = Array(1.0f, 0.5f, 0.0f, 0.2f).map(_.toDouble)
+    val exact = vs.map { case (id, v) =>
+      id -> v.map(_.toDouble).zip(q).map { case (x, y) => x * y }.sum }
+      .sortBy { case (id, s) => (-s, id) }
+    assert(out.map(_._1).toSeq === exact.map(_._1))
+    out.foreach { case (id, s) =>
+      assert(math.abs(s - exact.find(_._1 == id).get._2) < 1e-9) }
+
+    // clustered corpus: 4 direction clusters x 10 members; query near
+    // cluster 0 -> PQ top-10 should mostly be cluster 0 (exact dot top-10)
+    def member(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.05f * ((axis * 31 + i * 7) % 5))
+      a(axis * 2) = 2.0f + 0.01f * i
+      a
+    }
+    val corpus = (for (axis <- 0 until 4; i <- 0 until 10)
+      yield (axis * 10 + i + 1).toLong -> member(axis, i))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val cq = Seq(0L -> Array(2.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(cdf, "vec_id", "embedding", dim = 8,
+        cq, k = 10, m = 4, kSub = 8, iterations = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val qv = Array(2.0, 0, 0, 0, 0, 0, 0, 0)
+    val truth = corpus.map { case (id, v) =>
+      id -> v.map(_.toDouble).zip(qv).map { case (x, y) => x * y }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+  }
 }
