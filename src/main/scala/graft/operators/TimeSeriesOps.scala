@@ -446,6 +446,42 @@ object TimeSeriesOps {
     * [[subsetFromWindows]] over non-null timestamps (null timestamps
     * are kept: no droplist entry can name them).
     */
+  /** A10: windowed exponential moving average — pandas
+    * `ewm(alpha, adjust=True).mean()` truncated to the last `window`
+    * observations per key: `Σ_k β^k·x_{i-k} / Σ_k β^k` (β = 1−α,
+    * k over the newest-first window). The truncation is the scale
+    * contract: full-history EWMA is a sequential recursion (one task
+    * per key, unbounded state); the windowed form is an ordinary
+    * bounded row-frame — one key shuffle + in-partition sort like
+    * every operator here, and at β^32 the dropped tail is < 1e-4 of
+    * the mass.
+    *
+    * Cross-engine determinism: weights are `pow(β, k)` (libm on both
+    * engines, ulp-absorbed by output rounding), both sums fold the
+    * same newest-first order, and nulls are SKIPPED with weights
+    * renumbered over the surviving values (collect_list semantics —
+    * the oracle filters nulls before reversing to state the same).
+    * Ties within a timestamp break by `tieCols`.
+    */
+  def ewmaRows(df: DataFrame, keys: Seq[String], tsCol: String,
+               valCol: String, alpha: Double, window: Int,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(window > 0, s"window must be positive, got $window")
+    val beta = 1.0 - alpha
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val rl = reverse(collect_list(col(valCol)).over(w))
+    val num = aggregate(transform(col("_rl"), (x, i) => x * pow(lit(beta), i)),
+      lit(0.0), (a, x) => a + x)
+    val den = aggregate(transform(col("_rl"), (_, i) => pow(lit(beta), i)),
+      lit(0.0), (a, x) => a + x)
+    df.withColumn("_rl", rl)
+      .withColumn("ewma", when(size(col("_rl")) > 0, num / den))
+      .drop("_rl")
+  }
+
   def dropPositions(df: DataFrame, tsCol: String,
                     windows: Seq[(String, String)]): DataFrame = {
     require(windows.nonEmpty, "windows must be non-empty")

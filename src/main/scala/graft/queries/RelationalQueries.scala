@@ -137,6 +137,15 @@ object RelationalQueries extends QueryPack {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** F+ `q_cube` — all grouping-set combinations (CUBE) over the Q1
+    * agg: the rollup's sibling that also emits the per-linestatus
+    * marginals. One Expand + one aggregate exchange, like ROLLUP.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
   /** F+ `q_pivot` — wide aggregation: revenue per returnflag pivoted by
     * linestatus (fixed pivot values, so the plan is a single pass of
     * conditional aggregates — same shape the oracle spells out).
@@ -214,6 +223,7 @@ object RelationalQueries extends QueryPack {
     "ev_funnel" -> evFunnel,
     "q_approx" -> qApprox,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_quantiles" -> qQuantiles,
     "q_json_props" -> qJsonProps,
@@ -271,6 +281,12 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 10000 + 0.5001) / 10000 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  floor((sum(CASE WHEN l_linestatus = 'F'

@@ -152,7 +152,23 @@ object TimeSeriesQueries extends QueryPack {
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
         col("value"))
 
+  /** A10 `ts_ewma` — windowed EWMA (α=0.25, last 32 observations) per
+    * user ([[TimeSeriesOps.ewmaRows]]); the truncated form of pandas
+    * `ewm(adjust=True).mean()` that keeps the operator a bounded row
+    * frame instead of a per-key sequential recursion. Fully oracled:
+    * both engines fold the same newest-first weighted sums, r6 absorbs
+    * the libm pow/summation ulps.
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.ewmaRows(
+        e(s, dir).select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", alpha = 0.25, window = 32,
+        tieCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        r6(col("ewma")).as("ewma"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> tsEwma,
     "ts_subset_windows" -> tsSubsetWindows,
     "ts_upsample_nearest" -> tsUpsampleNearest,
     "ts_rolling_center" -> tsRollingCenter,
@@ -170,6 +186,24 @@ object TimeSeriesQueries extends QueryPack {
   private val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
   val oracles: Map[String, String] = Map(
+    // same 32-row frame over (ts, event_id), nulls filtered before the
+    // reverse (collect_list skip semantics), same newest-first
+    // pow-weighted sums; 1-based list index -> power(beta, i-1)
+    "ts_ewma" ->
+      s"""WITH b AS (SELECT event_id, user_id, ts, value,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS l
+         |  FROM events),
+         |r AS (SELECT event_id, user_id, ts,
+         |    list_reverse(list_filter(l, x -> x IS NOT NULL)) AS rl
+         |  FROM b)
+         |SELECT event_id, user_id, strftime(ts, '$fmt') AS ts,
+         |  CASE WHEN len(rl) > 0 THEN
+         |    floor(list_sum(list_transform(rl, (x, i) -> x * power(0.75, i - 1)))
+         |      / list_sum(list_transform(rl, (x, i) -> power(0.75, i - 1)))
+         |      * 1000000 + 0.5001) / 1000000
+         |  END AS ewma
+         |FROM r""".stripMargin,
     "ts_upsample_nearest" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
          |           WHERE event_type = 'purchase'),

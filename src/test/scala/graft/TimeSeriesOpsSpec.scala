@@ -223,4 +223,39 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("v"))
     assert(subset === Array(2.0))
   }
+
+  test("ewmaRows: adjust=True weighting over the bounded row frame, nulls skipped") {
+    val df = series(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 01:00:00", 2.0),
+      ("a", "2024-01-01 02:00:00", 4.0),
+      ("b", "2024-01-01 00:00:00", 10.0))
+    val out = TimeSeriesOps.ewmaRows(df, Seq("k"), "t", "v",
+        alpha = 0.5, window = 2)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("ewma")).toMap
+    // first row: window = {1} -> 1.0; second: (2 + 0.5*1)/(1.5)
+    assert(out(("a", 1.0)) === 1.0)
+    assert(math.abs(out(("a", 2.0)) - (2.0 + 0.5 * 1.0) / 1.5) < 1e-12)
+    // third: window of 2 -> (4 + 0.5*2)/1.5 — the 1.0 fell out of frame
+    assert(math.abs(out(("a", 4.0)) - (4.0 + 0.5 * 2.0) / 1.5) < 1e-12)
+    assert(out(("b", 10.0)) === 10.0) // keys independent
+    // null value: skipped, weights renumbered over survivors
+    val withNull = series(
+      ("c", "2024-01-01 00:00:00", 3.0),
+      ("c", "2024-01-01 01:00:00", Double.NaN), // placeholder, replaced below
+      ("c", "2024-01-01 02:00:00", 5.0))
+    import org.apache.spark.sql.functions._
+    val nulled = withNull.withColumn("v",
+      when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val o2 = TimeSeriesOps.ewmaRows(nulled, Seq("k"), "t", "v",
+        alpha = 0.5, window = 3)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("t").toString ->
+        Option(r.getAs[Any]("ewma"))).toMap
+    // the null row's frame is {3.0} -> 3.0 (not null, not weighted)
+    assert(o2("2024-01-01 01:00:00.0") === Some(3.0))
+    // last row: survivors newest-first {5, 3} -> (5 + 0.5*3)/1.5
+    assert(o2("2024-01-01 02:00:00.0").map(v =>
+      math.abs(v.asInstanceOf[Double] - (5.0 + 0.5 * 3.0) / 1.5) < 1e-12) === Some(true))
+  }
 }
