@@ -314,4 +314,47 @@ class PlanSpec extends SparkSpec {
     assert(floor.contains("BroadcastHashJoin"),
       s"ds_quality_floor should broadcast the thresholds:\n$floor")
   }
+
+  test("text_c4_filter is a pure row-local projection — no exchange of any kind") {
+    val plan = planOf(TextQueries.textC4Filter(spark, dir))
+    assert(!plan.contains("Exchange"), s"c4 filter shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"c4 filter joins:\n$plan")
+  }
+
+  test("text_bm25: stats ride one broadcast 1-row aggregate; top-k is TakeOrdered") {
+    val plan = planOf(TextQueries.textBm25(spark, dir))
+    // no corpus explode: tf counting is row-local HOFs, so the only
+    // exchange feeds the 1-row stats aggregate (plus its broadcast)
+    assert(!plan.contains("Generate"), s"bm25 exploded the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should be TakeOrdered (map-side partial top-k):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"bm25 shuffles the corpus:\n$plan")
+  }
+
+  test("ds_winsorize: cutpoints broadcast back; corpus rows never sort") {
+    val plan = planOf(MixQueries.dsWinsorize(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winsorize should broadcast the cutpoint dim:\n$plan")
+    // the only Sort allowed is inside the histogram cum-window (tiny);
+    // the corpus side is scan -> broadcast-join -> project
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = MixQueries.dsWinsorize(spark, dir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"winsorize has a window over raw corpus rows:\n$w")
+    }
+  }
+
+  test("ann_pq scoring is a zero-exchange projection feeding TakeOrdered") {
+    // the SCORING plan (fit runs eagerly before this plan is built):
+    // encode + ADC are literal-embedded expressions over the scan
+    val plan = planOf(SimilarityQueries.annPq(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pq top-k should be TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"pq scoring joins:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"pq scoring shuffles the corpus:\n$plan")
+  }
 }
