@@ -146,8 +146,28 @@ object MultimodalQueries extends QueryPack {
       .select(col("doc_id"), col("phash_bits"), col("n_set"))
   }
 
+  /** J4+/G12 `dedup_phash` — image-duplicate buckets: group the
+    * corpus by its [[Multimodal.phashFeatures]] fingerprint and keep
+    * every bucket with >= 2 members (min-id keeper, dup count) — the
+    * image twin of exact text dedup, one hash-groupBy on the 64-bit
+    * fingerprint. Non-vacuous: the synthetic corpus collides for real
+    * (500 docs -> 293 distinct fingerprints at sf0.01). Oracled via
+    * the same analytic per-bit derivation + regroup.
+    */
+  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPngPayloads(Tables.documents(s, dir), "doc_id")
+    Multimodal.phashFeatures(s, media, gridW = 8, gridH = 8, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .groupBy(col("phash_bits"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash" -> mmPhash,
+    "dedup_phash" -> dedupPhash,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_schema" -> mmSchema,
@@ -157,6 +177,28 @@ object MultimodalQueries extends QueryPack {
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
+    // the mm_phash analytic bit derivation, regrouped into buckets
+    "dedup_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 3 AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      ((i // 8) * h // 8) * w + ((i % 8) * w // 8)) AS ks
+        |  FROM d),
+        |l AS (SELECT doc_id,
+        |    list_transform(ks, k ->
+        |      299 * ((doc_id + 3 * k) % 256)
+        |      + 587 * ((5 * doc_id + 7 * k) % 256)
+        |      + 114 * ((11 * doc_id + 13 * k) % 256)) AS lums
+        |  FROM p),
+        |b AS (SELECT doc_id, lums, list_sum(lums) AS s FROM l),
+        |hh AS (SELECT doc_id, array_to_string(list_transform(lums,
+        |    x -> CASE WHEN x * 64 > s THEN '1' ELSE '0' END), '') AS phash_bits
+        |  FROM b)
+        |SELECT phash_bits, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM hh GROUP BY phash_bits HAVING count(*) >= 2""".stripMargin,
     // every bit re-derived analytically: sampled cell (tx, ty) reads
     // source pixel k = (ty*h//8)*w + (tx*w//8), luminance is the
     // integer 299r+587g+114b over the synthesis channel formulas, and

@@ -1143,6 +1143,75 @@ def _():
         [frames[s:s + 32].mean() for s in range(0, len(frames), 16)]
 _prev_timed(_)
 
+# A10: EWMA per user (pandas ewm — the reference-capability analogue;
+# graft's is windowed to stay a bounded row frame, pandas uses full
+# history: same op class, pandas' cheapest form)
+@timed("ts_ewma")
+def _():
+    for _, g in ev.groupby("user_id"):
+        g.sort_values(["ts", "event_id"])["value"].ewm(alpha=0.25, adjust=True).mean()
+
+# I12: C4 cleaning cascade (pandas per-doc python — the single-node way)
+@timed("text_c4_filter")
+def _():
+    def clean(text):
+        ws = text.split(" ")
+        lines = [" ".join(ws[i * 10:(i + 1) * 10])
+                 for i in range((len(ws) + 9) // 10)]
+        kept = [l for l in lines
+                if len(l.split(" ")) >= 5 and "slow" not in l.split(" ")]
+        ok = len(kept) >= 3
+        return (ok, "\n".join(kept) if ok else "", len(kept),
+                len(lines) - len(kept))
+    docs_pd["text"].map(clean)
+
+# I13: BM25 top-20 (numpy vectorized — the honest single-node analogue)
+@timed("text_bm25")
+def _():
+    terms = ["spark", "vector", "stream"]
+    toks = docs_pd["text"].str.split(" ")
+    dl = toks.str.len().to_numpy(dtype=float)
+    n = len(docs_pd); avg = dl.sum() / n
+    score = np.zeros(n)
+    for t in terms:
+        tf = toks.map(lambda ws, t=t: ws.count(t)).to_numpy(dtype=float)
+        df = float((tf > 0).sum())
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+    docs_pd.assign(score=score).nlargest(20, "score")
+
+# L18: winsorize n_chars at per-source p05/p95 (pandas quantile + clip)
+@timed("ds_winsorize")
+def _():
+    g = docs_pd.groupby("source")["n_chars"]
+    lo = g.transform(lambda x: x.quantile(0.05))
+    hi = g.transform(lambda x: x.quantile(0.95))
+    docs_pd["n_chars"].clip(lo, hi)
+    np.where(docs_pd["n_chars"] < lo, "low",
+             np.where(docs_pd["n_chars"] > hi, "high", "in_range"))
+
+# J4: average-hash fingerprint (PIL-free: decode skipped — the pandas
+# side hashes the analytic pixel grid directly, the favorable case)
+@timed("mm_phash")
+def _():
+    for did in docs_pd["doc_id"].to_numpy():
+        w = int(did) % 6 + 2; h = int(did) % 4 + 3
+        ty, tx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        k = (ty * h // 8) * w + (tx * w // 8)
+        lum = (299 * ((did + 3 * k) % 256) + 587 * ((5 * did + 7 * k) % 256)
+               + 114 * ((11 * did + 13 * k) % 256))
+        (lum * 64 > lum.sum()).astype(np.uint8)
+
+# F+: CUBE over the Q1 agg (pandas: 4 groupbys, the single-node way)
+@timed("q_cube")
+def _():
+    li_cube = pd.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    li_cube.groupby(["l_returnflag", "l_linestatus"])["l_quantity"].agg(["sum", "count"])
+    li_cube.groupby("l_returnflag")["l_quantity"].agg(["sum", "count"])
+    li_cube.groupby("l_linestatus")["l_quantity"].agg(["sum", "count"])
+    li_cube["l_quantity"].agg(["sum", "count"])
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
