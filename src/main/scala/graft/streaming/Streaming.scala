@@ -165,6 +165,49 @@ object Streaming {
         .hashedBigramBucketScore(col(textCol), table.toSeq))
   }
 
+  /** Streaming winsorize gate (L18's stream twin): clip each stream
+    * row's value to PREFIT per-key [lo, hi] cutpoints
+    * ([[graft.mix.Mix.winsorize]]'s quantile band, fit as a BATCH job
+    * over the accumulated corpus — a stream cannot fit the quantiles
+    * it clips against, the dsirScoreStream contract). The cutpoint
+    * table is key-domain-bounded, so it rides a stream-static
+    * broadcast join; the clip + direction tag are the same row-local
+    * comparison chain as the batch operator (null value → null
+    * clipped/tag, never a silent clip), so batch and stream label
+    * every row identically (spec-pinned). Unseen keys pass through
+    * unclipped with a null tag — admission policy stays with the
+    * caller.
+    */
+  def winsorizeStream(docs: DataFrame, keyCol: String, valCol: String,
+                      cutpoints: DataFrame): DataFrame = {
+    val cuts = cutpoints
+      .select(col(keyCol), col("_lo"), col("_hi"))
+    docs.join(broadcast(cuts), Seq(keyCol), "left")
+      .withColumn("clipped",
+        when(col(valCol).isNull, lit(null))
+          .when(col("_lo").isNull, col(valCol))
+          .otherwise(least(greatest(col(valCol), col("_lo")), col("_hi"))))
+      .withColumn("clip_tag",
+        when(col(valCol).isNull || col("_lo").isNull, lit(null).cast("string"))
+          .when(col(valCol) < col("_lo"), lit("low"))
+          .when(col(valCol) > col("_hi"), lit("high"))
+          .otherwise(lit("in_range")))
+      .drop("_lo", "_hi")
+  }
+
+  /** The cutpoint dim [[winsorizeStream]] expects, fit from a BATCH
+    * corpus: per-key exact [lo, hi] histogram quantiles (the
+    * [[graft.mix.Mix.winsorize]] arithmetic, exposed so the batch fit
+    * and the stream gate share one definition).
+    */
+  def winsorizeCutpoints(corpus: DataFrame, keyCol: String, valCol: String,
+                         loNum: Int, loDen: Int, hiNum: Int,
+                         hiDen: Int): DataFrame =
+    graft.mix.Mix.histogramQuantiles(corpus, keyCol, valCol,
+        Seq((loNum, loDen), (hiNum, hiDen)))
+      .select(col(keyCol), col(s"q_${loNum}_$loDen").as("_lo"),
+        col(s"q_${hiNum}_$hiDen").as("_hi"))
+
   /** Streaming near-dup gate (G7's stream twin): each stream doc is
     * checked against a persisted [[graft.dedup.LshIndex]]'s banded
     * HISTORY — MinHash band keys are a row-local codegen projection on

@@ -387,6 +387,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winsorizeStream clips against prefit cutpoints with batch parity; unseen keys pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // fit corpus: key A values 1..10 -> p20 = 2, p80 = 8
+    val corpus = (1L to 10L).map(v => ("A", v, v)).toDF("src", "id", "v")
+    val cuts = Streaming.winsorizeCutpoints(corpus, "src", "v", 1, 5, 4, 5)
+    val input = MemoryStream[(String, Long, java.lang.Long)]
+    val q = Streaming.winsorizeStream(
+        input.toDF().toDF("src", "id", "v"), "src", "v", cuts)
+      .writeStream.format("memory").queryName("wz_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("A", 1L, java.lang.Long.valueOf(1L)),
+        ("A", 2L, java.lang.Long.valueOf(5L)),
+        ("A", 3L, java.lang.Long.valueOf(99L)),
+        ("A", 4L, null),
+        ("B", 5L, java.lang.Long.valueOf(7L))) // unseen key
+      q.processAllAvailable()
+      val out = spark.table("wz_stream").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((Option(r.getAs[java.lang.Long]("clipped")),
+            Option(r.getAs[String]("clip_tag"))))).toMap
+      // identical labels to the batch operator on the fit corpus keys
+      val batch = graft.mix.Mix.winsorize(corpus, "src", "v", 1, 5, 4, 5)
+        .filter(col("id").isin(1L, 2L))
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("clipped"), r.getAs[String]("clip_tag")))).toMap
+      assert(out(1L) === ((Some(batch(1L)._1), Some(batch(1L)._2))))
+      assert(out(2L) === ((Some(5L), Some("in_range"))))
+      assert(out(3L) === ((Some(8L), Some("high"))))
+      assert(out(4L) === ((None, None)))      // null value stays null
+      assert(out(5L) === ((Some(7L), None)))  // unseen key: unclipped, null tag
+    } finally q.stop()
+  }
+
   test("dsirScoreStream scores stream docs against the prefit model with batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import graft.mix.Mix
