@@ -63,6 +63,19 @@ object SimilarityQueries extends QueryPack {
         query(s, dir), 10, m = 8, kSub = 16, iterations = 2)
       .select(col("vec_id"), r6(col("adc_score")).as("adc_score"))
 
+  /** H7 `ann_ivf_pq` — the IVF×PQ composition ([[Similarity.ivfPqTopK]]):
+    * 16-centroid coarse prune to 4 probed buckets, PQ ADC scoring of
+    * only the survivors — one zero-exchange scan plan (assignment
+    * argmax → bucket filter → ADC → TakeOrdered). Rows-only;
+    * SimilaritySpec pins clustered recall and that pruning beats
+    * scoring-everything on candidate count.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(corpus(s, dir), "vec_id", "embedding", 64,
+        query(s, dir), 10, kIvf = 16, ivfIterations = 2, nProbe = 4,
+        m = 8, kSub = 16, pqIterations = 2)
+      .select(col("vec_id"), col("cid"), r6(col("adc_score")).as("adc_score"))
+
   /** H3+ `ann_knn_join` — batch kNN SELF-join: EVERY corpus vector's
     * top-5 neighbors in one pass through the persisted IVF index
     * ([[graft.similarity.IvfIndex.topKBatch]] with excludeSelf) — the
@@ -146,6 +159,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivf" -> annIvf,
     "ann_knn_join" -> annKnnJoin,
     "ann_pq" -> annPq,
+    "ann_ivf_pq" -> annIvfPq,
     "emb_centroids" -> embCentroids,
     "emb_quantize" -> embQuantize)
 

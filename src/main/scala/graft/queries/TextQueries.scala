@@ -242,7 +242,35 @@ object TextQueries extends QueryPack {
     TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
       queryTerms = Seq("spark", "vector", "stream"), topK = 20)
 
+  /** I14 `text_hybrid` — hybrid retrieval cascade (retrieve-then-
+    * rerank, the standard RAG shape): BM25 top-50 on the lexical leg
+    * (the text_bm25 query bag), then exact embedding-cosine rerank of
+    * ONLY those candidates against the vec_id-0 query vector (docs and
+    * embeddings align 1:1 on id), top-10 by rounded cosine. The
+    * expensive leg (vector math) runs on 50 rows, not the corpus —
+    * the cascade's entire point at 100 TB. Both selections are stated
+    * on the r6 grid with id tie-breaks, so the full two-stage pipeline
+    * is SQL-oracled end-to-end.
+    */
+  def textHybrid(s: SparkSession, dir: String): DataFrame = {
+    val bm = TextAnalysis.bm25TopK(
+      docs(s, dir).filter(col("doc_id") =!= 0), "doc_id", "text",
+      queryTerms = Seq("spark", "vector", "stream"), topK = 50)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("_qv"))
+    bm.join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("score").as("bm25"),
+        graft.functions.cosineSimilarity(
+          col("embedding").cast("array<double>"), col("_qv")).as("_cos"))
+      .orderBy(r6(col("_cos")).desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("bm25"), r6(col("_cos")).as("cosine"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hybrid" -> textHybrid,
     "text_c4_filter" -> textC4Filter,
     "text_bm25" -> textBm25,
     "text_lm_score" -> textLmScore,
@@ -280,6 +308,56 @@ object TextQueries extends QueryPack {
         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_cut
         |FROM k""".stripMargin,
+    // the text_bm25 chain (stats over doc_id <> 0) cut at 50 on the
+    // rounded grid, then the ann_brute cosine twin over the candidates
+    "text_hybrid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id <> 0),
+        |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'vector')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'stream')) AS BIGINT) AS tf2
+        |  FROM t),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM f),
+        |sc AS (SELECT doc_id,
+        |    ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+        |        / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+        |        / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+        |        / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        |      * ((CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / CAST(sdl AS DOUBLE)))))
+        |    AS score
+        |  FROM f, s),
+        |bm AS (SELECT doc_id,
+        |    floor(score * 1000000 + 0.5001) / 1000000 AS bm25
+        |  FROM sc ORDER BY floor(score * 1000000 + 0.5001) / 1000000 DESC,
+        |    doc_id LIMIT 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT bm.doc_id AS doc_id, bm.bm25 AS bm25,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv, qv))) AS cosine
+        |  FROM bm JOIN embeddings e ON bm.doc_id = e.vec_id, q)
+        |SELECT doc_id, bm25,
+        |  floor(cosine * 1000000 + 0.5001) / 1000000 AS cosine
+        |FROM c ORDER BY floor(cosine * 1000000 + 0.5001) / 1000000 DESC,
+        |  doc_id LIMIT 10""".stripMargin,
     // identical parenthesization term by term; ranking on the rounded
     // grid + doc_id so libm-ulp ln differences cannot reorder the set
     "text_bm25" ->

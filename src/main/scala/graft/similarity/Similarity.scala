@@ -365,6 +365,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** H7: IVF-PQ — the standard billion-scale ANN composition (FAISS
+    * `IVFx,PQy`): a coarse quantizer prunes the corpus to `nProbe` of
+    * `kIvf` centroid buckets, and ONLY those candidates are scored,
+    * by PQ ADC instead of exact math. Both legs are the engine's
+    * existing primitives — the [[kmeansCentroidArray]] coarse fit, the
+    * [[pqCodebooks]] fused sub-quantizer fit, the codegen argmax for
+    * bucket assignment — composed into ONE zero-exchange scan plan:
+    *
+    *   scan → argmax(cid) → filter(cid ∈ probed)  [row-local prune]
+    *        → ADC projection → TakeOrdered(k)
+    *
+    * Probe selection ranks the kIvf×dim centroid table against the
+    * query on the driver (bounded, the IvfIndex convention). This
+    * variant quantizes RAW vectors (not residuals — the spherical/
+    * cosine analogue of FAISS's IP mode); the persisted-index
+    * counterpart of the same plan is [[IvfIndex.topK]] with ADC in
+    * place of exact cosine, where the bucket filter becomes parquet
+    * partition pruning.
+    *
+    * Output: (idCol, `cid`, `adc_score`), top `k` by (score desc, id)
+    * among candidates. Rows-only like every k-means-derived op.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                query: DataFrame, k: Int, kIvf: Int = 16,
+                ivfIterations: Int = 2, nProbe: Int = 4, m: Int = 8,
+                kSub: Int = 16, pqIterations: Int = 2,
+                fitSampleRate: Double = 1.0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kIvf, s"nProbe $nProbe out of [1, $kIvf]")
+    val vecD = col(vecCol).cast("array<double>")
+    val cents = kmeansCentroidArray(df, idCol, vecCol, kIvf, ivfIterations,
+      fitSampleRate)
+    val books = pqCodebooks(df, idCol, vecCol, dim, m, kSub, pqIterations,
+      fitSampleRate)
+    val q = query.select(vecD.as("_qv")).head.getSeq[Double](0).toArray
+    require(q.length == dim, s"query dim ${q.length} != $dim")
+    // probe selection: cosine-rank the bounded centroid table driver-side
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NegativeInfinity else d / den
+    }
+    val probed = cents.map { case (cid, cv) => (cid, cos(cv, q)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+    val subDim = dim / m
+    val luts: IndexedSeq[Array[Double]] = (0 until m).map { j =>
+      val qj = q.slice(j * subDim, (j + 1) * subDim)
+      books(j).map { case (_, cv) =>
+        var s = 0.0; var i = 0
+        while (i < subDim) { s += qj(i) * cv(i); i += 1 }
+        s
+      }
+    }
+    // the prune filter sits BETWEEN assignment and scoring: ADC is
+    // projected over the post-filter vector column, so only survivors
+    // pay the m argmax lookups
+    def adcOf(v: Column): Column = (0 until m).map { j =>
+      val code = CentroidExpressions.nearestCentroidId(
+        slice(v, j * subDim + 1, subDim), books(j))
+      element_at(lit(luts(j)), code.cast("int") + 1)
+    }.reduce(_ + _)
+    df.select(col(idCol),
+        CentroidExpressions.nearestCentroidId(vecD, cents).as("cid"),
+        vecD.as("_v"))
+      .filter(col("cid").isin(probed.map(Long.box): _*))
+      .select(col(idCol), col("cid"), adcOf(col("_v")).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The m per-subspace PQ codebooks, fit TOGETHER: all m spherical
     * Lloyd's runs share one seed collect and ONE exploded
     * assign-and-mean pass per iteration (posexplode by subspace, a

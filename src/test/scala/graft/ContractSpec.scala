@@ -63,6 +63,7 @@ class ContractSpec extends AnyFunSuite {
       "ann_lsh", "ann_ivf",  // approximate by construction
       "ann_knn_join",        // IVF-probed kNN self-join, approximate (r7)
       "ann_pq",              // PQ codebooks are k-means-defined (r9)
+      "ann_ivf_pq",          // coarse + PQ quantizers both k-means-defined (r9)
       "mm_features",         // batch_size depends on physical partitioning
       "q_approx",            // sketch outputs are implementation-defined (r5)
       "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)

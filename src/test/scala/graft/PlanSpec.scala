@@ -347,6 +347,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq: bucket prune + ADC is one zero-exchange scan plan") {
+    val plan = planOf(SimilarityQueries.annIvfPq(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ivf-pq top-k should be TakeOrdered:\n$plan")
+    assert(!plan.contains("Join"), s"ivf-pq scoring joins:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"ivf-pq scoring shuffles the corpus:\n$plan")
+  }
+
+  test("text_hybrid reranks ONLY the candidate set (one broadcast join, no corpus explode)") {
+    val plan = planOf(TextQueries.textHybrid(spark, dir))
+    assert(!plan.contains("Generate"), s"hybrid exploded the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hybrid rerank should be TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"hybrid candidate join regressed to a shuffle join:\n$plan")
+  }
+
   test("ann_pq scoring is a zero-exchange projection feeding TakeOrdered") {
     // the SCORING plan (fit runs eagerly before this plan is built):
     // encode + ADC are literal-embedded expressions over the scan

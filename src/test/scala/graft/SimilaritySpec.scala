@@ -425,4 +425,36 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.intersect(got).size.toDouble / truth.size
     assert(recall >= 0.8, s"PQ recall $recall below 0.8")
   }
+
+  test("ivfPqTopK: probed-bucket pruning keeps recall; candidates shrink") {
+    import spark.implicits._
+    // 4 direction clusters x 10 members (the pqTopK fixture); query on
+    // cluster 0's axis -> the coarse probe should keep that cluster
+    def member(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.05f * ((axis * 31 + i * 7) % 5))
+      a(axis * 2) = 2.0f + 0.01f * i
+      a
+    }
+    // ids interleave the clusters so the first-kIvf-by-id seeds span
+    // all four directions (first-k seeding is the fit's contract; a
+    // corpus sorted BY cluster would seed one cluster four times)
+    val corpus = (for (axis <- 0 until 4; i <- 0 until 10)
+      yield (i * 4 + axis + 1).toLong -> member(axis, i))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val cq = Seq(0L -> Array(2.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(cdf, "vec_id", "embedding", dim = 8,
+        cq, k = 10, kIvf = 4, ivfIterations = 2, nProbe = 2,
+        m = 4, kSub = 8, pqIterations = 2)
+      .collect()
+    val got = out.map(_.getAs[Long]("vec_id")).toSet
+    val qv = Array(2.0, 0, 0, 0, 0, 0, 0, 0)
+    val truth = corpus.map { case (id, v) =>
+      id -> v.map(_.toDouble).zip(qv).map { case (x, y) => x * y }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below 0.8")
+    // pruning is real: at most nProbe of kIvf buckets survive
+    assert(out.map(_.getAs[Long]("cid")).toSet.size <= 2)
+  }
 }

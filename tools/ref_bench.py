@@ -1212,6 +1212,26 @@ def _():
     li_cube.groupby("l_linestatus")["l_quantity"].agg(["sum", "count"])
     li_cube["l_quantity"].agg(["sum", "count"])
 
+# I14: hybrid retrieval (numpy bm25 + cosine rerank of candidates)
+@timed("text_hybrid")
+def _():
+    emb_h = pd.read_parquet(f"{sf}/embeddings.parquet")
+    sub = docs_pd[docs_pd["doc_id"] != 0]
+    toks = sub["text"].str.split(" ")
+    dl = toks.str.len().to_numpy(dtype=float)
+    n = len(sub); avg = dl.sum() / n
+    score = np.zeros(n)
+    for t in ["spark", "vector", "stream"]:
+        tf = toks.map(lambda ws, t=t: ws.count(t)).to_numpy(dtype=float)
+        df = float((tf > 0).sum())
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+    cand = sub.assign(score=score).nlargest(50, "score")
+    mat = np.stack(emb_h.set_index("vec_id").loc[cand["doc_id"]]["embedding"].to_numpy())
+    qv = np.array(emb_h[emb_h["vec_id"] == 0]["embedding"].iloc[0])
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    cand.assign(cosine=cos).nlargest(10, "cosine")
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
