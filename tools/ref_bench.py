@@ -1227,7 +1227,11 @@ def _():
         idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
         score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
     cand = sub.assign(score=score).nlargest(50, "score")
-    mat = np.stack(emb_h.set_index("vec_id").loc[cand["doc_id"]]["embedding"].to_numpy())
+    # inner join: only candidates that HAVE an embedding (the graft
+    # side and its oracle join the same way)
+    eidx = emb_h.set_index("vec_id")
+    cand = cand[cand["doc_id"].isin(eidx.index)]
+    mat = np.stack(eidx.loc[cand["doc_id"]]["embedding"].to_numpy())
     qv = np.array(emb_h[emb_h["vec_id"] == 0]["embedding"].iloc[0])
     cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
     cand.assign(cosine=cos).nlargest(10, "cosine")
