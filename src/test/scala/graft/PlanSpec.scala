@@ -347,6 +347,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_topk / q_window_topk: rank<=k rewrites to a map-side WindowGroupLimit") {
+    Seq("q_topk" -> RelationalQueries.qTopk(spark, dir),
+        "q_window_topk" -> RelationalQueries.qWindowTopk(spark, dir))
+      .foreach { case (n, df) =>
+        val plan = planOf(df)
+        assert(plan.contains("WindowGroupLimit"),
+          s"$n ships whole groups through the exchange instead of local top-k:\n$plan")
+      }
+  }
+
   test("ann_ivf_pq: bucket prune + ADC is one zero-exchange scan plan") {
     val plan = planOf(SimilarityQueries.annIvfPq(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
