@@ -35,6 +35,20 @@ object TimeSeriesQueries extends QueryPack {
         col("roll_n"), r6(col("roll_mean")).as("roll_mean"),
         r6(TimeSeriesOps.medianOfArray(col("_frame"))).as("roll_med"))
 
+  /** A2+ `ts_rolling_std` — centered rolling sample standard deviation
+    * (pandas `rolling('2h').std()`, ddof=1) with min_periods=2 — std
+    * of a single observation is null in both engines, and min_periods
+    * states it explicitly. Both engines run a numerically-stable
+    * central-moments accumulator over the identical RANGE frame;
+    * accumulation-order ulps are absorbed by r6 (the roll_sum
+    * exposure, already green under the same frame).
+    */
+  def tsRollingStd(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cRolling(e(s, dir), Seq("user_id"), "ts", "value", 7200,
+        Seq("roll_std" -> (c => stddev_samp(c))), minPeriods = 2)
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
+        r6(col("roll_std")).as("roll_std"))
+
   /** A3 `ts_resample_1d` — daily downsample (gpstools.py:350). */
   def tsResample1d(s: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.resample(e(s, dir), Seq("user_id"), "ts", "value", "day",
@@ -173,6 +187,7 @@ object TimeSeriesQueries extends QueryPack {
     "ts_upsample_nearest" -> tsUpsampleNearest,
     "ts_rolling_center" -> tsRollingCenter,
     "ts_rolling_multi" -> tsRollingMulti,
+    "ts_rolling_std" -> tsRollingStd,
     "ts_resample_1d" -> tsResample1d,
     "ts_asof_join" -> tsAsofJoin,
     "ts_asof_forward" -> tsAsofForward,
@@ -239,6 +254,16 @@ object TimeSeriesQueries extends QueryPack {
          |  floor((avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
          |    RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)) * 1000000 + 0.5001) / 1000000 AS mean_2h
          |FROM e""".stripMargin,
+    "ts_rolling_std" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id,
+         |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
+         |  CASE WHEN count(value) OVER w >= 2 THEN
+         |    floor((stddev_samp(value) OVER w) * 1000000 + 0.5001) / 1000000
+         |  END AS roll_std
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ts_rolling_multi" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
          |SELECT user_id,

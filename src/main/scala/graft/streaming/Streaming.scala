@@ -165,6 +165,22 @@ object Streaming {
         .hashedBigramBucketScore(col(textCol), table.toSeq))
   }
 
+  /** Streaming BM25 scorer (I13's stream twin): score each stream doc
+    * against a fixed query bag under PREFIT corpus statistics
+    * ([[graft.text.TextAnalysis.bm25Stats]], a batch job — a stream
+    * cannot fit the df/avgdl it scores against, the dsirScoreStream
+    * contract). The stats are |terms|+2 longs embedded as literals, so
+    * scoring is pure row-local compute — no join, no state; the
+    * routing/filtering decision stays with the caller. Identical
+    * arithmetic to the batch scorer, so batch and stream scores agree
+    * bit-for-bit (spec-pinned). Null text carries a null score.
+    */
+  def bm25ScoreStream(docs: DataFrame, textCol: String,
+                      queryTerms: Seq[String],
+                      stats: graft.text.TextAnalysis.Bm25Stats): DataFrame =
+    docs.withColumn("bm25",
+      graft.text.TextAnalysis.bm25ScoreColumn(col(textCol), queryTerms, stats))
+
   /** Streaming winsorize gate (L18's stream twin): clip each stream
     * row's value to PREFIT per-key [lo, hi] cutpoints
     * ([[graft.mix.Mix.winsorize]]'s quantile band, fit as a BATCH job

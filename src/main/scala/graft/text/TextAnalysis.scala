@@ -301,6 +301,58 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The corpus statistics BM25 scoring needs, collected once — the
+    * bounded dim a stream gate can embed as literals (the prefit
+    * contract: a stream cannot fit the df/avgdl it scores against).
+    */
+  case class Bm25Stats(nDocs: Long, sumDl: Long, docFreq: Seq[Long])
+
+  /** Fit [[Bm25Stats]] from a batch corpus: ONE map-side-combining
+    * scalar aggregate (N, Σdl, per-term df), collected (1 row, |terms|
+    * + 2 longs).
+    */
+  def bm25Stats(docs: DataFrame, textCol: String,
+                queryTerms: Seq[String]): Bm25Stats = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val ws = split(col(textCol), " ")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(size(ws).cast("long").as("_dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).cast("long").as(s"_tf$i")
+        }: _*)
+    val aggs = count(lit(1)).cast("long").as("_n") +:
+      sum(col("_dl")).cast("long").as("_sdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).cast("long").as(s"_df$i"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head
+    Bm25Stats(r.getLong(0), r.getLong(1),
+      queryTerms.indices.map(i => r.getLong(2 + i)))
+  }
+
+  /** Row-local BM25 score of `text` against `queryTerms` under PREFIT
+    * stats — the scoring half of [[bm25TopK]] with the corpus stats as
+    * literals instead of a cross-joined dim: identical arithmetic
+    * term by term, so batch and stream scores agree bit-for-bit
+    * (spec-pinned). Null text scores null. Unrounded — round at the
+    * output edge like every float column.
+    */
+  def bm25ScoreColumn(text: Column, queryTerms: Seq[String],
+                      stats: Bm25Stats, k1: Double = 1.2,
+                      b: Double = 0.75): Column = {
+    val ws = split(text, " ")
+    val dlD = size(ws).cast("double")
+    val nD = stats.nDocs.toDouble
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tfD = size(filter(ws, w => w === lit(t))).cast("double")
+      val dfD = stats.docFreq(i).toDouble
+      val idf = math.log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0)
+      val normdl = (dlD * nD) / stats.sumDl.toDouble
+      lit(idf) * ((tfD * (k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * normdl)))
+    }
+    when(text.isNull, lit(null)).otherwise(perTerm.reduce(_ + _))
+  }
+
   /** Document fingerprint (I4): min of md5 over 5-word shingles — a
     * deterministic MinHash-style content fingerprint robust to word
     * reordering outside a 5-window.

@@ -387,6 +387,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25ScoreStream scores against prefit stats with batch bit-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "x y moon"),
+      (2L, "x cat y cat"),
+      (3L, "x y z"),
+      (4L, "cat z moon moon")).toDF("doc_id", "text")
+    val terms = Seq("moon", "cat")
+    val stats = graft.text.TextAnalysis.bm25Stats(corpus, "text", terms)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.bm25ScoreStream(
+        input.toDF().toDF("doc_id", "text"), "text", terms, stats)
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "x y moon"), (2L, "x cat y cat"), (5L, null))
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[java.lang.Double]("bm25"))).toMap
+      // batch scorer on the same corpus (topK over all 4 docs): the
+      // stream score for the same text must match BIT-FOR-BIT modulo
+      // the batch side's output rounding grid
+      val batch = graft.text.TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          terms, topK = 4)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("score")).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5001) / 1e6
+      assert(r6(streamed(1L).get) === batch(1L))
+      assert(r6(streamed(2L).get) === batch(2L))
+      assert(streamed(5L).isEmpty) // null text -> null score, row passes
+    } finally q.stop()
+  }
+
   test("winsorizeStream clips against prefit cutpoints with batch parity; unseen keys pass") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
