@@ -1236,6 +1236,14 @@ def _():
     cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
     cand.assign(cosine=cos).nlargest(10, "cosine")
 
+# A2+: centered rolling std per series (utils.c_rolling window_func)
+@timed("ts_rolling_std")
+def _():
+    from utils import c_rolling
+    for _, g in ev.groupby("user_id"):
+        srs = g.set_index("ts")["value"].sort_index()
+        c_rolling(srs, "2h", window_func="std")
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
