@@ -482,6 +482,45 @@ object TimeSeriesOps {
       .drop("_rl")
   }
 
+  /** A11: robust MAD outlier flagging — `|x − median| > k·MAD` per
+    * key, the standard robust QC gate (Hampel filter family) that a
+    * fixed threshold ([[graft.operators.Gps.dropLargeErrors]]) can't
+    * replace when scale varies per series. FLAGS, never drops — the
+    * droplist decision stays with the caller.
+    *
+    * Exactness contract: values snap to an r4 grid first, so both the
+    * median and the MAD come out of [[graft.mix.Mix.histogramQuantiles]]'
+    * integer reach arithmetic (exact lower medians over exact grid
+    * histograms) and every downstream comparison is the same IEEE op
+    * on identical doubles — the whole flag column is cross-engine
+    * deterministic with no rounding at the output edge. Scale shape:
+    * two histogram-sized aggregates coming back as broadcast dims +
+    * row-local arithmetic; the corpus never sorts.
+    *
+    * Output: input row + `snapped`, `med`, `mad`, `is_outlier` (null
+    * value → null flag, never a silent pass).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  k: Double = 3.5, gridScale: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = math.pow(10.0, gridScale)
+    val snapped = df.withColumn("_sv",
+      when(col(valCol).isNull, lit(null))
+        .otherwise(floor(col(valCol) * p + 0.5001) / p))
+    val med = graft.mix.Mix.histogramQuantile(snapped, keyCol, "_sv", 1, 2)
+      .select(col(keyCol), col("q_value").as("med"))
+    val withMed = snapped.join(broadcast(med), Seq(keyCol))
+      .withColumn("_ad", abs(col("_sv") - col("med")))
+    val mad = graft.mix.Mix.histogramQuantile(withMed, keyCol, "_ad", 1, 2)
+      .select(col(keyCol), col("q_value").as("mad"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .withColumn("is_outlier",
+        when(col("_ad").isNull, lit(null).cast("boolean"))
+          .otherwise(col("_ad") > lit(k) * col("mad")))
+      .withColumnRenamed("_sv", "snapped")
+      .drop("_ad")
+  }
+
   def dropPositions(df: DataFrame, tsCol: String,
                     windows: Seq[(String, String)]): DataFrame = {
     require(windows.nonEmpty, "windows must be non-empty")

@@ -181,7 +181,20 @@ object TimeSeriesQueries extends QueryPack {
       .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
         r6(col("ewma")).as("ewma"))
 
+  /** A11 `ts_mad` — per-user MAD outlier flags
+    * ([[TimeSeriesOps.madOutliers]], k=3.5 on the r4 grid): median and
+    * MAD from exact histogram quantiles, flag fully deterministic
+    * cross-engine (no output rounding needed — see the operator doc).
+    */
+  def tsMad(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.madOutliers(
+        e(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", k = 3.5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("med"), col("mad"), col("is_outlier"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mad" -> tsMad,
     "ts_ewma" -> tsEwma,
     "ts_subset_windows" -> tsSubsetWindows,
     "ts_upsample_nearest" -> tsUpsampleNearest,
@@ -201,6 +214,37 @@ object TimeSeriesQueries extends QueryPack {
   private val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
   val oracles: Map[String, String] = Map(
+    // both medians via the histogramQuantiles reach arithmetic on the
+    // r4 grid; |sv-med|, 3.5*mad, and the comparison are the same IEEE
+    // ops on identical doubles — no output rounding anywhere
+    "ts_mad" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+        |    CASE WHEN value IS NULL THEN NULL
+        |         ELSE floor(value * 10000 + 0.5001) / 10000 END AS sv
+        |  FROM events),
+        |h AS (SELECT user_id, sv, count(*) AS n FROM t
+        |  WHERE sv IS NOT NULL GROUP BY user_id, sv),
+        |c AS (SELECT user_id, sv,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY sv) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS tot FROM h),
+        |q AS (SELECT user_id,
+        |    min(CASE WHEN cum * 2 >= tot THEN sv END) AS med
+        |  FROM c GROUP BY user_id),
+        |a AS (SELECT t.event_id, t.user_id, t.value, t.sv, q.med,
+        |    abs(t.sv - q.med) AS ad
+        |  FROM t JOIN q USING (user_id)),
+        |h2 AS (SELECT user_id, ad, count(*) AS n FROM a
+        |  WHERE ad IS NOT NULL GROUP BY user_id, ad),
+        |c2 AS (SELECT user_id, ad,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY ad) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS tot FROM h2),
+        |q2 AS (SELECT user_id,
+        |    min(CASE WHEN cum * 2 >= tot THEN ad END) AS mad
+        |  FROM c2 GROUP BY user_id)
+        |SELECT a.event_id, a.user_id, a.value, a.med, q2.mad,
+        |  CASE WHEN a.ad IS NULL THEN NULL
+        |       ELSE a.ad > 3.5 * q2.mad END AS is_outlier
+        |FROM a JOIN q2 USING (user_id)""".stripMargin,
     // same 32-row frame over (ts, event_id), nulls filtered before the
     // reverse (collect_list skip semantics), same newest-first
     // pow-weighted sums; 1-based list index -> power(beta, i-1)

@@ -30,7 +30,11 @@ class ContractSpec extends AnyFunSuite {
       "text_tokens", "text_langid", "text_quality", "text_fingerprint", "text_vocab",
       "mm_schema", "mm_features", "mm_decode", "mm_resize",
       "ev_funnel", "ds_stratified", "emb_project", "text_lm_score",
-      "dedup_bloom")
+      "dedup_bloom",
+      // r9 additions
+      "text_c4_filter", "text_bm25", "text_hybrid", "ds_winsorize",
+      "mm_phash", "dedup_phash", "ann_pq", "ann_ivf_pq", "ts_ewma",
+      "ts_rolling_std", "q_cube")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

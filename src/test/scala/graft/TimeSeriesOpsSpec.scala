@@ -224,6 +224,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(subset === Array(2.0))
   }
 
+  test("madOutliers flags |x-med| > k*MAD per key; constant series and nulls handled") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // key a: median 10, MAD 1 -> 1000 flagged, 12 not (ad=2 < 3.5)
+      ("a", 1L, Some(9.0)), ("a", 2L, Some(10.0)), ("a", 3L, Some(11.0)),
+      ("a", 4L, Some(12.0)), ("a", 5L, Some(1000.0)),
+      // key b: constant -> MAD 0, the deviating row flagged
+      ("b", 6L, Some(5.0)), ("b", 7L, Some(5.0)), ("b", 8L, Some(5.0)),
+      ("b", 9L, Some(5.1)),
+      ("a", 10L, None)).toDF("k", "id", "v")
+    val out = TimeSeriesOps.madOutliers(df, "k", "v", k = 3.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Boolean]("is_outlier"))).toMap
+    assert(out(5L) === Some(true))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) === Some(false)))
+    assert(out(9L) === Some(true))   // MAD 0: any deviation flags
+    assert(Seq(6L, 7L, 8L).forall(out(_) === Some(false)))
+    assert(out(10L) === None)        // null value -> null flag
+  }
+
   test("ewmaRows: adjust=True weighting over the bounded row frame, nulls skipped") {
     val df = series(
       ("a", "2024-01-01 00:00:00", 1.0),
