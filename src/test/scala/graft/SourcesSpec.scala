@@ -55,6 +55,43 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readStr17(spark, p).count() === 1)
   }
 
+  test("Tables.events adapts to both ts schemas: nanos-as-long and native timestamp") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evschema").toString
+    // legacy generation: ts stored as int64 nanoseconds (what the old
+    // parquet surfaced under nanosAsLong) — 2024-01-05 00:00:00 UTC
+    // plus i hours, nanos chosen sub-microsecond-dirty (…999 ns) so
+    // the integer-division truncation contract is exercised
+    val base = 1704412800L * 1000000000L
+    val legacy = (0 until 48).map(i =>
+      (i.toLong, base + i * 3600L * 1000000000L + 999L, i.toLong % 4,
+        "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    legacy.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val lv = graft.tables.Tables.events(spark, dir)
+    assert(lv.schema("ts").dataType.typeName === "timestamp")
+    val first = lv.orderBy("event_id").select(date_format(col("ts"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")).head.getString(0)
+    assert(first === "2024-01-05 00:00:00.000000") // 999 ns truncated
+    // clip pushdown on the raw long: [05 01:00, 05 03:00) keeps hours 1-2
+    val clipped = graft.tables.Tables.eventsClipped(spark, dir,
+      "2024-01-05 01:00:00", "2024-01-05 03:00:00")
+    assert(clipped.select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    // current generation: native timestamp column — same loader, no
+    // conversion, same clip result
+    val dir2 = java.nio.file.Files.createTempDirectory("evschema2").toString
+    legacy.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val nv = graft.tables.Tables.events(spark, dir2)
+    assert(nv.schema("ts").dataType.typeName === "timestamp")
+    val c2 = graft.tables.Tables.eventsClipped(spark, dir2,
+      "2024-01-05 01:00:00", "2024-01-05 03:00:00")
+    assert(c2.select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+  }
+
   test("partitioned parquet write prunes by partition directory") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
