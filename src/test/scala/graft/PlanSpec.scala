@@ -300,7 +300,8 @@ class PlanSpec extends SparkSpec {
   test("histogram-quantile windows run over the histogram aggregate, never corpus rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     Seq("ds_stats" -> MixQueries.dsStats(spark, dir),
-        "ds_quality_floor" -> MixQueries.dsQualityFloor(spark, dir))
+        "ds_quality_floor" -> MixQueries.dsQualityFloor(spark, dir),
+        "ts_mad" -> TimeSeriesQueries.tsMad(spark, dir))
       .foreach { case (n, df) =>
         val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
         assert(windows.nonEmpty, s"$n lost its quantile windows")
