@@ -599,7 +599,9 @@ object Mix {
         Seq((loNum, loDen), (hiNum, hiDen)))
       .select(col(keyCol), col(s"q_${loNum}_$loDen").as("_lo"),
         col(s"q_${hiNum}_$hiDen").as("_hi"))
-    df.join(broadcast(cuts), Seq(keyCol))
+    // left join: a key whose values are ALL null has no cuts row — it
+    // must surface with null clipped/clip_tag, never silently drop
+    df.join(broadcast(cuts), Seq(keyCol), "left")
       // explicit null guard: Spark's greatest/least SKIP nulls (a null
       // value would silently clip to _lo), so a null value must stay null
       .withColumn("clipped",

@@ -172,6 +172,40 @@ object Multimodal {
       struct(col("width"), col("height"), col("format")).as("meta"))
   }
 
+  /** Deterministic NON-image byte string for `id`: first byte 0x01 so
+    * no ImageIO reader claims it (WBMP requires type 0; PNG/GIF/BMP/
+    * JPEG/TIFF magics all differ), remaining bytes from an analytic
+    * formula the DuckDB oracle restates. Length `id % 57 + 8`.
+    */
+  private[graft] def corruptPayload(id: Long): Array[Byte] = {
+    val n = (id % 57 + 8).toInt
+    val out = new Array[Byte](n)
+    out(0) = 1
+    var k = 1
+    while (k < n) { out(k) = ((7 * id + 13 * k) % 256).toByte; k += 1 }
+    out
+  }
+
+  /** J2: mixed-corpus payload synthesis — EVEN ids render to real PNGs
+    * ([[pngPayload]]), ODD ids get [[corruptPayload]] blobs, standing
+    * in for the corrupt/foreign payloads every real 100 TB media
+    * corpus contains. BOTH halves are analytic, so the full mixed
+    * decode — true-codec path AND byte-histogram fallback — carries a
+    * DuckDB oracle (the r10 upgrade that moved mm_features off the
+    * rows-only list).
+    */
+  def withMixedPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val (w, h) = synthDims(id)
+        MediaRecord(id, pngPayload(id), w, h, "png")
+      } else MediaRecord(id, corruptPayload(id), 0, 0, "bin")
+    }.select(col("doc_id"), col("payload"),
+      struct(col("width"), col("height"), col("format")).as("meta"))
+  }
+
   case class ResizedFeatures(doc_id: Long, decoded: Boolean,
                              src_width: Int, src_height: Int,
                              out_width: Int, out_height: Int,

@@ -509,11 +509,13 @@ object TimeSeriesOps {
         .otherwise(floor(col(valCol) * p + 0.5001) / p))
     val med = graft.mix.Mix.histogramQuantile(snapped, keyCol, "_sv", 1, 2)
       .select(col(keyCol), col("q_value").as("med"))
-    val withMed = snapped.join(broadcast(med), Seq(keyCol))
+    // left joins: a key whose values are ALL null has no quantile row —
+    // it must surface with null med/mad/flag, never silently drop
+    val withMed = snapped.join(broadcast(med), Seq(keyCol), "left")
       .withColumn("_ad", abs(col("_sv") - col("med")))
     val mad = graft.mix.Mix.histogramQuantile(withMed, keyCol, "_ad", 1, 2)
       .select(col(keyCol), col("q_value").as("mad"))
-    withMed.join(broadcast(mad), Seq(keyCol))
+    withMed.join(broadcast(mad), Seq(keyCol), "left")
       .withColumn("is_outlier",
         when(col("_ad").isNull, lit(null).cast("boolean"))
           .otherwise(col("_ad") > lit(k) * col("mad")))

@@ -345,12 +345,13 @@ object MixQueries extends QueryPack {
         |    min(CASE WHEN cum * 20 >= tot * 19 THEN n_chars END) AS hi
         |  FROM c GROUP BY source)
         |SELECT t.doc_id, t.source, t.n_chars,
-        |  least(greatest(t.n_chars, q.lo), q.hi) AS clipped,
+        |  CASE WHEN t.n_chars IS NULL THEN NULL
+        |       ELSE least(greatest(t.n_chars, q.lo), q.hi) END AS clipped,
         |  CASE WHEN t.n_chars IS NULL THEN NULL
         |       WHEN t.n_chars < q.lo THEN 'low'
         |       WHEN t.n_chars > q.hi THEN 'high'
         |       ELSE 'in_range' END AS clip_tag
-        |FROM t JOIN q USING (source)""".stripMargin,
+        |FROM t LEFT JOIN q USING (source)""".stripMargin,
     // the text_lm_score CTE chain for the rounded ppl, then the
     // histogramQuantiles integer reach arithmetic for the per-source
     // tercile cutpoints and the identical comparison chain: the label

@@ -23,17 +23,26 @@ object MultimodalQueries extends QueryPack {
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.format").as("format"))
 
-  /** J2 `mm_features` — batched decode over the text corpus: payloads
-    * are utf-8 bytes (not images), so every row exercises the
-    * decode-failure fallback path (`decoded = false`, byte-histogram
-    * feature) — the mixed/corrupt-corpus contract. The real-codec path
-    * is `mm_decode`.
+  /** J2 `mm_features` — batched decode over a MIXED corpus
+    * ([[Multimodal.withMixedPayloads]]): even ids are real PNGs
+    * (true-codec path — decoded dims + exact channel mean), odd ids
+    * are deterministic non-image blobs (fallback path —
+    * `decoded = false`, byte-histogram feature, raw byte length). Both
+    * halves are analytic, so the whole mixed decode is hash-oracled
+    * (r10; previously rows-only — the partition-dependent
+    * `batch_size` column moved out of the query output; the batching
+    * shape itself stays pinned by TextAndMultimodalSpec).
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(s, media(s, dir), batchSize = 64)
+    Multimodal.extractFeatures(s,
+        Multimodal.withMixedPayloads(Tables.documents(s, dir), "doc_id"),
+        batchSize = 64)
       .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("batch_size"),
-        col("decoded"), round(element_at(col("features"), 1), 4).as("f0"))
+      .select(col("doc_id"), col("decoded"),
+        when(col("decoded"), col("img_width").cast("long")).as("width"),
+        when(col("decoded"), col("img_height").cast("long")).as("height"),
+        when(!col("decoded"), col("n_bytes").cast("long")).as("raw_bytes"),
+        r6(element_at(col("features"), 1)).as("f0"))
 
   /** J2 `mm_decode` — REAL image decode, oracled: each doc id is
     * rendered to a tiny deterministic PNG (real encoder), batch-decoded
@@ -247,6 +256,28 @@ object MultimodalQueries extends QueryPack {
         |  start_sample, end_sample,
         |  floor(mean_amp * 1000000 + 0.5001) / 1000000 AS mean_amp
         |FROM a""".stripMargin,
+    // mixed-corpus decode: even ids re-derive the synthesis channel-R
+    // mean (list_avg / 255, the mm_decode division order); odd ids
+    // re-derive the fallback byte histogram's bin-0 fraction (first
+    // byte 0x01 plus the (7id+13k) mod 256 tail, bytes < 32 -> bin 0)
+    "mm_features" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |i AS (SELECT id, id % 6 + 2 AS w, id % 4 + 3 AS h
+        |  FROM d WHERE id % 2 = 0),
+        |im AS (SELECT id, TRUE AS decoded, w, h,
+        |    CAST(NULL AS BIGINT) AS raw_bytes,
+        |    list_avg(list_transform(range(0, w * h),
+        |      k -> (id + 3 * k) % 256)) / 255.0 AS f0
+        |  FROM i),
+        |r AS (SELECT id, id % 57 + 8 AS n FROM d WHERE id % 2 = 1),
+        |rm AS (SELECT id, FALSE AS decoded, CAST(NULL AS BIGINT) AS w,
+        |    CAST(NULL AS BIGINT) AS h, n AS raw_bytes,
+        |    (1 + len(list_filter(range(1, n),
+        |      k -> (7 * id + 13 * k) % 256 < 32))) / CAST(n AS DOUBLE) AS f0
+        |  FROM r)
+        |SELECT id AS doc_id, decoded, w AS width, h AS height, raw_bytes,
+        |  floor(f0 * 1000000 + 0.5001) / 1000000 AS f0
+        |FROM (SELECT * FROM im UNION ALL SELECT * FROM rm)""".stripMargin,
     "mm_decode" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(doc_id % 6 + 2 AS INT) AS img_width,

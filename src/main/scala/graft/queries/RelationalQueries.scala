@@ -184,20 +184,50 @@ object RelationalQueries extends QueryPack {
     * trio. Both are bounded-memory, map-side-combining sketches — the
     * exact forms (countDistinct's dedup shuffle, percentile's full
     * per-group sort buffer) scale with DATA, the sketches with
-    * ACCURACY. Sketch outputs are implementation-defined, so this is a
-    * rows-only query; RelationalSketchSpec pins the error against the
-    * exact aggregates instead.
+    * ACCURACY. Raw sketch values are implementation-defined, so the
+    * hash-oracled output (r10; previously rows-only) is the exact
+    * half plus a per-cell accuracy CERTIFICATE: the exact distinct
+    * counts, a within-10%-relative-error flag for each HLL estimate,
+    * and a flag pinning each approx percentile inside the exact
+    * p±5-rank value window. The oracle states the exact counts and
+    * literal TRUEs — a drifting sketch fails the hash gate. The exact
+    * rank windows come from [[graft.mix.Mix.histogramQuantiles]]
+    * (value-domain-bounded reach arithmetic, NOT a per-group
+    * percentile sort buffer — the first cut of this certificate used
+    * `percentile()` and was 36x slower) joining back as a broadcast
+    * dim; at 100 TB a user runs only the sketch half (the raw
+    * estimates stay pinned by RelationalSketchSpec).
     */
-  def qApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  def qApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // three SEPARATE aggregations joined on the 3-row key dim: mixing
+    // countDistinct with the sketch aggs in ONE agg makes Catalyst
+    // plan an Expand (one projection per distinct group) that runs the
+    // percentile sketch over 3x null-padded rows — 5x slower measured
+    val sk = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("nd_orders"),
-        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        approx_count_distinct(col("l_orderkey")).as("_e_o"),
+        approx_count_distinct(col("l_partkey")).as("_e_p"),
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
           .as("_q"))
-      .select(col("l_returnflag"), col("nd_orders"), col("nd_parts"),
-        col("_q")(0).as("p25"), col("_q")(1).as("p50"), col("_q")(2).as("p75"))
+    val ex = li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("nd_orders"),
+        countDistinct(col("l_partkey")).as("nd_parts"))
+    val bounds = graft.mix.Mix.histogramQuantiles(li, "l_returnflag",
+      "l_extendedprice",
+      Seq((1, 5), (3, 10), (9, 20), (11, 20), (7, 10), (4, 5)))
+    sk.join(broadcast(ex), Seq("l_returnflag"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        col("nd_orders").cast("long").as("nd_orders"),
+        col("nd_parts").cast("long").as("nd_parts"),
+        (abs(col("_e_o") / col("nd_orders") - 1.0) <= 0.1).as("est_orders_ok"),
+        (abs(col("_e_p") / col("nd_parts") - 1.0) <= 0.1).as("est_parts_ok"),
+        col("_q")(0).between(col("q_1_5"), col("q_3_10")).as("p25_ok"),
+        col("_q")(1).between(col("q_9_20"), col("q_11_20")).as("p50_ok"),
+        col("_q")(2).between(col("q_7_10"), col("q_4_5")).as("p75_ok"))
+  }
 
   /** F8 `ev_funnel` — ORDERED conversion funnel over the event stream:
     * users who view, then click strictly after their first view, then
@@ -236,6 +266,18 @@ object RelationalQueries extends QueryPack {
     "q_sessionize" -> qSessionize)
 
   val oracles: Map[String, String] = Map(
+    // exact distinct counts plus literal-TRUE accuracy certificates:
+    // the Spark side computes the sketches AND their exact twins and
+    // emits the within-bounds flags — if any HLL estimate drifts past
+    // 10% rel err or an approx percentile leaves its p±5-rank exact
+    // value window, the flag flips and the hash gate fails
+    "q_approx" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |  TRUE AS est_orders_ok, TRUE AS est_parts_ok,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // identical running-min windows over the same (user_id, ts,
     // event_id) sort; counts are exact integers, the two conversion
     // ratios are single divisions r6-rounded on both sides

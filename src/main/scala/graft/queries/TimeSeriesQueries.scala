@@ -232,7 +232,7 @@ object TimeSeriesQueries extends QueryPack {
         |  FROM c GROUP BY user_id),
         |a AS (SELECT t.event_id, t.user_id, t.value, t.sv, q.med,
         |    abs(t.sv - q.med) AS ad
-        |  FROM t JOIN q USING (user_id)),
+        |  FROM t LEFT JOIN q USING (user_id)),
         |h2 AS (SELECT user_id, ad, count(*) AS n FROM a
         |  WHERE ad IS NOT NULL GROUP BY user_id, ad),
         |c2 AS (SELECT user_id, ad,
@@ -244,7 +244,7 @@ object TimeSeriesQueries extends QueryPack {
         |SELECT a.event_id, a.user_id, a.value, a.med, q2.mad,
         |  CASE WHEN a.ad IS NULL THEN NULL
         |       ELSE a.ad > 3.5 * q2.mad END AS is_outlier
-        |FROM a JOIN q2 USING (user_id)""".stripMargin,
+        |FROM a LEFT JOIN q2 USING (user_id)""".stripMargin,
     // same 32-row frame over (ts, event_id), nulls filtered before the
     // reverse (collect_list skip semantics), same newest-first
     // pow-weighted sums; 1-based list index -> power(beta, i-1)

@@ -34,7 +34,7 @@ class ContractSpec extends AnyFunSuite {
       // r9 additions
       "text_c4_filter", "text_bm25", "text_hybrid", "ds_winsorize",
       "mm_phash", "dedup_phash", "ann_pq", "ann_ivf_pq", "ts_ewma",
-      "ts_rolling_std", "q_cube")
+      "ts_rolling_std", "ts_mad", "q_cube")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs
@@ -62,14 +62,15 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // r6 moved ann_brute / dedup_jaccard / text_langid / mm_schema to
     // sql-oracled; what remains is genuinely hash/seed/impl-defined.
+    // r10 moved mm_features (mixed-corpus analytic oracle) and
+    // q_approx (exact half + accuracy-certificate flags) to
+    // sql-oracled; what remains is genuinely hash/seed/impl-defined.
     val expected = Set(
       "dedup_minhash", "dedup_simhash", "dedup_embed", // LSH candidate sets
       "ann_lsh", "ann_ivf",  // approximate by construction
       "ann_knn_join",        // IVF-probed kNN self-join, approximate (r7)
       "ann_pq",              // PQ codebooks are k-means-defined (r9)
       "ann_ivf_pq",          // coarse + PQ quantizers both k-means-defined (r9)
-      "mm_features",         // batch_size depends on physical partitioning
-      "q_approx",            // sketch outputs are implementation-defined (r5)
       "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)
       "dedup_semantic",      // k-means assignment is float-sum-order-defined (r6)
       "dedup_bloom")         // Bloom bit layout is Spark-impl-defined (r7)

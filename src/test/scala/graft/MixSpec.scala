@@ -431,12 +431,17 @@ class MixSpec extends SparkSpec {
     assert(out(9L) === ((8L, "high")))
     assert(out(10L) === ((8L, "high")))
     (11L to 14L).foreach(i => assert(out(i) === ((5L, "in_range"))))
-    // null value -> null clipped, null tag (never a silent in_range)
-    val withNull = Seq(("A", 99L, Option.empty[Long]), ("A", 98L, Some(3L)))
+    // null value -> null clipped, null tag (never a silent in_range);
+    // an ALL-null key has no cutpoint row but its rows must survive
+    val withNull = Seq(("A", 99L, Option.empty[Long]), ("A", 98L, Some(3L)),
+      ("Z", 97L, Option.empty[Long]), ("Z", 96L, Option.empty[Long]))
       .toDF("src", "id", "v")
-    val nr = Mix.winsorize(withNull, "src", "v", 1, 2, 1, 1)
-      .filter(col("id") === 99L).head
-    assert(nr.isNullAt(nr.fieldIndex("clipped")))
-    assert(nr.isNullAt(nr.fieldIndex("clip_tag")))
+    val nw = Mix.winsorize(withNull, "src", "v", 1, 2, 1, 1)
+    Seq(99L, 97L, 96L).foreach { id =>
+      val nr = nw.filter(col("id") === id).head
+      assert(nr.isNullAt(nr.fieldIndex("clipped")))
+      assert(nr.isNullAt(nr.fieldIndex("clip_tag")))
+    }
+    assert(nw.count() === 4) // the all-null key Z was not dropped
   }
 }

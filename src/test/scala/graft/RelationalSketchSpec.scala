@@ -4,17 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.queries.RelationalQueries
 import graft.tables.Tables
 
-/** Accuracy contract for the q_approx sketch aggregates: sketch
-  * outputs are implementation-defined (hence rows-only at the driver),
-  * so the guarantee that matters — tracking the exact aggregates
-  * within tolerance — is pinned here instead.
+/** Accuracy contract for the sketch aggregates behind q_approx: the
+  * raw sketch estimates are implementation-defined, so the guarantee
+  * that matters — tracking the exact aggregates within tolerance — is
+  * pinned here on the raw estimates, and the query's hash-oracled
+  * accuracy-certificate flags (r10) must all hold.
   */
 class RelationalSketchSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("q_approx sketches track the exact aggregates within tolerance") {
-    val approx = RelationalQueries.qApprox(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
+  test("raw sketches track the exact aggregates within tolerance") {
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("nd_orders"),
+        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("_q"))
+      .select(col("l_returnflag"), col("nd_orders"), col("nd_parts"),
+        col("_q")(0).as("p25"), col("_q")(1).as("p50"), col("_q")(2).as("p75"))
+      .collect().map(r => r.getString(0) -> r).toMap
     val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("nd_orders"),
@@ -38,6 +46,17 @@ class RelationalSketchSpec extends SparkSpec {
           assert(math.abs(a.getAs[Double](c) - ev) <= math.abs(ev) * 0.05,
             s"$k.$c: ${a.getAs[Double](c)} vs $ev")
       }
+    }
+  }
+
+  test("q_approx accuracy-certificate flags all hold") {
+    val rows = RelationalQueries.qApprox(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("est_orders_ok", "est_parts_ok", "p25_ok", "p50_ok", "p75_ok")
+        .foreach { c =>
+          assert(r.getAs[Boolean](c), s"${r.getString(0)}.$c is false")
+        }
     }
   }
 }

@@ -233,7 +233,10 @@ class TimeSeriesOpsSpec extends SparkSpec {
       // key b: constant -> MAD 0, the deviating row flagged
       ("b", 6L, Some(5.0)), ("b", 7L, Some(5.0)), ("b", 8L, Some(5.0)),
       ("b", 9L, Some(5.1)),
-      ("a", 10L, None)).toDF("k", "id", "v")
+      ("a", 10L, None),
+      // key c: ALL null -> no quantile rows, but the rows must
+      // survive the (left) joins with null med/mad/flag
+      ("c", 11L, None), ("c", 12L, None)).toDF("k", "id", "v")
     val out = TimeSeriesOps.madOutliers(df, "k", "v", k = 3.5)
       .collect().map(r => r.getAs[Long]("id") ->
         Option(r.getAs[java.lang.Boolean]("is_outlier"))).toMap
@@ -242,6 +245,8 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(9L) === Some(true))   // MAD 0: any deviation flags
     assert(Seq(6L, 7L, 8L).forall(out(_) === Some(false)))
     assert(out(10L) === None)        // null value -> null flag
+    assert(out.contains(11L) && out.contains(12L)) // all-null key kept
+    assert(out(11L) === None && out(12L) === None)
   }
 
   test("ewmaRows: adjust=True weighting over the bounded row frame, nulls skipped") {
