@@ -46,6 +46,37 @@ object Bench {
         }.toMap
         finally src.close()
       } catch { case _: Throwable => Map.empty }
+    // Build-vs-probe split (VERDICT r9 items 4+5): the index-backed
+    // queries pay a one-time on-disk index build that the steady-state
+    // probe never repays — one number conflating both flatters
+    // neither. Delete each index and time ONE cold pass up front
+    // (reported in a separate "index_builds" field as
+    // <name>_cold_build = build + first probe); the regular min-of-N
+    // passes below then measure the warm probe path. ann_knn_join
+    // shares ann_ivf's index and so also runs warm in the main loop.
+    val san = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    val indexBuilds = Seq(
+      "ann_ivf" -> s"spark-warehouse/ivf_${san}_k16",
+      "dedup_incremental" -> s"spark-warehouse/lsh_incr_v2_$san")
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, path) =>
+        deleteRecursively(java.nio.file.Paths.get(path))
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${name} cold build FAILED: ${e.getMessage}")
+            false
+          }
+        s"${name}_cold_build" ->
+          (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -84,8 +115,10 @@ object Bench {
     // n_failed makes a partial run self-describing: a total summed over
     // fewer queries than the full surface must never read as a speedup.
     val nFailed = results.count(_._2 < 0)
+    val ib = indexBuilds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Full untruncated copy for the judge (repo-local, overwritten per run).
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
