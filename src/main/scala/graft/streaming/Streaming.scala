@@ -224,6 +224,79 @@ object Streaming {
       .select(col(keyCol), col(s"q_${loNum}_$loDen").as("_lo"),
         col(s"q_${hiNum}_$hiDen").as("_hi"))
 
+  /** Streaming MAD outlier gate (A11's stream twin): flag each stream
+    * row's value against PREFIT per-key (median, MAD) robust centers
+    * ([[madCutpoints]], fit as a BATCH job over the accumulated corpus
+    * — a stream cannot fit the quantiles it flags against, the
+    * winsorizeStream contract). The center table is key-domain-bounded
+    * and rides a stream-static broadcast join; snap + deviation + flag
+    * are the same row-local arithmetic as
+    * [[graft.operators.TimeSeriesOps.madOutliers]] (null value → null
+    * flag, never a silent pass), so batch and stream flag every seen
+    * key's row identically (spec-pinned). Unseen keys pass with a
+    * null flag — admission policy stays with the caller. FLAGS, never
+    * drops — the droplist decision stays with the caller too.
+    */
+  def madStream(docs: DataFrame, keyCol: String, valCol: String,
+                cutpoints: DataFrame, k: Double = 3.5,
+                gridScale: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = math.pow(10.0, gridScale)
+    docs
+      .join(broadcast(cutpoints.select(col(keyCol), col("med"), col("mad"))),
+        Seq(keyCol), "left")
+      .withColumn("snapped",
+        when(col(valCol).isNull, lit(null))
+          .otherwise(floor(col(valCol) * p + 0.5001) / p))
+      .withColumn("is_outlier",
+        when(col(valCol).isNull || col("med").isNull,
+          lit(null).cast("boolean"))
+          .otherwise(abs(col("snapped") - col("med")) > lit(k) * col("mad")))
+  }
+
+  /** The per-key robust-center dim [[madStream]] expects, fit from a
+    * BATCH corpus — literally [[TimeSeriesOps.madOutliers]]' own
+    * (median, MAD) columns, deduplicated per key, so the batch flagger
+    * and the stream gate share ONE definition (the winsorizeCutpoints
+    * principle).
+    */
+  def madCutpoints(corpus: DataFrame, keyCol: String, valCol: String,
+                   gridScale: Int = 4): DataFrame =
+    graft.operators.TimeSeriesOps
+      .madOutliers(corpus, keyCol, valCol, gridScale = gridScale)
+      .select(col(keyCol), col("med"), col("mad")).distinct()
+
+  /** Streaming hybrid-retrieval scorer (I14's stream twin): each
+    * stream doc gets BOTH cascade scores — BM25 against a fixed query
+    * bag under PREFIT corpus stats (row-local, the [[bm25ScoreStream]]
+    * contract) and exact cosine between the doc's embedding and the
+    * fixed query vector, the embedding fetched via a STREAM-STATIC
+    * equi-join against the embeddings table (no stream state; the
+    * static side's file listing snapshots at query start, the
+    * [[nearDupCheckStream]] restart note). The global top-k rerank is
+    * not append-streamable — ranking/admission stays with the caller
+    * (the winsorizeStream policy note). Null text → null bm25; a doc
+    * with no embedding row → null cosine.
+    */
+  def hybridScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String],
+                        stats: graft.text.TextAnalysis.Bm25Stats,
+                        embeddings: DataFrame, embIdCol: String,
+                        embCol: String, queryVec: Seq[Double]): DataFrame = {
+    val qv = array(queryVec.map(v => lit(v)): _*)
+    docs
+      .withColumn("bm25", graft.text.TextAnalysis
+        .bm25ScoreColumn(col(textCol), queryTerms, stats))
+      // NO broadcast hint: the embeddings side is corpus-scale (the
+      // one static dim here that does NOT fit an executor); the
+      // stream-static equi-join lets Catalyst/AQE pick the strategy
+      .join(embeddings.select(col(embIdCol).as(idCol),
+        col(embCol).cast("array<double>").as("_ev")), Seq(idCol), "left")
+      .withColumn("cosine",
+        graft.functions.cosineSimilarity(col("_ev"), qv))
+      .drop("_ev")
+  }
+
   /** Streaming near-dup gate (G7's stream twin): each stream doc is
     * checked against a persisted [[graft.dedup.LshIndex]]'s banded
     * HISTORY — MinHash band keys are a row-local codegen projection on

@@ -422,6 +422,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("madStream flags against prefit (med, mad) with batch parity; unseen keys pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // fit corpus: key a median 10, MAD 1 (the TimeSeriesOpsSpec fixture)
+    val corpus = Seq(
+      ("a", 1L, Some(9.0)), ("a", 2L, Some(10.0)), ("a", 3L, Some(11.0)),
+      ("a", 4L, Some(12.0)), ("a", 5L, Some(1000.0))).toDF("k", "id", "v")
+    val cuts = Streaming.madCutpoints(corpus, "k", "v")
+    val input = MemoryStream[(String, Long, java.lang.Double)]
+    val q = Streaming.madStream(
+        input.toDF().toDF("k", "id", "v"), "k", "v", cuts, k = 3.5)
+      .writeStream.format("memory").queryName("mad_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", 11L, java.lang.Double.valueOf(12.0)),
+        ("a", 12L, java.lang.Double.valueOf(1000.0)),
+        ("a", 13L, null),
+        ("z", 14L, java.lang.Double.valueOf(5.0))) // unseen key
+      q.processAllAvailable()
+      val out = spark.table("mad_stream").collect()
+        .map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Boolean]("is_outlier"))).toMap
+      // identical flags to the batch operator for the fit-corpus keys
+      val batch = graft.operators.TimeSeriesOps
+        .madOutliers(corpus, "k", "v", k = 3.5)
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Boolean]("is_outlier"))).toMap
+      assert(out(11L) === batch(4L)) // same value 12.0 -> same flag
+      assert(out(12L) === batch(5L)) // same value 1000.0 -> flagged
+      assert(out(11L) === Some(false) && out(12L) === Some(true))
+      assert(out(13L) === None)      // null value -> null flag
+      assert(out(14L) === None)      // unseen key -> null flag, row passes
+    } finally q.stop()
+  }
+
+  test("hybridScoreStream scores bm25 + embedding cosine with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "x y moon"),
+      (2L, "x cat y cat"),
+      (3L, "x y z"),
+      (4L, "cat z moon moon")).toDF("doc_id", "text")
+    val terms = Seq("moon", "cat")
+    val stats = graft.text.TextAnalysis.bm25Stats(corpus, "text", terms)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val qvec = Seq(1.0, 0.0)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.hybridScoreStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        terms, stats, emb, "vec_id", "embedding", qvec)
+      .writeStream.format("memory").queryName("hybrid_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "x y moon"), (2L, "x cat y cat"),
+        (3L, "x y z"), (5L, null))
+      q.processAllAvailable()
+      val out = spark.table("hybrid_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[java.lang.Double]("bm25")),
+            Option(r.getAs[java.lang.Double]("cosine"))))).toMap
+      // bm25 leg: bit-parity with the batch scorer modulo its r6 grid
+      val batch = graft.text.TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          terms, topK = 4)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("score")).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5001) / 1e6
+      assert(r6(out(1L)._1.get) === batch(1L))
+      assert(r6(out(2L)._1.get) === batch(2L))
+      // cosine leg vs the static embedding rows (1e-7: the fixture
+      // vectors are float32, so 0.6f is not exactly 0.6)
+      assert(math.abs(out(1L)._2.get - 1.0) < 1e-7)   // (1,0) vs (1,0)
+      assert(math.abs(out(2L)._2.get - 0.6) < 1e-7)   // (0.6,0.8) vs (1,0)
+      assert(out(3L)._2.isEmpty) // no embedding row -> null cosine
+      assert(out(5L)._1.isEmpty) // null text -> null bm25, row passes
+    } finally q.stop()
+  }
+
   test("winsorizeStream clips against prefit cutpoints with batch parity; unseen keys pass") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
