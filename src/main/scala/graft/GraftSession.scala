@@ -40,6 +40,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Local split sizing: a 100 TB table has thousands of row
+      // groups, so scan parallelism >> cores; locally the same tables
+      // are a handful of small files that Spark's default 128 MB
+      // split packing fuses into 1-2 input partitions, serializing
+      // all scan-side work (decode, regex, shingle hashing) onto one
+      // or two cores while every post-shuffle stage uses all of them.
+      // 4 MB splits (+1 MB open cost so small files don't over-pack)
+      // reproduce the cluster splits>>cores relationship at local
+      // data sizes. On a real cluster leave both at default — the
+      // data provides the parallelism (CLUSTER.md).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",

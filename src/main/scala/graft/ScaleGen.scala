@@ -84,8 +84,16 @@ object ScaleGen {
   private val Micros30d = 30L * 86400L * 1000000L
   private val Epoch1995 = 788918400L // 1995-01-01T00:00:00Z in seconds
 
-  private def parts(rows: Long): Int =
-    math.max(2L, math.min(64L, rows / 200000L)).toInt
+  /** Output files per table, targeting ~2-3 MB each. A 100 TB table
+    * has thousands of row groups, so scan parallelism ≫ cores; a
+    * single small local file has ONE row group and serializes all
+    * scan-side work (decode, regex, shingle hashing) onto one task no
+    * matter the core count. Many small files (plus the session's
+    * files.maxPartitionBytes, see GraftSession) reproduce the cluster
+    * relationship locally — without this, scale-run growth numbers
+    * measure input-split starvation, not plan quality. */
+  private def parts(rows: Long, rowsPerFile: Long): Int =
+    math.max(2L, math.min(256L, rows / rowsPerFile)).toInt
 
   def main(args: Array[String]): Unit = {
     val out = args.filterNot(_.startsWith("--")).headOption
@@ -140,7 +148,7 @@ object ScaleGen {
 
   def supplier(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 75000)).select(
       id.as("s_suppkey"),
       format_string("Supplier#%09d", id).as("s_name"),
       pmod(xxhash64(id, lit(41)), lit(25)).cast("int").as("s_nationkey"),
@@ -149,7 +157,7 @@ object ScaleGen {
 
   def customer(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 75000)).select(
       id.as("c_custkey"),
       format_string("Customer#%09d", id).as("c_name"),
       pmod(xxhash64(id, lit(51)), lit(25)).cast("int").as("c_nationkey"),
@@ -159,7 +167,7 @@ object ScaleGen {
 
   def part(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 75000)).select(
       id.as("p_partkey"),
       concat(pick(id, 61, Adjs), lit(" "), pick(id, 62, Nouns)).as("p_name"),
       format_string("Brand#%d", pmod(xxhash64(id, lit(63)), lit(25)) + 1)
@@ -172,7 +180,7 @@ object ScaleGen {
 
   def orders(spark: SparkSession, n: Long, customers: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 60000)).select(
       id.as("o_orderkey"),
       pmod(xxhash64(id, lit(71)), lit(customers)).as("o_custkey"),
       pick(id, 72, Seq("P", "O", "F")).as("o_orderstatus"),
@@ -185,7 +193,7 @@ object ScaleGen {
   def lineitem(spark: SparkSession, n: Long, ordersN: Long, partsN: Long,
                suppN: Long): DataFrame = {
     val id = col("id")
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 150000)).select(
       pmod(xxhash64(id, lit(81)), lit(ordersN)).as("l_orderkey"),
       pmod(xxhash64(id, lit(82)), lit(partsN)).as("l_partkey"),
       pmod(xxhash64(id, lit(83)), lit(suppN)).as("l_suppkey"),
@@ -210,7 +218,7 @@ object ScaleGen {
     val userId =
       if (skew) when(u(id, 31) < 0.30, lit(0L)).otherwise(uniformUser)
       else uniformUser
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 30000)).select(
       id.as("event_id"),
       timestamp_micros(lit(Epoch2024) +
         floor(u(id, 1) * Micros30d.toDouble).cast("long")).as("ts"),
@@ -229,7 +237,7 @@ object ScaleGen {
     val id = col("id")
     // Text seed: exact-dup plants copy one of the first 1000 docs;
     // in skew mode a 10% cluster copies doc 0 (mutated below).
-    val clusterDup = skew && true
+    val clusterDup = skew
     val baseTid = when(u(id, 11) < 0.0016, pmod(id, lit(1000L))).otherwise(id)
     val tid = if (clusterDup)
       when(u(id, 33) < 0.10, lit(0L)).otherwise(baseTid)
@@ -259,7 +267,7 @@ object ScaleGen {
       if (skew) when(u(id, 35) < 0.30, lit("src0")).otherwise(uniformSrc)
       else uniformSrc
     val lu = u(id, 14)
-    spark.range(0, n, 1, parts(n)).select(
+    spark.range(0, n, 1, parts(n, 3000)).select(
       id.as("doc_id"),
       text.as("text"),
       when(lu < 0.456, "en").when(lu < 0.592, "de").when(lu < 0.728, "es")
@@ -278,7 +286,7 @@ object ScaleGen {
     val raw = transform(sequence(lit(0), lit(63)), d =>
       gauss(label.cast("long") * 64L + d, 22) * 2.0 +
         gauss(id * 64L + d, 23))
-    spark.range(0, n, 1, parts(n))
+    spark.range(0, n, 1, parts(n, 2000))
       .select(id.as("vec_id"), raw.as("raw"), label.as("label"))
       .select(
         col("vec_id"),

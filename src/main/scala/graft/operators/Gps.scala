@@ -127,6 +127,16 @@ object Gps {
     * windowed mean northing/easting, then the pairwise quadrature
     * distance for every station pair (self-join of the tiny per-station
     * aggregate — broadcastable).
+    *
+    * Scale shape: the only corpus-scale work is the time-filtered
+    * per-station mean (one aggregation, filter pushed to the scan);
+    * the pair join runs on the k-row aggregate. The OUTPUT is C(k,2)
+    * rows by definition of the operator — quadratic in station count,
+    * which physically is a dim (a station network, not a fact table).
+    * The r10 scale-stress's 15 000-key synthetic run (112 M output
+    * pairs) measures output materialization, not plan cost; cap the
+    * key set (or post-filter by distance) when keys are not genuinely
+    * a small dimension.
     */
   def stationDistances(df: DataFrame, keys: Seq[String], tsCol: String,
                        northCol: String, eastCol: String,

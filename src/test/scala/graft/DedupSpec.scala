@@ -268,6 +268,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L))) // 1-4 identical but cross-source: blocked out
   }
 
+  test("prefix-filtered blockedJaccard equals the naive full-join form (lossless)") {
+    // Adversarial fixture for the filter: a SATURATED vocabulary (8
+    // words) so nearly every doc pair shares shingles — the regime
+    // where candidate mass is quadratic and the prefix filter earns
+    // its keep — plus planted near-dups and low/high thresholds.
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    def txt(seed: Int, len: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val corpus = ((0 until 80).map { i =>
+      (i.toLong, txt(i, 12 + i % 25), s"src${i % 3}")
+    } ++ Seq(
+      (900L, txt(3, 12 + 3 % 25), "src0"), // exact dup of doc 3
+      (901L, txt(5, 30) + " a b", "src2") // superset near-dup of doc 5
+    )).toDF("doc_id", "text", "source")
+    for (t <- Seq(0.25, 0.5, 0.8)) {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))
+      }.toSet
+      val fast = canon(Dedup.blockedJaccardPrefix(corpus, "doc_id", "text",
+        "source", shingleN = 3, threshold = t))
+      val naive = canon(Dedup.blockedJaccard(corpus, "doc_id", "text",
+        "source", shingleN = 3, threshold = t))
+      assert(fast === naive, s"prefix filter lost/invented pairs at t=$t")
+      assert(fast.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
+
   test("jaccard column computes exact set jaccard") {
     import org.apache.spark.sql.functions._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
