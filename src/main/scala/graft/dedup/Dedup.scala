@@ -308,6 +308,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** G12 `dedup_hamming` — EXACT Hamming-radius near-dup pairs over the
+    * portable md5-sign SimHash (the Manku/Jain/Sarma WWW'07 web-crawl
+    * dedup design): every pair of documents whose 64-bit fingerprints
+    * differ in at most `maxHamming` bits, found WITHOUT an all-pairs
+    * scan via multi-index pigeonhole blocking — split the 64 bits into
+    * `maxHamming + 1` equal blocks; a pair within the radius leaves at
+    * least one block untouched (pigeonhole), so the equi-join on
+    * (block index, block value) is a LOSSLESS candidate generator and
+    * the operator's output equals the brute-force pair scan. That is
+    * what puts a signature-based near-dup on the ORACLED surface: the
+    * fingerprint is engine-portable ([[org.apache.spark.sql.graft.PortableSimHash64]])
+    * and the blocking is exact, so DuckDB can state the identical pair
+    * set by brute force at test scale.
+    *
+    * Scale shape: the fingerprint is one codegen projection (the
+    * corpus never shuffles to build it); the only corpus-scale
+    * exchange is the block equi-join, whose mass is Σ bucket² over
+    * (maxHamming+1) × rows block keys — for web-scale corpora the
+    * 16-bit block values spread near-uniformly unless documents are
+    * truly near-identical, and [[cappedBucketPairs]]'s guard (off by
+    * default here, because a cap would break the lossless contract)
+    * can bound adversarial buckets when the caller accepts recall
+    * loss. Verification is row-local xor + bit_count on the joined
+    * word pairs. `maxHamming + 1` must divide 64 evenly into
+    * 32-aligned blocks (1, 3, 7 or 15 — Manku's k is 3).
+    */
+  def hammingNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(Seq(2, 4, 8, 16).contains(nBlocks),
+      s"maxHamming must be 1, 3, 7 or 15 (got $maxHamming): blocks must " +
+        "slice the two 32-bit fingerprint words evenly")
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
+    val fp = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .portableSimhash64(col(textCol)).as("_fp"))
+      .select(col("doc_id"), element_at(col("_fp"), 1).as("_lo"),
+        element_at(col("_fp"), 2).as("_hi"))
+    // block b covers bits [b*width, (b+1)*width): low word for the
+    // first half of the blocks, high word for the second (width <= 32
+    // by the require, so no block straddles the word boundary)
+    def block(b: Int): Column = {
+      val w = if (b < nBlocks / 2) col("_lo") else col("_hi")
+      shiftright(w, (b % (nBlocks / 2)) * width).bitwiseAND(lit(mask))
+    }
+    val banded = fp.select(col("doc_id"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"), block(b).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val cand = cappedBucketPairs(banded, Seq("blk", "bv"), maxBucketSize)
+    val aFp = fp.select(col("doc_id").as("doc_a"),
+      col("_lo").as("_lo_a"), col("_hi").as("_hi_a"))
+    val bFp = fp.select(col("doc_id").as("doc_b"),
+      col("_lo").as("_lo_b"), col("_hi").as("_hi_b"))
+    cand.join(aFp, "doc_a").join(bFp, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("_lo_a").bitwiseXOR(col("_lo_b"))) +
+          bit_count(col("_hi_a").bitwiseXOR(col("_hi_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair list — the step that
     * turns pairwise dedup output into dedupable CLUSTERS (every doc
     * labeled with the smallest id reachable through dup pairs).

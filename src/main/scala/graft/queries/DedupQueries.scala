@@ -90,6 +90,19 @@ object DedupQueries extends QueryPack {
     Dedup.dropBoilerplateLines(lined, "doc_id", "text", minDocs = 2)
   }
 
+  /** G12 `dedup_hamming` — EXACT Hamming-radius (<= 3) near-dup pairs
+    * over the portable md5-sign SimHash, Manku et al. WWW'07 style:
+    * pigeonhole 4x16-bit block join as a LOSSLESS candidate generator,
+    * xor+popcount verify. Fully oracled: the fingerprint is md5-derived
+    * (engine-portable) and the blocking is exact, so DuckDB restates
+    * the identical pair set by brute force — the first near-dup-by-
+    * signature operator on the hash-verified surface (MinHash/seeded-
+    * SimHash/LSH stay rows-only by seed-dependence, not by kind).
+    */
+  def dedupHamming(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingNearDup(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3)
+
   /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -242,6 +255,7 @@ object DedupQueries extends QueryPack {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_hamming" -> dedupHamming,
     "dedup_prune" -> dedupPrune,
     "dedup_cut" -> dedupCut,
     "dedup_embed" -> dedupEmbed,
@@ -249,6 +263,41 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    // brute-force pair scan over fingerprints recomputed from scratch:
+    // md5 sign bits per DISTINCT token (the '0x'||substr(md5) parse is
+    // the ds_dsir convention), +-1 sums per bit position, bit set iff
+    // positive — then EVERY pair at Hamming <= 3. A hash match proves
+    // the codegen fingerprint AND the losslessness of the pigeonhole
+    // block join (a lost candidate would drop a row; a fingerprint
+    // drift would change a distance).
+    "dedup_hamming" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS wlo,
+        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS whi
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, g.b,
+        |    SUM(CASE WHEN g.b < 32 THEN ((wlo >> g.b) & 1)
+        |        ELSE ((whi >> (g.b - 32)) & 1) END * 2 - 1) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY doc_id, g.b
+        |), fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN b < 32 AND c > 0 THEN (CAST(1 AS BIGINT) << b)
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN b >= 32 AND c > 0 THEN (CAST(1 AS BIGINT) << (b - 32))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |    AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,

@@ -24,6 +24,19 @@ object SimilarityQueries extends QueryPack {
         query(s, dir), 10)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
 
+  /** H8 `ann_hamming` — top-10 nearest documents to doc 0 by 64-bit
+    * portable-SimHash Hamming distance (binary-sketch retrieval, the
+    * cheap first stage of a rerank cascade). Integer-deterministic
+    * end to end — fingerprint, distance, and the (hamming, doc_id)
+    * tie-break — so unlike the cosine ANN family the full ranking is
+    * DuckDB-oracled.
+    */
+  def annHamming(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.tables.Tables.documents(s, dir)
+    Similarity.hammingTopK(docs.filter(col("doc_id") =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") === 0), "text", 10)
+  }
+
   /** H2 `ann_lsh` — hyperplane-LSH candidates, exact rank within. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(corpus(s, dir), "vec_id", "embedding", 64,
@@ -155,6 +168,7 @@ object SimilarityQueries extends QueryPack {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_project" -> embProject,
     "ann_brute" -> annBrute,
+    "ann_hamming" -> annHamming,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_knn_join" -> annKnnJoin,
@@ -164,6 +178,40 @@ object SimilarityQueries extends QueryPack {
     "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    // fingerprints recomputed from scratch (the dedup_hamming CTE),
+    // then the exact (hamming, doc_id) top-10 against doc 0's sketch —
+    // integer arithmetic only, so ORDER BY + LIMIT states the same
+    // selection on both engines with zero float headroom
+    "ann_hamming" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS wlo,
+        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS whi
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, g.b,
+        |    SUM(CASE WHEN g.b < 32 THEN ((wlo >> g.b) & 1)
+        |        ELSE ((whi >> (g.b - 32)) & 1) END * 2 - 1) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY doc_id, g.b
+        |), fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN b < 32 AND c > 0 THEN (CAST(1 AS BIGINT) << b)
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN b >= 32 AND c > 0 THEN (CAST(1 AS BIGINT) << (b - 32))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT f.doc_id,
+        |  CAST(bit_count(xor(f.lo, q.lo)) + bit_count(xor(f.hi, q.hi))
+        |    AS BIGINT) AS hamming
+        |FROM fp f CROSS JOIN (SELECT lo, hi FROM fp WHERE doc_id = 0) q
+        |WHERE f.doc_id <> 0
+        |ORDER BY hamming, f.doc_id
+        |LIMIT 10""".stripMargin,
     // same derived sign matrix (avalanche mix hash, exact integers),
     // same left-to-right fold of the signed terms (list_reduce), same
     // 1/sqrt(8) multiplier; r6 on the float output

@@ -140,6 +140,40 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** H8 `ann_hamming`: top-k nearest documents by 64-bit fingerprint
+    * Hamming distance — binary-sketch retrieval, the cheapest ANN leg
+    * (a 64-bit xor + popcount per row against an 8-byte query sketch;
+    * the standard first stage before an exact or embedding rerank).
+    * Fingerprints are the portable md5-sign SimHash
+    * ([[org.apache.spark.sql.graft.PortableSimHash64]]), so unlike the
+    * float-cosine ANN family the WHOLE ranking is integer-deterministic
+    * and DuckDB-oracleable: distance and the (hamming, id) tie-break
+    * are exact on both engines. Plan: one codegen fingerprint
+    * projection, one broadcast of the 1-row query fingerprint,
+    * TakeOrderedAndProject for the top-k (map-side partial top-k,
+    * never a full sort).
+    */
+  def hammingTopK(docs: DataFrame, idCol: String, textCol: String,
+                  query: DataFrame, queryTextCol: String, k: Int): DataFrame = {
+    def fps(d: DataFrame, tc: String, pre: String): DataFrame =
+      d.filter(col(tc).isNotNull)
+        .withColumn("_fp", org.apache.spark.sql.graft.TextExpressions
+          .portableSimhash64(col(tc)))
+        .withColumn(s"${pre}lo", element_at(col("_fp"), 1))
+        .withColumn(s"${pre}hi", element_at(col("_fp"), 2))
+        .drop("_fp")
+    val corpus = fps(docs, textCol, "_")
+    val q = fps(query, queryTextCol, "_q")
+      .select(col("_qlo"), col("_qhi")).limit(1)
+    corpus.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (bit_count(col("_lo").bitwiseXOR(col("_qlo"))) +
+          bit_count(col("_hi").bitwiseXOR(col("_qhi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
   /** H2: LSH-bucketed ANN — candidates share >= 1 signature band with
     * the query; exact cosine top-k within candidates only.
     */

@@ -503,6 +503,81 @@ case class HashedBigramBucketScore(child: Expression, table: Seq[Double])
     copy(child = newChild)
 }
 
+/** PORTABLE 64-bit SimHash (Charikar 2002 as Manku et al. WWW'07
+  * implement it): one random-sign hash per DISTINCT token, signs drawn
+  * from the token's own md5 digest — no seeded hyperplane table, so the
+  * fingerprint is reproducible on ANY engine with md5 (this is what
+  * lets `dedup_hamming`/`ann_hamming` carry full DuckDB oracles where
+  * the xxhash64-seeded [[SimHashBands]] variant is rows-only).
+  *
+  * Semantics: tokens are `split(text, " ", -1)` deduplicated (set
+  * semantics — the Manku feature set); token bit j comes from the
+  * first 8 md5 digest bytes read as two big-endian 32-bit words (hex
+  * chars 1–8 → bits 0–31, chars 9–16 → bits 32–63 — exactly the
+  * integers `CAST('0x'||substr(md5(t),1,8) AS BIGINT)` parses, the
+  * ds_dsir hashing convention); fingerprint bit j is 1 iff the ±1
+  * contributions sum positive (a tie is 0). Integer sums are
+  * order-independent, so the result is deterministic under any
+  * partitioning. Output: array<long> [lo, hi], each in [0, 2^32) —
+  * two non-negative words instead of one packed int64, so neither
+  * engine ever faces sign-extension on shift/xor arithmetic.
+  */
+case class PortableSimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableSimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.PortableSimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash64 =
+    copy(child = newChild)
+}
+
+object PortableSimHash64 {
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        md.reset()
+        val d = md.digest(
+          words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val wlo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val whi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((wlo >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          if (((whi >>> j) & 1L) == 1L) counts(32 + j) += 1
+          else counts(32 + j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) lo |= (1L << j)
+      if (counts(32 + j) > 0) hi |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+}
+
 object TextExpressions {
   /** Row-local MinHash signature column (array<long> of length k). */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -532,6 +607,12 @@ object TextExpressions {
   /** Row-local Shannon entropy (bits/char) of a string column. */
   def charEntropy(text: Column): Column =
     ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(text)))
+
+  /** Row-local portable md5-sign 64-bit SimHash (array<long> [lo, hi],
+    * see [[PortableSimHash64]]).
+    */
+  def portableSimhash64(text: Column): Column =
+    ExpressionUtils.column(PortableSimHash64(ExpressionUtils.expression(text)))
 
   /** Row-local 64-bit SimHash as 4 x 16-bit bands (array<long>[4]). */
   def simhashBands(text: Column): Column =

@@ -34,7 +34,9 @@ class ContractSpec extends AnyFunSuite {
       // r9 additions
       "text_c4_filter", "text_bm25", "text_hybrid", "ds_winsorize",
       "mm_phash", "dedup_phash", "ann_pq", "ann_ivf_pq", "ts_ewma",
-      "ts_rolling_std", "ts_mad", "q_cube")
+      "ts_rolling_std", "ts_mad", "q_cube",
+      // r10 additions
+      "dedup_hamming", "ann_hamming")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

@@ -262,6 +262,61 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hammingNearDup equals the driver-side brute-force pair scan (pigeonhole is lossless)") {
+    import org.apache.spark.sql.functions._
+    // dense corpus over a small shared vocab: fingerprints crowd the
+    // Hamming space, so losslessness is exercised at every radius (the
+    // sf0.01 corpus has 1597 pairs at r=3 — this fixture is the same
+    // regime in miniature), plus an exact twin and a disjoint-vocab doc
+    val texts = (0 until 40).map { i =>
+      (0 until 50).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" ")
+    } :+ (0 until 50).map(j => s"w${(0 * 7 + j * 3) % 25}").mkString(" ") :+
+      (1 to 50).map(j => s"zz$j").mkString(" ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), org.apache.spark.sql.graft
+        .TextExpressions.portableSimhash64(col("text")).as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    for (r <- Seq(1, 3, 7)) {
+      val expected = (for {
+        i <- fps.indices; j <- (i + 1) until fps.length
+        d = ham(fps(i)._2, fps(j)._2) if d <= r
+      } yield (fps(i)._1, fps(j)._1, d)).toSet
+      val got = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got === expected, s"radius $r")
+    }
+    // the exact twin of doc 0 sits at distance 0
+    val r0 = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r0.contains((0L, 40L, 0L)))
+  }
+
+  test("PortableSimHash64: set semantics (order/repeats don't matter), null text, word parity") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),          // permutation: same token SET
+      (3L, "alpha beta gamma alpha beta"), // repeats: same token SET
+      (4L, "alpha beta delta"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), org.apache.spark.sql.graft
+        .TextExpressions.portableSimhash64(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(1L) === out(2L) && out(1L) === out(3L))
+    assert(out(4L) !== out(1L))
+    assert(out(5L) === null)
+    // words stay in [0, 2^32): no sign-extension hazards downstream
+    out.values.filter(_ != null).foreach { f =>
+      assert(f.forall(w => w >= 0L && w < (1L << 32)))
+    }
+  }
+
   test("blocked jaccard verifies only within the blocking key") {
     val pairs = Dedup.blockedJaccard(docs, "doc_id", "text", "source", threshold = 0.4)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

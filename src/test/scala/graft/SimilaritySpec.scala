@@ -23,6 +23,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("hammingTopK states the exact (hamming, id) top-k of the brute sketch ranking") {
+    import spark.implicits._
+    val texts = (0 until 30).map { i =>
+      (0 until 40).map(j => s"w${(i * 5 + j * 3) % 23}").mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), org.apache.spark.sql.graft
+        .TextExpressions.portableSimhash64(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val q = fps(0L)
+    val expected = fps.toSeq.filter(_._1 != 0L)
+      .map { case (id, f) =>
+        (id, (java.lang.Long.bitCount(f(0) ^ q(0)) +
+          java.lang.Long.bitCount(f(1) ^ q(1))).toLong)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(5)
+    val got = Similarity.hammingTopK(df.filter($"doc_id" =!= 0L), "doc_id",
+        "text", df.filter($"doc_id" === 0L), "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("zero-norm vectors yield null cosine, not a job abort") {
     val z = Seq((9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(corpus.union(z), "vec_id", "embedding", query, 10)
