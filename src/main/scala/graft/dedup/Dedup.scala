@@ -538,10 +538,12 @@ object Dedup {
     */
   def pruneNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, shingleN: Int = 3,
-                    threshold: Double = 0.3): DataFrame =
+                    threshold: Double = 0.3,
+                    maxShingleDocFrac: Option[Double] = None): DataFrame =
     docs.join(
       dropIdsFromPairs(
-        blockedJaccard(docs, idCol, textCol, blockCol, shingleN, threshold))
+        blockedJaccard(docs, idCol, textCol, blockCol, shingleN, threshold,
+          maxShingleDocFrac))
         .withColumnRenamed("drop_id", idCol),
       Seq(idCol), "left_anti")
 
@@ -790,11 +792,36 @@ object Dedup {
   def blockedJaccard(docs: DataFrame, idCol: String,
                      textCol: String, blockCol: String,
                      shingleN: Int = 3,
-                     threshold: Double = 0.3): DataFrame = {
-    val ex = docs
+                     threshold: Double = 0.3,
+                     maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    val raw = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         explode(org.apache.spark.sql.graft.TextExpressions
           .shingleHashes(col(textCol), shingleN)).as("s"))
+    // boilerplate guard (the r10 hot-key fixture's lesson): a shingle
+    // present in more than frac of its block's documents is BOILERPLATE
+    // — it contributes df² join mass (the dedup_prune 5.1x skew spike)
+    // while carrying no dedup signal (near-universal features cannot
+    // separate documents). With the cap, such shingles leave the
+    // Jaccard UNIVERSE entirely (intersection AND union — Jaccard over
+    // the rare-shingle sets), stated identically in the oracle, so the
+    // operator stays exact-by-definition rather than approximate. Docs
+    // whose every shingle is boilerplate have an empty universe and
+    // pair with nothing (exact dedup catches their identical twins).
+    val ex = maxShingleDocFrac match {
+      case None => raw
+      case Some(frac) =>
+        val blockDocs = docs.filter(col(textCol).isNotNull)
+          .groupBy(col(blockCol).as("blk"))
+          .agg(count(lit(1)).as("_nd"))
+        // shingleHashes is distinct-per-doc, so count(*) = doc freq
+        val dfreq = raw.groupBy(col("blk"), col("s"))
+          .agg(count(lit(1)).as("_df"))
+        raw.join(dfreq, Seq("blk", "s"))
+          .join(broadcast(blockDocs), Seq("blk"))
+          .filter(col("_df") <= lit(frac) * col("_nd"))
+          .select(col("doc_id"), col("blk"), col("s"))
+    }
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&

@@ -65,6 +65,42 @@ object TimeSeriesOps {
                window: String, aggs: Seq[(String, Column => Column)]): DataFrame =
     cRolling(df, keys, tsCol, valCol, window, aggs, minPeriods = 1)
 
+  /** A12 `ts_step` — two-sample step (level-shift) detection: at every
+    * observation, the difference between the mean over the NEXT
+    * `windowSec` (closed at t: [t, t+w)) and the mean over the
+    * PREVIOUS `windowSec` (open at t: [t-w, t)). A sustained jump in
+    * the series level shows as |step| near the jump height for the
+    * observations around the change point; noise averages out with
+    * window width. This is the bounded-window form of change-point
+    * detection that stays a ONE-EXCHANGE window operator: CUSUM-style
+    * detectors are per-key sequential recursions (each statistic
+    * depends on the previous row's), which cannot be a window frame at
+    * all — the two-sample scan is the standard scalable alternative
+    * (it is the mean-difference statistic of Page's test computed at
+    * every split point of a 2w window). The reference's field-data
+    * use case: glacier speed-up events and drainage onsets in
+    * gpstools/hydrotools series.
+    *
+    * Both frames ride the SAME (keys, ts) sort, so Spark compiles
+    * them into one WindowExec after one hash exchange. Sides with
+    * fewer than `minPeriods` observations yield a null step (a step
+    * score at a series edge would be noise presented as signal).
+    */
+  def stepDetect(df: DataFrame, keys: Seq[String], tsCol: String,
+                 valCol: String, windowSec: Long,
+                 minPeriods: Int = 3): DataFrame = {
+    val wUs = windowSec * UsPerSec
+    val part = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+    val before = part.rangeBetween(-wUs, -1)
+    val after = part.rangeBetween(0, wUs - 1)
+    val enough = count(col(valCol)).over(before) >= minPeriods &&
+      count(col(valCol)).over(after) >= minPeriods
+    df.select(keys.map(col) :+ col(tsCol) :+
+      when(enough, avg(col(valCol)).over(after) -
+        avg(col(valCol)).over(before)).as("step"): _*)
+  }
+
   /** Exact median of a materialized array column. Enables rolling
     * medians: Spark's median aggregate is not window-frame-capable, but
     * collect_list is — collect the frame with cRolling, then take the

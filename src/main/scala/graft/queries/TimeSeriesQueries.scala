@@ -35,6 +35,23 @@ object TimeSeriesQueries extends QueryPack {
         col("roll_n"), r6(col("roll_mean")).as("roll_mean"),
         r6(TimeSeriesOps.medianOfArray(col("_frame"))).as("roll_med"))
 
+  /** A12 `ts_step` — two-sample step detection: mean over [t, t+72h)
+    * minus mean over [t-72h, t) per user, null when either side has
+    * fewer than 3 observations. The flag derives from the r6-rounded
+    * step (the ts_mad convention: booleans compare GRID values, so an
+    * accumulation-order ulp can never flip a flag cross-engine); the
+    * 25.0 threshold is ~half the value column's std — both flag
+    * values occur at every sf.
+    */
+  def tsStep(s: SparkSession, dir: String): DataFrame = {
+    val stepR = r6(col("step"))
+    TimeSeriesOps.stepDetect(e(s, dir), Seq("user_id"), "ts", "value",
+        windowSec = 259200, minPeriods = 3)
+      .select(col("user_id"), fmtTs(col("ts")).as("ts"),
+        stepR.as("step"),
+        when(stepR.isNotNull, abs(stepR) > 25.0).as("is_step"))
+  }
+
   /** A2+ `ts_rolling_std` — centered rolling sample standard deviation
     * (pandas `rolling('2h').std()`, ddof=1) with min_periods=2 — std
     * of a single observation is null in both engines, and min_periods
@@ -195,6 +212,7 @@ object TimeSeriesQueries extends QueryPack {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_mad" -> tsMad,
+    "ts_step" -> tsStep,
     "ts_ewma" -> tsEwma,
     "ts_subset_windows" -> tsSubsetWindows,
     "ts_upsample_nearest" -> tsUpsampleNearest,
@@ -245,6 +263,25 @@ object TimeSeriesQueries extends QueryPack {
         |  CASE WHEN a.ad IS NULL THEN NULL
         |       ELSE a.ad > 3.5 * q2.mad END AS is_outlier
         |FROM a LEFT JOIN q2 USING (user_id)""".stripMargin,
+    // same asymmetric RANGE frames ([t-6h, t) / [t, t+6h)) over the
+    // per-user microsecond order; the step rounds to the r6 grid FIRST
+    // and the flag compares the grid value, so sum-order ulps cannot
+    // flip is_step
+    "ts_step" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |s AS (SELECT user_id, ts,
+         |    CASE WHEN count(value) OVER wb >= 3 AND count(value) OVER wa >= 3
+         |      THEN floor((avg(value) OVER wa - avg(value) OVER wb)
+         |        * 1000000 + 0.5001) / 1000000 END AS step
+         |  FROM e
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING),
+         |  wa AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN CURRENT ROW AND 259199999999 FOLLOWING))
+         |SELECT user_id, strftime(ts, '$fmt') AS ts, step,
+         |  CASE WHEN step IS NOT NULL THEN abs(step) > CAST(25.0 AS DOUBLE)
+         |  END AS is_step
+         |FROM s""".stripMargin,
     // same 32-row frame over (ts, event_id), nulls filtered before the
     // reverse (collect_list skip semantics), same newest-first
     // pow-weighted sums; 1-based list index -> power(beta, i-1)

@@ -262,6 +262,52 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("blockedJaccard boilerplate cap: universal shingles leave the universe, real dups still pair") {
+    import org.apache.spark.sql.functions._
+    // 10 docs in one block; all carry the same boilerplate tail, only
+    // docs 1/2 share real content. Trigram universe: with the tail in,
+    // every doc pair shares the tail's shingles.
+    val boiler = (1 to 12).map(i => s"bp$i").mkString(" ")
+    val mk = (body: String) => s"$body $boiler"
+    val rows = Seq(
+      (1L, mk((1 to 30).map(i => s"tok$i").mkString(" "))),
+      (2L, mk((1 to 30).map(i => if (i == 15) "X" else s"tok$i").mkString(" ")))
+    ) ++ (3 to 10).map(i => (i.toLong, mk((1 to 30).map(j => s"w${i}_$j").mkString(" "))))
+    val df = rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+    // uncapped: the shared boilerplate inflates every pairwise
+    // intersection, but 12 shared trigram-ish shingles over ~40-token
+    // docs stays under the 0.3 threshold for unrelated pairs — the
+    // COST is the candidate mass, which this fixture is too small to
+    // show; the capped form must still find the real pair
+    val capped = Dedup.blockedJaccard(df, "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+    // and the capped Jaccard of the real pair is computed over the
+    // RARE universe only: 1 vs 2 differ in one body token, boilerplate
+    // contributes nothing to numerator or denominator
+    val j = Dedup.blockedJaccard(df, "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
+      .filter(col("doc_a") === 1L).select("jaccard").head().getDouble(0)
+    val jUncapped = Dedup.blockedJaccard(df, "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.3)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("jaccard").head().getDouble(0)
+    // removing shared-by-all shingles from both sets LOWERS jaccard
+    // for this pair (the removed shingles were all shared)
+    assert(j < jUncapped)
+    // a doc whose every shingle is boilerplate pairs with nothing and
+    // SURVIVES the robust prune (empty universe, not a dropped row)
+    val allBp = df.union(Seq((11L, boiler, "s"), (12L, boiler, "s"))
+      .toDF("doc_id", "text", "source"))
+    val pruned = Dedup.pruneNearDups(allBp, "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.contains(11L) && pruned.contains(12L)) // exact dedup's job, not jaccard's
+    assert(!pruned.contains(2L)) // real near-dup still collapses to doc 1
+    assert(pruned.contains(1L))
+  }
+
   test("hammingNearDup equals the driver-side brute-force pair scan (pigeonhole is lossless)") {
     import org.apache.spark.sql.functions._
     // dense corpus over a small shared vocab: fingerprints crowd the
