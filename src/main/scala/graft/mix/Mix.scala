@@ -465,6 +465,80 @@ object Mix {
         (col("share") * col("_t")).as("expected_tokens"))
   }
 
+  /** L19 `ds_epochs` — data-constrained epoch allocation: how many
+    * EPOCHS (repetitions) of each source realize a target mixture
+    * under a global token budget when sources are finite (the planning
+    * step behind Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": repeating data up to ~4 epochs is worth nearly
+    * as much as fresh data, with sharply decaying value beyond — so
+    * the repetition cap is a first-class training-mix parameter, not
+    * an afterthought).
+    *
+    * Per source s with unique tokens T_s and target share w_s:
+    *   desired_s  = w_s · budget
+    *   alloc_s    = min(desired_s, maxEpochs · T_s)   (the cap binds)
+    *   epochs_s   = alloc_s / T_s
+    *   capped_s   = desired_s > maxEpochs · T_s
+    *   shortfall_s = desired_s − alloc_s  (tokens the mix wanted but
+    *                 the cap refused — the signal to re-negotiate
+    *                 shares or raise the cap)
+    *   realized_share_s = alloc_s / Σ alloc  (the mixture actually
+    *                 achievable, for comparison against w_s)
+    *
+    * Scale shape: ONE map-side-combining token sum per source collapses
+    * the corpus to a #sources-row dim; everything after is arithmetic
+    * on that dim (broadcast share join + one tiny window). The corpus
+    * never shuffles on its own rows — the ds_reweight plan family.
+    */
+  def epochAllocation(df: DataFrame, sourceCol: String, tokenCol: String,
+                      shares: DataFrame, tokenBudget: Long,
+                      maxEpochs: Double = 4.0): DataFrame =
+    epochAllocationOn(df, sourceCol, tokenCol, shares,
+      lit(tokenBudget).cast("double"), maxEpochs)
+
+  /** [[epochAllocation]] with the budget stated as a MULTIPLE of the
+    * corpus's own total token count (budget = multiple × Σ tokens,
+    * the Σ over sources present in the shares dim — the same inner
+    * join the allocation itself uses) — the scale-invariant form:
+    * "plan a 3×-corpus training run" means the same thing at any
+    * corpus size.
+    */
+  def epochAllocationByMultiple(df: DataFrame, sourceCol: String,
+                                tokenCol: String, shares: DataFrame,
+                                budgetMultiple: Double,
+                                maxEpochs: Double = 4.0): DataFrame =
+    epochAllocationOn(df, sourceCol, tokenCol, shares,
+      sum(col("tokens")).over(Window.partitionBy()).cast("double")
+        * budgetMultiple,
+      maxEpochs)
+
+  /** Shared core: `budget` is a Column evaluated over the per-source
+    * totals frame (a literal, or the whole-dim token sum × multiple).
+    */
+  private def epochAllocationOn(df: DataFrame, sourceCol: String,
+                                tokenCol: String, shares: DataFrame,
+                                budget: Column,
+                                maxEpochs: Double): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive (got $maxEpochs)")
+    require(shares.filter(col("share") <= 0 || col("share").isNull).isEmpty,
+      "every target share must be positive and non-null")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("tokens"))
+    val staged = totals.join(broadcast(shares), Seq(sourceCol))
+      .withColumn("_desired", col("share") * budget)
+      .withColumn("_cap", col("tokens").cast("double") * lit(maxEpochs))
+      .withColumn("_alloc", least(col("_desired"), col("_cap")))
+    val totalAlloc = sum(col("_alloc")).over(Window.partitionBy())
+    staged.select(col(sourceCol), col("tokens"),
+      col("share").as("target_share"),
+      col("_desired").as("desired_tokens"),
+      col("_alloc").as("alloc_tokens"),
+      (col("_alloc") / col("tokens")).as("epochs"),
+      (col("_desired") > col("_cap")).as("capped"),
+      (col("_desired") - col("_alloc")).as("shortfall_tokens"),
+      (col("_alloc") / totalAlloc).as("realized_share"))
+  }
+
   /** Exact per-key LOWER quantile of an integer-valued column, computed
     * scale-safely from the column's VALUE HISTOGRAM: one
     * map-side-combining groupBy collapses the corpus to one row per

@@ -266,6 +266,78 @@ object Multimodal {
       }))
   }
 
+  /** J2s+: batched BILINEAR resize — the quality step up from the
+    * nearest-neighbor floor mapping (the interpolation vision
+    * preprocessing actually ships): each target pixel blends the four
+    * source pixels around the rational source coordinate
+    * `tx·w/outW` with the standard corner weights. All arithmetic
+    * until the final division is INTEGER: the source coordinate is
+    * kept as (quotient `x0`, remainder `rx`) of `tx·w` over outW, the
+    * four weights are `(outW−rx)(outH−ry)`-style integer products,
+    * and the per-channel accumulator sums the weighted 0-255 values
+    * as longs — so the result is independent of pixel visit order
+    * and EXACTLY reproducible on any engine: the DuckDB oracle
+    * re-derives every interpolated numerator analytically and the
+    * means match bit-for-bit after the shared division sequence.
+    * Right/bottom edges clamp (`x1 = min(x0+1, w−1)`), the
+    * convention that keeps the stencil in-bounds without special
+    * cases. Decode path, fallback, batching: [[resizeFeatures]].
+    */
+  def resizeBilinearFeatures(spark: SparkSession, media: DataFrame,
+                             outW: Int, outH: Int,
+                             batchSize: Int = 64): Dataset[ResizedFeatures] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ResizedFeatures(r.doc_id, decoded = false, 0, 0, outW, outH,
+            Array.empty[Double])
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](3)
+          var ty = 0
+          while (ty < outH) {
+            val yn = ty * h
+            val y0 = yn / outH; val ry = yn % outH
+            val y1 = math.min(y0 + 1, h - 1)
+            var tx = 0
+            while (tx < outW) {
+              val xn = tx * w
+              val x0 = xn / outW; val rx = xn % outW
+              val x1 = math.min(x0 + 1, w - 1)
+              val p00 = img.getRGB(x0, y0); val p01 = img.getRGB(x1, y0)
+              val p10 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+              val w00 = (outW - rx).toLong * (outH - ry)
+              val w01 = rx.toLong * (outH - ry)
+              val w10 = (outW - rx).toLong * ry
+              val w11 = rx.toLong * ry
+              var c = 0
+              while (c < 3) {
+                val s = 16 - 8 * c
+                sums(c) += ((p00 >> s) & 0xff) * w00 + ((p01 >> s) & 0xff) * w01 +
+                  ((p10 >> s) & 0xff) * w10 + ((p11 >> s) & 0xff) * w11
+                c += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          // numerators carry the (outW·outH)² denominator: one division
+          // by pixel weight, one by pixel count, one by 255 — the
+          // sequence the oracle mirrors verbatim
+          ResizedFeatures(r.doc_id, decoded = true, w, h, outW, outH,
+            sums.map(_.toDouble / (outW * outH) / (outW * outH) / 255.0))
+        }
+      }))
+  }
+
   case class PhashResult(doc_id: Long, decoded: Boolean,
                          phash_bits: String, n_set: Long)
 

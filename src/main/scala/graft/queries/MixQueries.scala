@@ -171,6 +171,32 @@ object MixQueries extends QueryPack {
       "source", "n_toks", targetShares.toDF("source", "share"))
   }
 
+  /** L19 `ds_epochs` — data-constrained epoch allocation (Muennighoff
+    * et al. 2023): plan a 3×-corpus training run against the
+    * ds_reweight target shares with a 4-epoch repetition cap. The
+    * 0.1-share sources cap out (desired 0.3·T vs cap ~0.2·T) while
+    * the 0.025-share sources don't — both flag values at every sf,
+    * because both budget and caps scale with the corpus. Fully
+    * oracled: every number is one-shot IEEE arithmetic on the 20-row
+    * totals dim (r6 on the float outputs; `capped` compares the same
+    * unrounded doubles on both engines — both sides of the compare
+    * are products of the same exact inputs).
+    */
+  def dsEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Mix.epochAllocationByMultiple(
+        docs(s, dir).select(col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "n_toks", targetShares.toDF("source", "share"),
+        budgetMultiple = 3.0, maxEpochs = 4.0)
+      .select(col("source"), col("tokens"), col("target_share"),
+        r6(col("desired_tokens")).as("desired_tokens"),
+        r6(col("alloc_tokens")).as("alloc_tokens"),
+        r6(col("epochs")).as("epochs"), col("capped"),
+        r6(col("shortfall_tokens")).as("shortfall_tokens"),
+        r6(col("realized_share")).as("realized_share"))
+  }
+
   /** L16 `ds_dsir` — DSIR importance weights (Xie et al. 2023): every
     * doc scored by hashed-bigram likelihood under the target subset
     * (doc_id % 97 == 0, the decontam benchmark convention standing in
@@ -308,6 +334,7 @@ object MixQueries extends QueryPack {
     "ds_winsorize" -> dsWinsorize,
     "ds_ppl_buckets" -> dsPplBuckets,
     "ds_dsir" -> dsDsir,
+    "ds_epochs" -> dsEpochs,
     "ds_select" -> dsSelect,
     "ds_stratified" -> dsStratified,
     "ds_stats" -> dsStats,
@@ -537,6 +564,35 @@ object MixQueries extends QueryPack {
          |SELECT source, split, count(*) AS n_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS n_toks
          |FROM a GROUP BY source, split""".stripMargin,
+    // the ds_reweight totals + shares join, then one-shot IEEE epoch
+    // arithmetic on the 20-row dim; budget and caps derive from the
+    // same exact doubles on both engines so `capped` has zero float
+    // headroom, and every float output is r6
+    "ds_epochs" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY source),
+         |j AS (SELECT t.source, t.tokens, r.share
+         |  FROM t JOIN (VALUES $sharesValuesSql) AS r(source, share)
+         |    ON t.source = r.source),
+         |b AS (SELECT CAST(sum(tokens) AS DOUBLE) * CAST(3.0 AS DOUBLE)
+         |    AS budget FROM j),
+         |a AS (SELECT source, tokens, share,
+         |    share * b.budget AS des,
+         |    CAST(tokens AS DOUBLE) * CAST(4.0 AS DOUBLE) AS cap
+         |  FROM j, b),
+         |c AS (SELECT source, tokens, share, des, cap,
+         |    least(des, cap) AS alloc FROM a),
+         |s AS (SELECT sum(alloc) AS tot FROM c)
+         |SELECT source, tokens, share AS target_share,
+         |  floor(des * 1000000 + 0.5001) / 1000000 AS desired_tokens,
+         |  floor(alloc * 1000000 + 0.5001) / 1000000 AS alloc_tokens,
+         |  floor(alloc / tokens * 1000000 + 0.5001) / 1000000 AS epochs,
+         |  des > cap AS capped,
+         |  floor((des - alloc) * 1000000 + 0.5001) / 1000000 AS shortfall_tokens,
+         |  floor(alloc / s.tot * 1000000 + 0.5001) / 1000000 AS realized_share
+         |FROM c, s""".stripMargin,
     "ds_reweight" ->
       s"""WITH t AS (SELECT source,
          |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)

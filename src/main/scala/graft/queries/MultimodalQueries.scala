@@ -89,6 +89,28 @@ object MultimodalQueries extends QueryPack {
         r6(element_at(col("means"), 3)).as("mean_b"))
   }
 
+  /** J2s+ `mm_resize_bilinear` — REAL decode + bilinear resize: each
+    * target pixel blends its four source neighbors with integer
+    * corner weights (the interpolation vision pipelines actually
+    * ship, one step up from mm_resize's floor mapping). Everything
+    * until the final division is integer arithmetic, so the DuckDB
+    * oracle re-derives every interpolated numerator analytically and
+    * a hash match proves decode + stencil + weights + clamping
+    * pixel-for-pixel.
+    */
+  def mmResizeBilinear(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withPngPayloads(
+      Tables.documents(s, dir), "doc_id")
+    Multimodal.resizeBilinearFeatures(s, media, outW = 4, outH = 3, batchSize = 64)
+      .toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("src_width"), col("src_height"),
+        col("out_width"), col("out_height"),
+        r6(element_at(col("means"), 1)).as("mean_r"),
+        r6(element_at(col("means"), 2)).as("mean_g"),
+        r6(element_at(col("means"), 3)).as("mean_b"))
+  }
+
   /** J2+ `mm_frames` — video frame-sampling plumbing: one row per
     * 500 ms of each clip, with the frame index a decoder would seek to
     * and the (stubbed) frame-byte slice, validated by its exact length.
@@ -183,6 +205,7 @@ object MultimodalQueries extends QueryPack {
     "mm_features" -> mmFeatures,
     "mm_decode" -> mmDecode,
     "mm_resize" -> mmResize,
+    "mm_resize_bilinear" -> mmResizeBilinear,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +323,42 @@ object MultimodalQueries extends QueryPack {
     // pixels by integer floor division and averages the synthesis
     // formula's channel values over the 12 sampled cells — list_avg
     // then /255, the mm_decode division order
+    // analytic bilinear twin: per (doc, target-pixel) rows carry the
+    // integer stencil (x0/x1/y0/y1, remainders rx/ry), the four corner
+    // weights, and the synthPixel channel formulas; integer numerators
+    // sum per doc, then the exact division sequence /12 /12 /255 and r6
+    "mm_resize_bilinear" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS w, CAST(doc_id % 4 + 3 AS INT) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h, t % 4 AS tx, t // 4 AS ty
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 12)) AS t)),
+        |c AS (SELECT doc_id, w, h,
+        |    (tx * w) // 4 AS x0, (tx * w) % 4 AS rx,
+        |    least((tx * w) // 4 + 1, w - 1) AS x1,
+        |    (ty * h) // 3 AS y0, (ty * h) % 3 AS ry,
+        |    least((ty * h) // 3 + 1, h - 1) AS y1
+        |  FROM g),
+        |v AS (SELECT doc_id, w, h,
+        |    (4 - rx) * (3 - ry) AS w00, rx * (3 - ry) AS w01,
+        |    (4 - rx) * ry AS w10, rx * ry AS w11,
+        |    y0 * w + x0 AS k00, y0 * w + x1 AS k01,
+        |    y1 * w + x0 AS k10, y1 * w + x1 AS k11
+        |  FROM c),
+        |n AS (SELECT doc_id, w, h,
+        |    SUM(((doc_id + 3 * k00) % 256) * w00 + ((doc_id + 3 * k01) % 256) * w01
+        |      + ((doc_id + 3 * k10) % 256) * w10 + ((doc_id + 3 * k11) % 256) * w11) AS nr,
+        |    SUM(((5 * doc_id + 7 * k00) % 256) * w00 + ((5 * doc_id + 7 * k01) % 256) * w01
+        |      + ((5 * doc_id + 7 * k10) % 256) * w10 + ((5 * doc_id + 7 * k11) % 256) * w11) AS ng,
+        |    SUM(((11 * doc_id + 13 * k00) % 256) * w00 + ((11 * doc_id + 13 * k01) % 256) * w01
+        |      + ((11 * doc_id + 13 * k10) % 256) * w10 + ((11 * doc_id + 13 * k11) % 256) * w11) AS nb
+        |  FROM v GROUP BY doc_id, w, h)
+        |SELECT doc_id, w AS src_width, h AS src_height,
+        |  CAST(4 AS INT) AS out_width, CAST(3 AS INT) AS out_height,
+        |  floor(CAST(nr AS DOUBLE) / 12 / 12 / 255 * 1000000 + 0.5001) / 1000000 AS mean_r,
+        |  floor(CAST(ng AS DOUBLE) / 12 / 12 / 255 * 1000000 + 0.5001) / 1000000 AS mean_g,
+        |  floor(CAST(nb AS DOUBLE) / 12 / 12 / 255 * 1000000 + 0.5001) / 1000000 AS mean_b
+        |FROM n""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    CAST(doc_id % 6 + 2 AS INT) AS src_width,

@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "mm_phash", "dedup_phash", "ann_pq", "ann_ivf_pq", "ts_ewma",
       "ts_rolling_std", "ts_mad", "q_cube",
       // r10 additions
-      "dedup_hamming", "ann_hamming", "dedup_prune_robust", "ts_step")
+      "dedup_hamming", "ann_hamming", "dedup_prune_robust", "ts_step",
+      "ds_epochs", "mm_resize_bilinear")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

@@ -281,6 +281,39 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("epochAllocation: cap binds, shortfall accounts, realized shares renormalize") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // source a: 100 tokens (scarce), source b: 1000 tokens (plentiful)
+    val corpus = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(10)(("b", 100L)))
+      .toDF("source", "n_toks")
+    val shares = Seq(("a", 0.5), ("b", 0.5)).toDF("source", "share")
+    val out = Mix.epochAllocation(corpus, "source", "n_toks", shares,
+        tokenBudget = 2000L, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a"); val b = out("b")
+    // a: desired 1000, cap 400 -> alloc 400, 4 epochs, capped, 600 short
+    assert(a.getAs[Double]("desired_tokens") === 1000.0)
+    assert(a.getAs[Double]("alloc_tokens") === 400.0)
+    assert(a.getAs[Double]("epochs") === 4.0)
+    assert(a.getAs[Boolean]("capped"))
+    assert(a.getAs[Double]("shortfall_tokens") === 600.0)
+    // b: desired 1000 under cap 4000 -> whole desire, 1 epoch
+    assert(b.getAs[Double]("alloc_tokens") === 1000.0)
+    assert(b.getAs[Double]("epochs") === 1.0)
+    assert(!b.getAs[Boolean]("capped"))
+    assert(b.getAs[Double]("shortfall_tokens") === 0.0)
+    // realized mixture renormalizes over what was achievable
+    assert(math.abs(a.getAs[Double]("realized_share") - 400.0 / 1400.0) < 1e-12)
+    assert(math.abs(b.getAs[Double]("realized_share") - 1000.0 / 1400.0) < 1e-12)
+    // multiple form: budget = 2 x (1100 total) = 2200
+    val byMult = Mix.epochAllocationByMultiple(corpus, "source", "n_toks",
+        shares, budgetMultiple = 2.0, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("desired_tokens")).toMap
+    assert(byMult("a") === 1100.0 && byMult("b") === 1100.0)
+  }
+
   test("reweightToShares: binding source at rate 1.0, realized shares hit targets, unlisted excluded") {
     val rows = Seq.fill(10)(("a", 100L)) ++ Seq.fill(3)(("b", 100L)) ++
       Seq.fill(2)(("c", 100L)) ++ Seq.fill(5)(("d", 100L)) // d unlisted

@@ -409,6 +409,52 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(math.abs(m(2) - (0.0 + 0 + 255 + 255) / 4 / 255.0) < 1e-12)
   }
 
+  test("multimodal: bilinear resize blends the integer corner stencil exactly") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      (1L, baos.toByteArray, 2, 2, "png"),
+      (2L, "not an image".getBytes("UTF-8"), 9, 9, "png"))
+      .toDF("doc_id", "payload", "width", "height", "format")
+      .select(col("doc_id"), col("payload"),
+        struct(col("width"), col("height"), col("format")).as("meta"))
+    // 1x1: target (0,0) has rx=ry=0 -> all weight on source (0,0)
+    val down = Multimodal.resizeBilinearFeatures(spark, media, outW = 1, outH = 1)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(down(1L).decoded && down(1L).means.toSeq === Seq(1.0, 0.0, 0.0))
+    assert(!down(2L).decoded && down(2L).means.isEmpty)
+    // 4x4: driver-side reference of the same integer stencil over the
+    // four known pixels (red/green/blue/white), summed per channel
+    val px = Map((0, 0) -> 0xFF0000, (1, 0) -> 0x00FF00,
+      (0, 1) -> 0x0000FF, (1, 1) -> 0xFFFFFF)
+    val sums = new Array[Long](3)
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val xn = tx * 2; val x0 = xn / 4; val rx = xn % 4
+      val x1 = math.min(x0 + 1, 1)
+      val yn = ty * 2; val y0 = yn / 4; val ry = yn % 4
+      val y1 = math.min(y0 + 1, 1)
+      val ws = Seq(((x0, y0), (4 - rx).toLong * (4 - ry)),
+        ((x1, y0), rx.toLong * (4 - ry)),
+        ((x0, y1), (4 - rx).toLong * ry), ((x1, y1), rx.toLong * ry))
+      for (c <- 0 until 3; s = 16 - 8 * c)
+        sums(c) += ws.map { case (p, w) => ((px(p) >> s) & 0xff) * w }.sum
+    }
+    val expected = sums.map(_.toDouble / 16 / 16 / 255.0).toSeq
+    val up = Multimodal.resizeBilinearFeatures(spark, media, outW = 4, outH = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(up(1L).means.toSeq === expected)
+    // and blending really happened: interior pixels mix channels, so
+    // the bilinear green mean exceeds nearest's (green bleeds into
+    // more target pixels than the floor mapping samples)
+    val nn = Multimodal.resizeFeatures(spark, media, outW = 4, outH = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(up(1L).means.toSeq !== nn(1L).means.toSeq)
+  }
+
   test("multimodal: resize of synthesized PNGs matches the analytic floor-mapped means") {
     val docs = Seq((3L, "x", 1L), (10L, "y", 2L), (17L, "z", 3L))
       .toDF("doc_id", "text", "n_chars")
