@@ -334,31 +334,54 @@ object Dedup {
     * word pairs. `maxHamming + 1` must divide 64 evenly into
     * 32-aligned blocks (1, 3, 7 or 15 — Manku's k is 3).
     */
-  def hammingNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** Validated pigeonhole block count for a Hamming radius (blocks must
+    * slice the two 32-bit fingerprint words evenly).
+    */
+  private[graft] def hammingBlockCount(maxHamming: Int): Int = {
     val nBlocks = maxHamming + 1
     require(Seq(2, 4, 8, 16).contains(nBlocks),
       s"maxHamming must be 1, 3, 7 or 15 (got $maxHamming): blocks must " +
         "slice the two 32-bit fingerprint words evenly")
-    val width = 64 / nBlocks
-    val mask = (1L << width) - 1
-    val fp = docs.filter(col(textCol).isNotNull)
+    nBlocks
+  }
+
+  /** (doc_id, _lo, _hi) portable-SimHash fingerprint words of non-null
+    * texts — the shared front end of batch [[hammingNearDup]] and
+    * [[graft.streaming.Streaming.hammingCheckStream]] (one definition,
+    * so the two gates cannot drift on fingerprint semantics).
+    */
+  private[graft] def fingerprintWords(docs: DataFrame, idCol: String,
+                                      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .portableSimhash64(col(textCol)).as("_fp"))
       .select(col("doc_id"), element_at(col("_fp"), 1).as("_lo"),
         element_at(col("_fp"), 2).as("_hi"))
-    // block b covers bits [b*width, (b+1)*width): low word for the
-    // first half of the blocks, high word for the second (width <= 32
-    // by the require, so no block straddles the word boundary)
-    def block(b: Int): Column = {
-      val w = if (b < nBlocks / 2) col("_lo") else col("_hi")
-      shiftright(w, (b % (nBlocks / 2)) * width).bitwiseAND(lit(mask))
-    }
+
+  /** Block `b` of `nBlocks` over the (lo, hi) word pair: bits
+    * [b*width, (b+1)*width), low word for the first half of the
+    * blocks, high word for the second (width <= 32 by
+    * [[hammingBlockCount]], so no block straddles the word boundary).
+    */
+  private[graft] def hammingBlock(lo: Column, hi: Column, b: Int,
+                                  nBlocks: Int): Column = {
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
+    val w = if (b < nBlocks / 2) lo else hi
+    shiftright(w, (b % (nBlocks / 2)) * width).bitwiseAND(lit(mask))
+  }
+
+  def hammingNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val nBlocks = hammingBlockCount(maxHamming)
+    val fp = fingerprintWords(docs, idCol, textCol)
     val banded = fp.select(col("doc_id"),
         explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"), block(b).as("bv"))): _*)).as("bb"))
+          struct(lit(b).as("blk"),
+            hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
+          .as("bb"))
       .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
     val cand = cappedBucketPairs(banded, Seq("blk", "bv"), maxBucketSize)
     val aFp = fp.select(col("doc_id").as("doc_a"),

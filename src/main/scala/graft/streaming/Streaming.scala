@@ -348,6 +348,67 @@ object Streaming {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Streaming Hamming-radius near-dup gate against a STATIC history
+    * corpus — the binary-sketch admission check (is this incoming doc
+    * within `maxHamming` fingerprint bits of anything already
+    * ingested?). Entirely STATELESS: the portable-SimHash fingerprint
+    * is a row-local codegen projection, the pigeonhole block join
+    * against the history's banded fingerprint table is a
+    * stream-static equi-join (no watermark, no state store), and the
+    * xor+popcount verify is row-local arithmetic on the joined words.
+    * The lossless pigeonhole guarantee carries over from the batch
+    * operator: a history doc within the radius shares >= 1 block, so
+    * the gate has NO false negatives.
+    *
+    * A pair sharing several blocks would surface once per shared
+    * block; instead of stateful dropDuplicates, the duplicate is
+    * eliminated ROW-LOCALLY: both fingerprints are in hand after the
+    * join, so each row recomputes which blocks match and survives only
+    * when its own block index is the SMALLEST matching one — exactly
+    * one row per (doc, history doc) pair, deterministically, with no
+    * state. Output: (idCol, hist_id, hamming) per matched pair;
+    * batch parity with the brute-force scan is spec-pinned.
+    */
+  def hammingCheckStream(docs: DataFrame, idCol: String, textCol: String,
+                         history: DataFrame, histIdCol: String,
+                         histTextCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val nBlocks = Dedup.hammingBlockCount(maxHamming)
+    val hist = Dedup.fingerprintWords(history, histIdCol, histTextCol)
+      .select(col("doc_id").as("hist_id"), col("_lo").as("_hlo"),
+        col("_hi").as("_hhi"))
+    val histBanded = hist.select(col("hist_id"), col("_hlo"), col("_hhi"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            Dedup.hammingBlock(col("_hlo"), col("_hhi"), b, nBlocks).as("bv"))): _*))
+          .as("bb"))
+      .select(col("hist_id"), col("_hlo"), col("_hhi"),
+        col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val streamBanded = Dedup.fingerprintWords(docs, idCol, textCol)
+      .select(col("doc_id").as(idCol), col("_lo"), col("_hi"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            Dedup.hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
+          .as("bb"))
+      .select(col(idCol), col("_lo"), col("_hi"),
+        col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val joined = streamBanded.join(histBanded, Seq("blk", "bv"))
+    // smallest matching block index, recomputed row-locally from the
+    // two fingerprints — the stateless pair dedup
+    val firstMatch = coalesce((0 until nBlocks).map(b =>
+      when(Dedup.hammingBlock(col("_lo"), col("_hi"), b, nBlocks) ===
+        Dedup.hammingBlock(col("_hlo"), col("_hhi"), b, nBlocks),
+        lit(b))): _*)
+    joined
+      .filter(col("blk") === firstMatch)
+      .select(col(idCol), col("hist_id"),
+        (bit_count(col("_lo").bitwiseXOR(col("_hlo"))) +
+          bit_count(col("_hi").bitwiseXOR(col("_hhi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

@@ -376,6 +376,47 @@ class PlanSpec extends SparkSpec {
       s"hybrid candidate join regressed to a shuffle join:\n$plan")
   }
 
+  test("dedup_hamming: fingerprint is a codegen projection; block join is the only corpus-pair path") {
+    val plan = planOf(DedupQueries.dedupHamming(spark, dir))
+    // the fingerprint expression must sit inside whole-stage codegen,
+    // not an interpreted projection (the r9 dedup_embed lesson)
+    assert(plan.contains("portable_simhash64"), s"fingerprint expr missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"hamming pairing must be the block equi-join, not all-pairs:\n$plan")
+    // candidate generation + verify joins are all hash equi-joins
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
+  test("ann_hamming: one broadcast of the 1-row query sketch feeding TakeOrdered") {
+    val plan = planOf(SimilarityQueries.annHamming(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hamming top-k must be map-side partial top-k, not a full sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), // the bounded 1-row scalar
+      s"query sketch should ride a broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"corpus must not shuffle for a scan-and-rank query:\n$plan")
+  }
+
+  test("ts_step: both frames share one exchange and one Window node") {
+    val plan = planOf(TimeSeriesQueries.tsStep(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"asymmetric frames must share the (key, ts) exchange:\n$plan")
+    assert("Window\\b".r.findAllIn(plan).size >= 1)
+  }
+
+  test("ds_epochs: corpus collapses in one aggregate; shares broadcast onto the dim") {
+    val plan = planOf(MixQueries.dsEpochs(spark, dir))
+    // corpus-side: exactly one hash exchange (the per-source partial
+    // agg); the window over ~20 dim rows adds a singlepartition
+    // exchange, not a corpus shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"token totals must be ONE map-side-combining aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"shares dim should broadcast:\n$plan")
+  }
+
   test("ann_pq scoring is a zero-exchange projection feeding TakeOrdered") {
     // the SCORING plan (fit runs eagerly before this plan is built):
     // encode + ADC are literal-embedded expressions over the scan

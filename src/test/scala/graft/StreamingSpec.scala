@@ -75,6 +75,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hammingCheckStream: stateless gate matches the driver-side brute force, one row per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // history: dense shared-vocab corpus so several pairs land within
+    // radius, incl. an exact twin of stream doc 100 (distance 0, all
+    // four blocks match -> the row-local pair dedup is exercised)
+    val mkText = (seed: Int) =>
+      (0 until 40).map(j => s"w${(seed * 5 + j * 3) % 23}").mkString(" ")
+    val history = (0 until 20).map(i => (i.toLong, mkText(i)))
+      .toDF("hist_id", "text")
+    val streamDocs = Seq((100L, mkText(0)), (101L, mkText(7)),
+      (102L, (1 to 40).map(j => s"zz$j").mkString(" ")), // disjoint vocab
+      (103L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.hammingCheckStream(df, "doc_id", "text",
+        history, "hist_id", "text", maxHamming = 3)
+      .writeStream.format("memory").queryName("hamming_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(streamDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("hamming_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hist_id"),
+          r.getAs[Long]("hamming")))
+      // exactly one row per matched pair (the stateless dedup)
+      assert(got.length === got.map(p => (p._1, p._2)).distinct.length)
+      // brute force over the same fingerprints
+      val fps = graft.dedup.Dedup.fingerprintWords(
+          history.union(streamDocs.toDF("hist_id", "text")), "hist_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      def ham(a: (Long, Long), b: (Long, Long)): Long =
+        java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+      val expected = (for {
+        s <- streamDocs.filter(_._2 != null).map(_._1)
+        h <- 0L until 20L
+        d = ham(fps(s), fps(h)) if d <= 3
+      } yield (s, h, d)).toSet
+      assert(got.toSet === expected)
+      assert(expected.contains((100L, 0L, 0L))) // the exact twin fired
+    } finally q.stop()
+  }
+
   test("nearDupCheckStream flags stream docs against the persisted LSH history") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lshstream").toString

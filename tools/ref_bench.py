@@ -1244,6 +1244,142 @@ def _():
         srs = g.set_index("ts")["value"].sort_index()
         c_rolling(srs, "2h", window_func="std")
 
+# --- r10 additions ---
+
+def _popcount64(x):
+    # numpy SWAR popcount over uint64 (np.bitwise_count needs numpy>=2)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+def _simhash_fps(d):
+    import hashlib
+    fps = np.empty(len(d), dtype=np.uint64)
+    js = np.arange(64, dtype=np.uint64)
+    for n, text in enumerate(d["text"]):
+        counts = np.zeros(64, dtype=np.int64)
+        for t in set(text.split(" ")):
+            dig = hashlib.md5(t.encode()).digest()
+            h = int.from_bytes(dig[:4], "big") | \
+                (int.from_bytes(dig[4:8], "big") << 32)
+            counts += (((np.uint64(h) >> js) & np.uint64(1))
+                       .astype(np.int64) * 2 - 1)
+        fps[n] = np.uint64(sum(1 << int(j) for j in np.nonzero(counts > 0)[0]))
+    return fps
+
+# G12: portable-simhash Hamming near-dup — single-node honest version:
+# hashlib md5 per distinct token, numpy popcount over all-pairs xor
+@timed("dedup_hamming")
+def _():
+    d = docs_pd[["doc_id", "text"]].dropna(subset=["text"])
+    fps = _simhash_fps(d)
+    ids = d["doc_id"].to_numpy()
+    out = []
+    for i in range(len(fps) - 1):
+        ham = _popcount64(fps[i] ^ fps[i + 1:])
+        hit = np.nonzero(ham <= 3)[0]
+        out.extend((ids[i], ids[i + 1 + j], int(ham[j])) for j in hit)
+
+# H8: Hamming top-10 against doc 0's sketch
+@timed("ann_hamming")
+def _():
+    d = docs_pd[["doc_id", "text"]].dropna(subset=["text"])
+    fps = _simhash_fps(d)
+    ids = d["doc_id"].to_numpy()
+    q = fps[ids == 0][0]
+    ham = _popcount64(fps ^ q)
+    mask = ids != 0
+    order = np.lexsort((ids[mask], ham[mask]))[:10]
+
+# A12: two-sample step detection per user (forward window via the
+# negated-microsecond index trick; pandas has no forward time rolling)
+@timed("ts_step")
+def _():
+    w_ns = 72 * 3600 * 1_000_000_000
+    for _, g in ev.groupby("user_id"):
+        s = g.set_index("ts")["value"].sort_index()
+        before = s.rolling("72h", closed="left", min_periods=3).mean()
+        ns = s.index.view("int64")
+        rev = pd.Series(s.to_numpy()[::-1], index=-ns[::-1])
+        after = rev.rolling(w_ns - 1, min_periods=3).mean()
+        step = after.to_numpy()[::-1] - before.to_numpy()
+        np.abs(step) > 25.0
+
+# L19: data-constrained epoch allocation (Muennighoff planning step)
+@timed("ds_epochs")
+def _():
+    t = docs_pd.assign(n=docs_pd["text"].str.strip().str.split().str.len()) \
+        .groupby("source")["n"].sum()
+    shares = pd.Series({f"src{i}": [0.1, 0.05, 0.025, 0.025][i % 4]
+                        for i in range(20)})
+    budget = 3.0 * t.sum()
+    desired = (shares * budget).reindex(t.index)
+    cap = 4.0 * t
+    alloc = np.minimum(desired, cap)
+    pd.DataFrame({"tokens": t, "epochs": alloc / t, "capped": desired > cap,
+                  "shortfall": desired - alloc,
+                  "realized": alloc / alloc.sum()})
+
+# J2s+: bilinear resize means over the analytic pixels (numpy twin of
+# the mm_phash style — integer stencil, exact numerators)
+@timed("mm_resize_bilinear")
+def _():
+    for did in docs_pd["doc_id"].to_numpy():
+        w = int(did) % 6 + 2; h = int(did) % 4 + 3
+        ty, tx = np.meshgrid(np.arange(3), np.arange(4), indexing="ij")
+        xn = tx * w; x0 = xn // 4; rx = xn % 4
+        x1 = np.minimum(x0 + 1, w - 1)
+        yn = ty * h; y0 = yn // 3; ry = yn % 3
+        y1 = np.minimum(y0 + 1, h - 1)
+        for m, a in ((1, 3), (5, 7), (11, 13)):
+            def px(k): return (m * did + a * k) % 256
+            num = (px(y0 * w + x0) * (4 - rx) * (3 - ry)
+                   + px(y0 * w + x1) * rx * (3 - ry)
+                   + px(y1 * w + x0) * (4 - rx) * ry
+                   + px(y1 * w + x1) * rx * ry)
+            num.sum() / 144 / 255
+
+# G+r: boilerplate-robust prune — the dedup_prune twin with the df cap
+@timed("dedup_prune_robust")
+def _():
+    from collections import Counter
+    d = docs_pd[docs_pd["text"].notna()][["doc_id", "source", "text"]]
+    sh = {r.doc_id: set(" ".join(w) for w in zip(*(
+        r.text.split(" ")[i:] for i in range(3)))) or {r.text}
+        for r in d.itertuples()}
+    for _, g in d.groupby("source"):
+        nd = len(g)
+        cnt = Counter()
+        for did in g["doc_id"]:
+            cnt.update(sh[did])
+        hot = {s for s, c in cnt.items() if c > 0.5 * nd}
+        if hot:
+            for did in g["doc_id"]:
+                sh[did] = sh[did] - hot
+    parent = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+    for _, g in d.groupby("source"):
+        ids = sorted(g["doc_id"])
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if not sh[a] or not sh[b]:
+                    continue
+                inter = len(sh[a] & sh[b])
+                if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    d[~d["doc_id"].isin(drop)]
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
