@@ -66,6 +66,25 @@ object RelationalQueries extends QueryPack {
       .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rnk"))
   }
 
+  /** F9 `q_merge` — latest-wins log compaction (the SCD-1 / CDC merge
+    * shape every lakehouse pipeline runs: collapse an event log to
+    * each key's current state). `row_number = 1` over (ts DESC,
+    * event_id DESC) — the unique id makes the pick deterministic on
+    * timestamp ties — and the rank<=1 filter compiles to a map-side
+    * WindowGroupLimit (each task keeps one candidate row per key
+    * BEFORE the exchange, so the shuffle carries ~|keys| rows, not the
+    * log). Fully oracled.
+    */
+  def qMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts"),
+        col("event_type"), col("value"))
+  }
+
   /** F4 `q_antijoin` — customers with no recent (>= 2000) orders. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -261,6 +280,7 @@ object RelationalQueries extends QueryPack {
     "q3_join" -> q3Join,
     "q_window_topk" -> qWindowTopk,
     "q_antijoin" -> qAntijoin,
+    "q_merge" -> qMerge,
     "q_semijoin" -> qSemijoin,
     "q_topk" -> qTopk,
     "q_sessionize" -> qSessionize)
@@ -403,6 +423,12 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 5""".stripMargin,
+    "q_merge" ->
+      """SELECT user_id, event_id, strftime(CAST(ts AS TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -350,7 +350,8 @@ class PlanSpec extends SparkSpec {
 
   test("q_topk / q_window_topk: rank<=k rewrites to a map-side WindowGroupLimit") {
     Seq("q_topk" -> RelationalQueries.qTopk(spark, dir),
-        "q_window_topk" -> RelationalQueries.qWindowTopk(spark, dir))
+        "q_window_topk" -> RelationalQueries.qWindowTopk(spark, dir),
+        "q_merge" -> RelationalQueries.qMerge(spark, dir))
       .foreach { case (n, df) =>
         val plan = planOf(df)
         assert(plan.contains("WindowGroupLimit"),
