@@ -377,21 +377,48 @@ object Dedup {
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nBlocks = hammingBlockCount(maxHamming)
     val fp = fingerprintWords(docs, idCol, textCol)
-    val banded = fp.select(col("doc_id"),
+    // each side of the block join CARRIES its fingerprint words, so the
+    // verify is a projection on the join output — no candidate
+    // materialization, no join-back. A pair sharing several blocks
+    // would otherwise surface once per shared block and need a
+    // distinct() (a full shuffle of the candidate set — measured 148x
+    // growth on the saturated mult=10 fixture before this rewrite):
+    // instead each joined row recomputes which blocks match from the
+    // two fingerprints in hand and survives only when its own block
+    // index is the SMALLEST matching one — exactly-once per pair,
+    // row-local, no exchange.
+    def banded(pre: String): DataFrame = {
+      val base = fp.select(col("doc_id").as(s"${pre}id"),
+        col("_lo").as(s"${pre}lo"), col("_hi").as(s"${pre}hi"),
         explode(array((0 until nBlocks).map(b =>
           struct(lit(b).as("blk"),
             hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
           .as("bb"))
-      .select(col("doc_id"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-    val cand = cappedBucketPairs(banded, Seq("blk", "bv"), maxBucketSize)
-    val aFp = fp.select(col("doc_id").as("doc_a"),
-      col("_lo").as("_lo_a"), col("_hi").as("_hi_a"))
-    val bFp = fp.select(col("doc_id").as("doc_b"),
-      col("_lo").as("_lo_b"), col("_hi").as("_hi_b"))
-    cand.join(aFp, "doc_a").join(bFp, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("_lo_a").bitwiseXOR(col("_lo_b"))) +
-          bit_count(col("_hi_a").bitwiseXOR(col("_hi_b"))))
+        .select(col(s"${pre}id"), col(s"${pre}lo"), col(s"${pre}hi"),
+          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      if (maxBucketSize == Int.MaxValue) base
+      else {
+        // optional skew guard (LOSSY over the cap — using it trades the
+        // lossless contract for a bound; see Scaladoc above): rows in
+        // over-cap (blk, bv) buckets are dropped before the join
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"), col("bv"))
+        base.withColumn("_bn", count(lit(1)).over(bw))
+          .filter(col("_bn") <= maxBucketSize).drop("_bn")
+      }
+    }
+    val a = banded("_a")
+    val b = banded("_b")
+      .withColumnRenamed("blk", "_bblk").withColumnRenamed("bv", "_bbv")
+    val firstMatch = coalesce((0 until nBlocks).map(k =>
+      when(hammingBlock(col("_alo"), col("_ahi"), k, nBlocks) ===
+        hammingBlock(col("_blo"), col("_bhi"), k, nBlocks), lit(k))): _*)
+    a.join(b, col("blk") === col("_bblk") && col("bv") === col("_bbv") &&
+        col("_aid") < col("_bid"))
+      .filter(col("blk") === firstMatch)
+      .select(col("_aid").as("doc_a"), col("_bid").as("doc_b"),
+        (bit_count(col("_alo").bitwiseXOR(col("_blo"))) +
+          bit_count(col("_ahi").bitwiseXOR(col("_bhi"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

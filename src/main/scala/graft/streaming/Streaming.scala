@@ -88,6 +88,27 @@ object Streaming {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming twin of `q_merge` (latest-wins log compaction): maintain
+    * each key's CURRENT state as events arrive — the CDC/materialized-
+    * view shape (the batch query replays the log; the stream never
+    * re-reads it). One streaming aggregation per key holding a single
+    * `max_by`-style struct: state is O(#keys), independent of stream
+    * length, and the (ts, tieCol) DESC pick matches the batch
+    * operator's deterministic tie-break exactly (struct comparison
+    * orders lexicographically, so ts first, tie second — the same
+    * (ts DESC, id DESC) order). Update output mode: each micro-batch
+    * emits the keys whose state changed; the final table equals the
+    * batch q_merge over the same log (spec-pinned).
+    */
+  def latestStateStream(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valueCols: Seq[String]): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(max(struct((Seq(tsCol, tieCol) ++ valueCols).map(col): _*))
+        .as("_latest"))
+      .select(col(keyCol) +:
+        (Seq(tsCol, tieCol) ++ valueCols).map(c => col(s"_latest.$c")): _*)
+
   /** Streaming ingestion quality gate — the curation steps that are
     * pure row-local projections/filters in batch stay exactly that on a
     * stream (stateless, no watermark needed): normalize, redact PII,

@@ -75,6 +75,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestStateStream: per-key state converges to the batch q_merge pick (late + tied events)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Streaming.latestStateStream(df, "user_id", "ts", "event_id",
+        Seq("value"))
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 10L, 1.0),
+        (1L, ts("2024-01-01 12:00:00"), 11L, 2.0),
+        (2L, ts("2024-01-01 09:00:00"), 12L, 3.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for user 1 (older than current state —
+      // must not win) and a timestamp TIE for user 2 (higher id wins)
+      input.addData(
+        (1L, ts("2024-01-01 11:00:00"), 13L, 9.9),
+        (2L, ts("2024-01-01 09:00:00"), 14L, 4.0))
+      q.processAllAvailable()
+      // every update is a monotone struct-max improvement, so the
+      // struct-max over ALL emitted updates is the final state
+      val finalState = spark.table("latest_stream")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("s.event_id"), col("s.value"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(finalState(1L) === ((11L, 2.0))) // late event did not regress state
+      assert(finalState(2L) === ((14L, 4.0))) // tie resolved to higher id
+    } finally q.stop()
+  }
+
   test("hammingCheckStream: stateless gate matches the driver-side brute force, one row per pair") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
