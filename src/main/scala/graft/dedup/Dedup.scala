@@ -372,6 +372,37 @@ object Dedup {
     shiftright(w, (b % (nBlocks / 2)) * width).bitwiseAND(lit(mask))
   }
 
+  /** One row per (doc, pigeonhole block) carrying the doc's fingerprint
+    * words alongside the block: (<pre>id, <pre>lo, <pre>hi, blk, bv).
+    * THE shared banding projection of [[hammingNearDup]] and
+    * [[graft.streaming.Streaming.hammingCheckStream]] — one
+    * definition, so the batch and stream gates cannot drift on block
+    * layout.
+    */
+  private[graft] def bandedFingerprints(fp: DataFrame, nBlocks: Int,
+                                        pre: String): DataFrame =
+    fp.select(col("doc_id").as(s"${pre}id"),
+        col("_lo").as(s"${pre}lo"), col("_hi").as(s"${pre}hi"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
+          .as("bb"))
+      .select(col(s"${pre}id"), col(s"${pre}lo"), col(s"${pre}hi"),
+        col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+
+  /** Smallest block index on which two carried fingerprints agree —
+    * the row-local exactly-once-per-pair dedup shared by the batch and
+    * stream Hamming gates (each joined row survives only when its own
+    * block index equals this). ONLY valid when no block was dropped
+    * before the join: a capped path must dedup pairs another way.
+    */
+  private[graft] def firstMatchingBlock(aLo: Column, aHi: Column,
+                                        bLo: Column, bHi: Column,
+                                        nBlocks: Int): Column =
+    coalesce((0 until nBlocks).map(k =>
+      when(hammingBlock(aLo, aHi, k, nBlocks) ===
+        hammingBlock(bLo, bHi, k, nBlocks), lit(k))): _*)
+
   def hammingNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3,
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -388,14 +419,7 @@ object Dedup {
     // index is the SMALLEST matching one — exactly-once per pair,
     // row-local, no exchange.
     def banded(pre: String): DataFrame = {
-      val base = fp.select(col("doc_id").as(s"${pre}id"),
-        col("_lo").as(s"${pre}lo"), col("_hi").as(s"${pre}hi"),
-        explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
-          .as("bb"))
-        .select(col(s"${pre}id"), col(s"${pre}lo"), col(s"${pre}hi"),
-          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      val base = bandedFingerprints(fp, nBlocks, pre)
       if (maxBucketSize == Int.MaxValue) base
       else {
         // optional skew guard (LOSSY over the cap — using it trades the
@@ -410,12 +434,22 @@ object Dedup {
     val a = banded("_a")
     val b = banded("_b")
       .withColumnRenamed("blk", "_bblk").withColumnRenamed("bv", "_bbv")
-    val firstMatch = coalesce((0 until nBlocks).map(k =>
-      when(hammingBlock(col("_alo"), col("_ahi"), k, nBlocks) ===
-        hammingBlock(col("_blo"), col("_bhi"), k, nBlocks), lit(k))): _*)
-    a.join(b, col("blk") === col("_bblk") && col("bv") === col("_bbv") &&
+    val joined = a.join(b,
+      col("blk") === col("_bblk") && col("bv") === col("_bbv") &&
         col("_aid") < col("_bid"))
-      .filter(col("blk") === firstMatch)
+    // exactly-once per pair: the lossless default dedups ROW-LOCALLY
+    // on the smallest matching block; the capped path cannot (the
+    // smallest matching block may sit in a DROPPED bucket, which would
+    // silently discard a pair that legitimately joined via a surviving
+    // block — the r10 review-pass finding), so it pays a
+    // dropDuplicates exchange over the surviving pairs instead. Under
+    // a cap a pair survives iff at least one of its shared blocks does.
+    val once =
+      if (maxBucketSize == Int.MaxValue)
+        joined.filter(col("blk") === firstMatchingBlock(
+          col("_alo"), col("_ahi"), col("_blo"), col("_bhi"), nBlocks))
+      else joined.dropDuplicates("_aid", "_bid")
+    once
       .select(col("_aid").as("doc_a"), col("_bid").as("doc_b"),
         (bit_count(col("_alo").bitwiseXOR(col("_blo"))) +
           bit_count(col("_ahi").bitwiseXOR(col("_bhi"))))

@@ -155,16 +155,14 @@ object Similarity {
     */
   def hammingTopK(docs: DataFrame, idCol: String, textCol: String,
                   query: DataFrame, queryTextCol: String, k: Int): DataFrame = {
-    def fps(d: DataFrame, tc: String, pre: String): DataFrame =
-      d.filter(col(tc).isNotNull)
-        .withColumn("_fp", org.apache.spark.sql.graft.TextExpressions
-          .portableSimhash64(col(tc)))
-        .withColumn(s"${pre}lo", element_at(col("_fp"), 1))
-        .withColumn(s"${pre}hi", element_at(col("_fp"), 2))
-        .drop("_fp")
-    val corpus = fps(docs, textCol, "_")
-    val q = fps(query, queryTextCol, "_q")
-      .select(col("_qlo"), col("_qhi")).limit(1)
+    // fingerprints come from THE shared Dedup front end (review-pass
+    // fix: a local re-derivation here could silently drift from the
+    // sketches dedup_hamming dedups with)
+    val corpus = graft.dedup.Dedup.fingerprintWords(docs, idCol, textCol)
+      .withColumnRenamed("doc_id", idCol)
+    val q = graft.dedup.Dedup
+      .fingerprintWords(query.withColumn("_qid", lit(0L)), "_qid", queryTextCol)
+      .select(col("_lo").as("_qlo"), col("_hi").as("_qhi")).limit(1)
     corpus.crossJoin(broadcast(q))
       .select(col(idCol),
         (bit_count(col("_lo").bitwiseXOR(col("_qlo"))) +

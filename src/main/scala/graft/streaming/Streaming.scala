@@ -396,36 +396,24 @@ object Streaming {
                          maxHamming: Int = 3): DataFrame = {
     import graft.dedup.Dedup
     val nBlocks = Dedup.hammingBlockCount(maxHamming)
-    val hist = Dedup.fingerprintWords(history, histIdCol, histTextCol)
-      .select(col("doc_id").as("hist_id"), col("_lo").as("_hlo"),
-        col("_hi").as("_hhi"))
-    val histBanded = hist.select(col("hist_id"), col("_hlo"), col("_hhi"),
-        explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            Dedup.hammingBlock(col("_hlo"), col("_hhi"), b, nBlocks).as("bv"))): _*))
-          .as("bb"))
-      .select(col("hist_id"), col("_hlo"), col("_hhi"),
-        col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-    val streamBanded = Dedup.fingerprintWords(docs, idCol, textCol)
-      .select(col("doc_id").as(idCol), col("_lo"), col("_hi"),
-        explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            Dedup.hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
-          .as("bb"))
-      .select(col(idCol), col("_lo"), col("_hi"),
-        col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-    val joined = streamBanded.join(histBanded, Seq("blk", "bv"))
-    // smallest matching block index, recomputed row-locally from the
-    // two fingerprints — the stateless pair dedup
-    val firstMatch = coalesce((0 until nBlocks).map(b =>
-      when(Dedup.hammingBlock(col("_lo"), col("_hi"), b, nBlocks) ===
-        Dedup.hammingBlock(col("_hlo"), col("_hhi"), b, nBlocks),
-        lit(b))): _*)
+    // both banding projections and the smallest-matching-block dedup
+    // are THE shared Dedup helpers — the batch operator and this gate
+    // cannot drift on block layout or pair-dedup semantics
+    val histBanded = Dedup.bandedFingerprints(
+        Dedup.fingerprintWords(history, histIdCol, histTextCol), nBlocks, "_h")
+      .withColumnRenamed("_hid", "hist_id")
+    val streamBanded = Dedup.bandedFingerprints(
+        Dedup.fingerprintWords(docs, idCol, textCol), nBlocks, "_s")
+      .withColumnRenamed("_sid", idCol)
+      .withColumnRenamed("blk", "_sblk").withColumnRenamed("bv", "_sbv")
+    val joined = streamBanded.join(histBanded,
+      col("_sblk") === col("blk") && col("_sbv") === col("bv"))
     joined
-      .filter(col("blk") === firstMatch)
+      .filter(col("_sblk") === Dedup.firstMatchingBlock(
+        col("_slo"), col("_shi"), col("_hlo"), col("_hhi"), nBlocks))
       .select(col(idCol), col("hist_id"),
-        (bit_count(col("_lo").bitwiseXOR(col("_hlo"))) +
-          bit_count(col("_hi").bitwiseXOR(col("_hhi"))))
+        (bit_count(col("_slo").bitwiseXOR(col("_hlo"))) +
+          bit_count(col("_shi").bitwiseXOR(col("_hhi"))))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

@@ -1293,17 +1293,23 @@ def _():
     mask = ids != 0
     order = np.lexsort((ids[mask], ham[mask]))[:10]
 
-# A12: two-sample step detection per user (forward window via the
-# negated-microsecond index trick; pandas has no forward time rolling)
+# A12: two-sample step detection per user. pandas has no forward TIME
+# window, so the after-mean runs a trailing '72h' window on the
+# NEGATED-timestamp index (reversed series, index = epoch(0) - ts):
+# trailing [x-72h, x] on the negated axis is [t, t+72h] on the
+# original — a genuine time window, not a count window (the first
+# version passed an integer window to an integer index, which pandas
+# treats as an OBSERVATION count, silently computing an expanding
+# mean — caught by the r10 review pass).
 @timed("ts_step")
 def _():
-    w_ns = 72 * 3600 * 1_000_000_000
     for _, g in ev.groupby("user_id"):
         s = g.set_index("ts")["value"].sort_index()
         before = s.rolling("72h", closed="left", min_periods=3).mean()
         ns = s.index.view("int64")
-        rev = pd.Series(s.to_numpy()[::-1], index=-ns[::-1])
-        after = rev.rolling(w_ns - 1, min_periods=3).mean()
+        rev = pd.Series(s.to_numpy()[::-1],
+                        index=pd.to_datetime(-ns[::-1]))
+        after = rev.rolling("72h", min_periods=3).mean()
         step = after.to_numpy()[::-1] - before.to_numpy()
         np.abs(step) > 25.0
 
