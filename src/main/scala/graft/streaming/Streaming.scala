@@ -418,6 +418,78 @@ object Streaming {
       .filter(col("hamming") <= maxHamming)
   }
 
+  case class StepEvent(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class StepState(buffer: Seq[(Long, Double)], emittedThrough: Long)
+  case class StepOut(key: Long, ts: java.sql.Timestamp, step: Option[Double])
+
+  /** Streaming twin of [[graft.operators.TimeSeriesOps.stepDetect]]:
+    * the two-sample step statistic needs the FUTURE window [t, t+w), so
+    * an event's step can only be stated once the watermark passes
+    * `t + w` — the same buffered-fold-at-the-watermark shape as
+    * [[funnelStream]]. Per-key state holds the events inside the
+    * active 2w horizon; each trigger emits every buffered event whose
+    * forward window closed (scanning the buffer for both window sums),
+    * then prunes events older than `watermark − 2w` (nothing pending
+    * can still reference them). Within-horizon disorder is handled by
+    * construction — emission happens only when the full window is
+    * below the watermark, and any future arrival has `ts >= watermark
+    * >= t + w`, i.e. outside every emitted window, so emitted values
+    * are FINAL (append mode is sound). State is bounded by 2w of
+    * events per key, independent of stream length; per-trigger work is
+    * O(|buffer| × emitted) per key — the streaming analogue of the
+    * batch operator's per-key frame work. Event-time timeout fires the
+    * pending emissions when a key goes quiet. Millisecond resolution
+    * (the GroupState watermark clock); sides with fewer than
+    * `minPeriods` observations emit a None step, matching batch.
+    */
+  def stepDetectStream(spark: SparkSession, events: Dataset[StepEvent],
+                       windowMillis: Long, minPeriods: Int = 3,
+                       watermarkDelay: String = "1 hour")
+      : Dataset[StepOut] = {
+    require(windowMillis > 0, "window must be positive")
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[StepState, StepOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, batch, state: GroupState[StepState]) =>
+          val prev = state.getOption.getOrElse(StepState(Nil, Long.MinValue))
+          val wm = state.getCurrentWatermarkMs()
+          val buf = (prev.buffer ++
+            batch.map(e => (e.ts.getTime, e.value))).sortBy(_._1)
+          val (ripe, pending) = buf.partition { case (t, _) =>
+            t + windowMillis <= wm && t > prev.emittedThrough
+          }
+          val emits = ripe.map { case (t, _) =>
+            val before = buf.filter(e => e._1 >= t - windowMillis && e._1 < t)
+            val after = buf.filter(e => e._1 >= t && e._1 < t + windowMillis)
+            val step =
+              if (before.size >= minPeriods && after.size >= minPeriods)
+                Some(after.map(_._2).sum / after.size -
+                  before.map(_._2).sum / before.size)
+              else None
+            StepOut(key, new java.sql.Timestamp(t), step)
+          }
+          // emitted events stay buffered while a pending event's window
+          // can still reach them (ts > wm − 2w); emittedThrough stops
+          // them from re-emitting
+          val emittedThrough =
+            if (ripe.nonEmpty) math.max(prev.emittedThrough, ripe.map(_._1).max)
+            else prev.emittedThrough
+          val keep = buf.filter(_._1 > wm - 2 * windowMillis)
+          val stillPending = pending.filter(_._1 > emittedThrough)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(StepState(keep, emittedThrough))
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(stillPending.map(_._1).min + windowMillis, wm + 1))
+          }
+          emits.iterator
+      }
+  }
+
   case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
                        value: Double)
   case class AsofState(rightTs: Long, rightVal: Double)

@@ -488,6 +488,56 @@ class DedupSpec extends SparkSpec {
       .toLongArray().length === 2)
   }
 
+  test("PortableSimHash64 parity with a SQL re-derivation on randomized texts (incl. unicode)") {
+    import org.apache.spark.sql.functions._
+    // deterministic fuzz incl. multi-byte codepoints (md5 runs over
+    // UTF-8 bytes — a unicode token must hash identically whether the
+    // expression or the SQL md5() computes it), empty-word artifacts,
+    // and single-token docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "Ω", "çédille", "税", "x9",
+      "", "mixedÇase")
+    val texts = (1L to 150L).map { i =>
+      val len = rnd.nextInt(25)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    } ++ Seq((900L, ""), (901L, "Ω Ω Ω"), (902L, "a"))
+    val df = texts.toDF("doc_id", "text")
+    // independent formulation via Spark SQL built-ins: distinct
+    // tokens -> md5 hex -> conv() the two 8-char halves -> per-bit
+    // +-1 sums -> threshold — the same arithmetic the DuckDB oracles
+    // state, built from entirely different primitives
+    val toks = array_distinct(split(col("text"), " ", -1))
+    def word(off: Int) = transform(toks,
+      t => conv(substring(md5(t), off, 8), 16, 10).cast("long"))
+    // bit j of w as floor(w / 2^j) % 2 (division by a power of two is
+    // exact in IEEE doubles; shiftright's Column API wants Int shifts)
+    def bitOf(w: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (w.cast("double") / pow(lit(2.0), b)).cast("long") % 2
+    val counts = aggregate(
+      arrays_zip(word(1).as("w1"), word(9).as("w2")),
+      array_repeat(lit(0L), 64),
+      (acc, e) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), b =>
+          when(b < 32, bitOf(e.getField("w1"), b))
+            .otherwise(bitOf(e.getField("w2"), b - 32)) * 2 - 1),
+        (a, x) => a + x))
+    def packed(lohalf: Boolean) = aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => acc + when(
+        element_at(counts, (j + (if (lohalf) 1 else 33)).cast("int")) > 0,
+        pow(lit(2.0), j).cast("long")).otherwise(0L))
+    val bad = df.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .portableSimhash64(col("text")).as("expr"),
+        array(packed(lohalf = true), packed(lohalf = false)).as("sql"))
+      .filter(not(col("expr") === col("sql")))
+    assert(bad.isEmpty,
+      s"fingerprint diverges: ${bad.collect().take(3).mkString("\n")}")
+  }
+
   test("ShingleHashes parity with the interpreted form holds on randomized texts") {
     import org.apache.spark.sql.functions._
     // deterministic fuzz: tiny vocab (forces duplicate shingles, the

@@ -75,6 +75,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stepDetectStream: emits the batch step once the forward window closes (disorder within watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // level shift between minutes 3 and 10; 10-minute windows
+    val rows = Seq(0 -> 1.0, 1 -> 1.2, 2 -> 0.8, 3 -> 1.1,
+      10 -> 5.0, 11 -> 5.2, 12 -> 4.9, 13 -> 5.1)
+    val input = MemoryStream[Streaming.StepEvent]
+    val out = Streaming.stepDetectStream(spark, input.toDS(),
+      windowMillis = 600000L, minPeriods = 3, watermarkDelay = "10 minutes")
+    val q = out.toDF()
+      .writeStream.format("memory").queryName("step_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 arrives OUT OF ORDER within the watermark
+      input.addData(Seq(3, 0, 11, 1, 2).map(m =>
+        Streaming.StepEvent(1L, at(m), rows.toMap.apply(m))): _*)
+      q.processAllAvailable()
+      // batch 2: the rest (minute 10 lags the already-seen minute 11 —
+      // inside the 10-minute watermark delay, so it is disorder, not
+      // late data), plus a key-2 sentinel far ahead that pushes the
+      // watermark past every pending forward window
+      input.addData(Seq(10, 12, 13).map(m =>
+        Streaming.StepEvent(1L, at(m), rows.toMap.apply(m))) :+
+        Streaming.StepEvent(2L, at(60), 0.0): _*)
+      q.processAllAvailable()
+      val got = spark.table("step_stream").collect()
+        .filter(_.getAs[Long]("key") == 1L)
+        .map(r => r.getAs[java.sql.Timestamp]("ts").getTime ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got.size === rows.size, s"every key-1 event emits once: $got")
+      // parity with the batch operator over the same rows
+      val batchDf = rows.map { case (m, v) => (1L, at(m), v) }
+        .toDF("key", "ts", "value")
+      val expected = graft.operators.TimeSeriesOps
+        .stepDetect(batchDf, Seq("key"), "ts", "value",
+          windowSec = 600, minPeriods = 3)
+        .collect().map(r => r.getAs[java.sql.Timestamp]("ts").getTime ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (t, s) =>
+        (s, expected(t)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"ts $t")
+          case (a, b) => assert(a === b, s"ts $t")
+        }
+      }
+      // the shift is actually detected: the step at minute 10 is ~+4
+      assert(got(at(10).getTime).exists(_ > 3.5))
+    } finally q.stop()
+  }
+
   test("latestStateStream: per-key state converges to the batch q_merge pick (late + tied events)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
