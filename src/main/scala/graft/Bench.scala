@@ -120,8 +120,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // Full untruncated copy for the judge (repo-local, overwritten per run).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // Full untruncated copy for the judge. BENCH_LOCAL.json is reserved
+    // for FULL runs on the canonical driver sf dir — a scale-fixture or
+    // SPARK_GRAFT_ONLY run writes a suffixed file instead, so it can
+    // never clobber the committed full-surface artifact (which happened
+    // twice in r10: a single-query run and a mult=10 run each replaced
+    // the committed sf0.1 numbers unnoticed).
+    val canonical = sfDir == "/root/testdata/sf0.1" && only.isEmpty
+    val outName =
+      if (canonical) "BENCH_LOCAL.json"
+      else "BENCH_LOCAL_" + java.nio.file.Paths.get(sfDir).getFileName
+        .toString.replaceAll("[^A-Za-z0-9_.-]", "_") +
+        (if (only.isEmpty) "" else "_subset") + ".json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

@@ -124,6 +124,30 @@ object TimeSeriesOps {
       when(enough, sa / na - sb / nb).as("step"): _*)
   }
 
+  /** A13 `ts_gaps` — per-key sampling-gap audit, the QC read that
+    * precedes any field-data analysis (the reference's users eyeball
+    * this from plots; at a million series nobody can): per key, the
+    * observation count, the LARGEST inter-observation gap, and how
+    * many gaps exceed a threshold. All integer microsecond arithmetic
+    * (one lag window + one aggregate on the same key exchange), so the
+    * report is exact cross-engine with no float protocol at all.
+    * Single-observation keys report null gaps (no interval exists),
+    * not zero — absence of evidence, stated as absence.
+    */
+  def gapReport(df: DataFrame, keys: Seq[String], tsCol: String,
+                thresholdSec: Long): DataFrame = {
+    val byTs = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+    val thrUs = thresholdSec * UsPerSec
+    df.select(keys.map(col) :+ col(tsCol): _*)
+      .withColumn("_gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(byTs))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("_gap")).as("max_gap_us"),
+        count(when(col("_gap") > thrUs, lit(1))).as("n_gaps_over"))
+  }
+
   /** Exact median of a materialized array column. Enables rolling
     * medians: Spark's median aggregate is not window-frame-capable, but
     * collect_list is — collect the frame with cRolling, then take the

@@ -52,6 +52,14 @@ object TimeSeriesQueries extends QueryPack {
         when(stepR.isNotNull, abs(stepR) > 25.0).as("is_step"))
   }
 
+  /** A13 `ts_gaps` — per-user sampling-gap audit (threshold 12 h, the
+    * sessionize convention). Pure integer microsecond arithmetic —
+    * exact cross-engine, no rounding anywhere.
+    */
+  def tsGaps(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.gapReport(e(s, dir), Seq("user_id"), "ts",
+      thresholdSec = 43200)
+
   /** A2+ `ts_rolling_std` — centered rolling sample standard deviation
     * (pandas `rolling('2h').std()`, ddof=1) with min_periods=2 — std
     * of a single observation is null in both engines, and min_periods
@@ -213,6 +221,7 @@ object TimeSeriesQueries extends QueryPack {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_mad" -> tsMad,
     "ts_step" -> tsStep,
+    "ts_gaps" -> tsGaps,
     "ts_ewma" -> tsEwma,
     "ts_subset_windows" -> tsSubsetWindows,
     "ts_upsample_nearest" -> tsUpsampleNearest,
@@ -263,6 +272,20 @@ object TimeSeriesQueries extends QueryPack {
         |  CASE WHEN a.ad IS NULL THEN NULL
         |       ELSE a.ad > 3.5 * q2.mad END AS is_outlier
         |FROM a LEFT JOIN q2 USING (user_id)""".stripMargin,
+    // lag over the same per-user microsecond order; counts and max
+    // are integer-exact, single-obs users carry NULL gaps
+    "ts_gaps" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) -
+         |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+         |        (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+         |      AS gap
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_obs,
+         |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+         |  CAST(count(CASE WHEN gap > 43200000000 THEN 1 END) AS BIGINT)
+         |    AS n_gaps_over
+         |FROM g GROUP BY user_id""".stripMargin,
     // same asymmetric RANGE frames ([t-6h, t) / [t, t+6h)) over the
     // per-user microsecond order; the step rounds to the r6 grid FIRST
     // and the flag compares the grid value, so sum-order ulps cannot
