@@ -85,6 +85,27 @@ object RelationalQueries extends QueryPack {
         col("event_type"), col("value"))
   }
 
+  /** F10 `q_salted` — two-phase salted aggregation on a genuinely hot
+    * key (event_type: a handful of values over the whole table — the
+    * textbook skewed groupBy). Phase 1 aggregates by (key, salt) so
+    * every reducer sees ~1/16 of a hot key's rows; phase 2 merges the
+    * bounded partials. The ORACLE is the plain one-phase GROUP BY —
+    * the hash compare proves the salted plan computes exactly the
+    * direct aggregation (sums ride the integer-rounded-long protocol,
+    * so partial-merge order cannot drift a float).
+    */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("_vq",
+      floor(col("value") * 10000 + 0.5001).cast("long"))
+    graft.operators.Salting.saltedAgg(ev, Seq("event_type"),
+        spreadCol = "event_id", saltBuckets = 16,
+        aggs = Seq(("n", "value", "count"), ("vq_sum", "_vq", "sum"),
+          ("min_v", "value", "min"), ("max_v", "value", "max")))
+      .select(col("event_type"), col("n"),
+        (col("vq_sum") / 10000.0).as("total_value"),
+        col("min_v"), col("max_v"))
+  }
+
   /** F4 `q_antijoin` — customers with no recent (>= 2000) orders. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -281,6 +302,7 @@ object RelationalQueries extends QueryPack {
     "q_window_topk" -> qWindowTopk,
     "q_antijoin" -> qAntijoin,
     "q_merge" -> qMerge,
+    "q_salted" -> qSalted,
     "q_semijoin" -> qSemijoin,
     "q_topk" -> qTopk,
     "q_sessionize" -> qSessionize)
@@ -423,6 +445,12 @@ object RelationalQueries extends QueryPack {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 5""".stripMargin,
+    "q_salted" ->
+      """SELECT event_type, count(value) AS n,
+        |  sum(CAST(floor(value * 10000 + 0.5001) AS BIGINT)) / 10000.0
+        |    AS total_value,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_merge" ->
       """SELECT user_id, event_id, strftime(CAST(ts AS TIMESTAMP),
         |    '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value

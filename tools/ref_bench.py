@@ -1386,6 +1386,28 @@ def _():
     drop = {x for x in parent if find(x) != x}
     d[~d["doc_id"].isin(drop)]
 
+# A13: per-key gap audit (one groupby-diff pass)
+@timed("ts_gaps")
+def _():
+    g = ev.sort_values(["user_id", "ts"]).groupby("user_id")["ts"]
+    gaps = g.diff().dt.total_seconds()
+    d = ev.assign(gap=gaps).groupby("user_id").agg(
+        n_obs=("gap", "size"), max_gap=("gap", "max"))
+    (ev.assign(gap=gaps).groupby("user_id")["gap"]
+       .apply(lambda s: (s > 43200).sum()))
+
+# F9: latest-wins compaction (sort + drop_duplicates keep last)
+@timed("q_merge")
+def _():
+    ev.sort_values(["user_id", "ts", "event_id"]) \
+      .drop_duplicates("user_id", keep="last")
+
+# F10: the salted aggregation's single-node counterpart is the plain
+# groupby (pandas has no skew problem to salt away)
+@timed("q_salted")
+def _():
+    ev.groupby("event_type")["value"].agg(["count", "sum", "min", "max"])
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
