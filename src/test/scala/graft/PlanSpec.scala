@@ -418,6 +418,22 @@ class PlanSpec extends SparkSpec {
       s"shares dim should broadcast:\n$plan")
   }
 
+  test("q_salted: two bounded aggregation phases — (key, salt) exchange then key exchange") {
+    val plan = planOf(RelationalQueries.qSalted(spark, dir))
+    // exactly two hash exchanges: the salted partial and the merge
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"salted agg must be two phases:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("ts_gaps: one exchange shared by the lag window and the aggregate") {
+    val plan = planOf(TimeSeriesQueries.tsGaps(spark, dir))
+    // the groupBy keys are a prefix of the window partitioning, so the
+    // aggregate reuses the window's exchange — one corpus shuffle total
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"gap audit should reuse the (key) exchange:\n$plan")
+  }
+
   test("ann_pq scoring is a zero-exchange projection feeding TakeOrdered") {
     // the SCORING plan (fit runs eagerly before this plan is built):
     // encode + ADC are literal-embedded expressions over the scan
