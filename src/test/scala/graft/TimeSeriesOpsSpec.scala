@@ -60,6 +60,82 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("asof family matches a driver-side brute force on randomized series (all three directions)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic fuzz: clustered timestamps (duplicate ts across
+    // and within sides — the tie paths), several keys, sparse rights
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000000L // µs
+    def rts() = base + rnd.nextInt(40) * 60000000L // 40 distinct minutes
+    val left = (1 to 120).map(i =>
+      (rnd.nextInt(4).toLong, rts(), i.toLong))
+    val right = (1 to 60).map(i =>
+      (rnd.nextInt(4).toLong, rts(), i * 1.5))
+    val leftDf = left.toDF("k", "_us", "lid")
+      .select(col("k"), timestamp_micros(col("_us")).as("t"), col("lid"))
+    val rightDf = right.toDF("k", "_us", "rv")
+      .select(col("k"), timestamp_micros(col("_us")).as("t"), col("rv"))
+    // brute-force reference: per left row, scan ALL right rows of the
+    // key. Tie-breaks mirror the operators' documented contracts:
+    // among equally-distant right rows, backward/forward pick the
+    // LARGEST value tuple at that ts (deterministic last-wins on
+    // duplicate right timestamps), nearest ties to the backward side.
+    val byKey = right.groupBy(_._1)
+    def bwd(k: Long, t: Long): Option[Double] = {
+      val c = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      if (c.isEmpty) None
+      else {
+        val mt = c.map(_._2).max
+        Some(c.filter(_._2 == mt).map(_._3).max) // value tie-break
+      }
+    }
+    def fwd(k: Long, t: Long): Option[Double] = {
+      val c = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+      if (c.isEmpty) None
+      else {
+        val mt = c.map(_._2).min
+        // forward's running-first picks the SMALLEST value among
+        // duplicate-(key, ts) rights (operator Scaladoc); backward's
+        // running-last picks the largest
+        Some(c.filter(_._2 == mt).map(_._3).min)
+      }
+    }
+    def near(k: Long, t: Long): Option[Double] = {
+      val c = byKey.getOrElse(k, Nil)
+      if (c.isEmpty) None
+      else {
+        val dB = c.filter(_._2 <= t).map(r => t - r._2).minOption
+        val dF = c.filter(_._2 > t).map(r => r._2 - t).minOption
+        (dB, dF) match {
+          case (Some(b), Some(f)) if b <= f => bwd(k, t) // ties backward
+          case (Some(_), None) => bwd(k, t)
+          case _ => fwd(k, t)
+        }
+      }
+    }
+    def run(op: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                 Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+      op(leftDf, rightDf, Seq("k"), "t", Seq("rv"))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Double]("rv")).map(_.doubleValue)).toMap
+    val leftIdx = left.map { case (k, t, id) => id -> ((k, t)) }.toMap
+    Seq[((org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame,
+         (Long, Long) => Option[Double], String)](
+      (TimeSeriesOps.asofJoinBackward, bwd, "backward"),
+      (TimeSeriesOps.asofJoinForward, fwd, "forward"),
+      (TimeSeriesOps.asofJoinNearest, near, "nearest")
+    ).foreach { case (op, ref, name) =>
+      val got = run(op)
+      assert(got.size === left.size, s"$name row count")
+      got.foreach { case (lid, v) =>
+        val (k, t) = leftIdx(lid)
+        assert(v === ref(k, t), s"$name lid=$lid k=$k t=$t")
+      }
+    }
+  }
+
   test("asofJoinBackward takes latest right value at or before each left ts, per key") {
     val left = series(("a", "2024-01-01 00:10:00", 10.0), ("a", "2024-01-01 02:00:00", 20.0),
       ("b", "2024-01-01 01:00:00", 30.0))
