@@ -7,8 +7,11 @@ package graft
   * would let Catalyst prune the work being measured).
   */
 object Bench {
+
+  /** The driver sf dir whose FULL runs own BENCH_LOCAL.json. */
+  val CanonicalSfDir = "/root/testdata/sf0.1"
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", Bench.CanonicalSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -126,7 +129,12 @@ object Bench {
     // never clobber the committed full-surface artifact (which happened
     // twice in r10: a single-query run and a mult=10 run each replaced
     // the committed sf0.1 numbers unnoticed).
-    val canonical = sfDir == "/root/testdata/sf0.1" && only.isEmpty
+    // path-normalized compare against the single shared constant, so an
+    // equivalent spelling (trailing slash, ..) cannot silently demote a
+    // full canonical run to a suffixed artifact (review-pass finding)
+    val canonical = only.isEmpty &&
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize ==
+        java.nio.file.Paths.get(Bench.CanonicalSfDir).toAbsolutePath.normalize
     val outName =
       if (canonical) "BENCH_LOCAL.json"
       else "BENCH_LOCAL_" + java.nio.file.Paths.get(sfDir).getFileName

@@ -482,9 +482,17 @@ object Streaming {
           if (keep.isEmpty) state.remove()
           else {
             state.update(StepState(keep, emittedThrough))
-            if (stillPending.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(stillPending.map(_._1).min + windowMillis, wm + 1))
+            // ALWAYS register a timeout: pending events wake the key at
+            // the earliest emission point; a key with nothing pending
+            // still needs one final wake-up to prune its buffer once
+            // the horizon passes — GroupState timeouts don't persist
+            // across invocations, so a quiet key would otherwise hold
+            // its 2w buffer in the state store forever (review-pass
+            // finding: unbounded state with key churn).
+            val wake =
+              if (stillPending.nonEmpty) stillPending.map(_._1).min + windowMillis
+              else keep.map(_._1).max + 2 * windowMillis
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           emits.iterator
       }

@@ -115,10 +115,14 @@ class TimeSeriesOpsSpec extends SparkSpec {
       }
     }
     def run(op: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-                 Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame) =
-      op(leftDf, rightDf, Seq("k"), "t", Seq("rv"))
-        .collect().map(r => r.getAs[Long]("lid") ->
-          Option(r.getAs[java.lang.Double]("rv")).map(_.doubleValue)).toMap
+                 Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame) = {
+      val rows = op(leftDf, rightDf, Seq("k"), "t", Seq("rv")).collect()
+      // exactly-one-row-per-left BEFORE collapsing into the map (a
+      // duplicate-emitting regression must not hide behind toMap)
+      assert(rows.length === left.size, s"emitted ${rows.length} rows")
+      rows.map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("rv")).map(_.doubleValue)).toMap
+    }
     val leftIdx = left.map { case (k, t, id) => id -> ((k, t)) }.toMap
     Seq[((org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
           Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame,

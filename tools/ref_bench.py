@@ -1386,15 +1386,15 @@ def _():
     drop = {x for x in parent if find(x) != x}
     d[~d["doc_id"].isin(drop)]
 
-# A13: per-key gap audit (one groupby-diff pass)
+# A13: per-key gap audit — ONE vectorized groupby pass (diff, then
+# size/max/over-threshold-sum together; no per-group Python lambda)
 @timed("ts_gaps")
 def _():
-    g = ev.sort_values(["user_id", "ts"]).groupby("user_id")["ts"]
-    gaps = g.diff().dt.total_seconds()
-    d = ev.assign(gap=gaps).groupby("user_id").agg(
-        n_obs=("gap", "size"), max_gap=("gap", "max"))
-    (ev.assign(gap=gaps).groupby("user_id")["gap"]
-       .apply(lambda s: (s > 43200).sum()))
+    sv = ev.sort_values(["user_id", "ts"])
+    gaps = sv.groupby("user_id")["ts"].diff().dt.total_seconds()
+    sv.assign(gap=gaps, over=gaps > 43200).groupby("user_id").agg(
+        n_obs=("gap", "size"), max_gap=("gap", "max"),
+        n_gaps_over=("over", "sum"))
 
 # F9: latest-wins compaction (sort + drop_duplicates keep last)
 @timed("q_merge")
