@@ -262,6 +262,77 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashNearDup block-join routing equals the brute-force band-sharing pair scan") {
+    import org.apache.spark.sql.functions._
+    // 40 docs with overlapping vocab so several band collisions and
+    // several in-radius pairs arise; exercises the exactly-once
+    // first-matching-block dedup (pairs sharing >1 band must surface
+    // exactly once).
+    val rows = (1 to 40).map { i =>
+      val words = (1 to 50).map(j => if ((i + j) % 7 == 0) s"v${i % 5}_$j" else s"w$j")
+      (i.toLong, words.mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming")))
+    // exactly-once: no pair may repeat
+    assert(out.map(_._1).distinct.length === out.length)
+    // brute force from the same band projection: any shared band AND
+    // total hamming <= 12
+    val sb = Dedup.simhashBands(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(b => r.getLong(1 + b))).toMap
+    val brute = (for {
+      a <- sb.keys; b <- sb.keys if a < b
+      shares = (0 until 4).exists(k => sb(a)(k) == sb(b)(k))
+      ham = (0 until 4).map(k => java.lang.Long.bitCount(sb(a)(k) ^ sb(b)(k))).sum
+      if shares && ham <= 12
+    } yield ((a, b), ham.toLong)).toMap
+    assert(out.toMap === brute)
+    assert(brute.nonEmpty, "fixture must produce at least one in-radius pair")
+  }
+
+  test("capped block join: over-cap smallest block masked, pair still surfaces exactly once via a surviving block") {
+    import org.apache.spark.sql.functions._
+    // synthetic fingerprint words, nBlocks = 4 (16-bit blocks):
+    // band0 = 7 for ALL six docs -> bucket (blk 0, 7) has 6 members,
+    // over a cap of 3, so block 0 is masked for everyone. Docs 1 and 2
+    // also share band1 = 5 (bucket size 2, under cap) -> the pair must
+    // survive via block 1 — the smallest MATCHING block (0) sits in a
+    // dropped bucket, the r10 review-pass trap — and surface exactly
+    // once. Docs 3..6 share only the capped block 0 with anyone.
+    def words(b0: Long, b1: Long, b2: Long, b3: Long) =
+      (b0 + b1 * 65536L, b2 + b3 * 65536L)
+    val rows = Seq(
+      (1L, words(7, 5, 1, 1)), (2L, words(7, 5, 3, 1))) ++
+      (3 to 6).map(i => (i.toLong, words(7, 100L + i, 200L + i, 300L + i)))
+    val fp = rows.map { case (id, (lo, hi)) => (id, lo, hi) }
+      .toDF("doc_id", "_lo", "_hi")
+    val capped = Dedup.nearDupFromWords(fp, 4, 64, maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(capped.toSeq === Seq((1L, 2L, 1L)))
+    // uncapped: every pair shares block 0, all 15 pairs emitted once
+    val uncapped = Dedup.nearDupFromWords(fp, 4, 64, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.length === 15)
+    assert(uncapped.distinct.length === 15)
+  }
+
+  test("oversizedSimhashBuckets reports exactly the buckets a cap would drop, with pair mass") {
+    import org.apache.spark.sql.functions._
+    // 8 identical docs -> every band bucket holds all 8; cap of 5 drops
+    // all four (blk, bv) buckets, each carrying 8*7/2 = 28 pairs
+    val df = (1 to 8).map(i => (i.toLong, "same text for every doc"))
+      .toDF("doc_id", "text")
+    val audit = Dedup.oversizedSimhashBuckets(df, "doc_id", "text", maxBucketSize = 5)
+      .collect()
+    assert(audit.length === 4)
+    assert(audit.forall(_.getAs[Long]("bucket_size") === 8L))
+    assert(audit.forall(_.getAs[Long]("dropped_pairs") === 28L))
+    // and with the cap above the bucket size the audit is empty
+    assert(Dedup.oversizedSimhashBuckets(df, "doc_id", "text",
+      maxBucketSize = 8).isEmpty)
+  }
+
   test("blockedJaccard boilerplate cap: universal shingles leave the universe, real dups still pair") {
     import org.apache.spark.sql.functions._
     // 10 docs in one block; all carry the same boilerplate tail, only
