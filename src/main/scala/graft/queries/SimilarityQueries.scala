@@ -165,9 +165,38 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         r6(col("_p")).as("proj_v"))
 
+  /** Fixed literal centroid table for `ann_ivf_det`: centroid j is the
+    * indicator of dims [4j, 4j+3] of the 64-dim space (16 disjoint
+    * block centroids — deterministic, well-separated, norm exactly 2).
+    * Shared by the Spark query and (stringified) its DuckDB oracle so
+    * the two engines rank the SAME index.
+    */
+  private[graft] val detCentroids: Seq[(Long, Seq[Double])] =
+    (0L until 16L).map(j => (j, Seq.tabulate(64)(d =>
+      if (d / 4 == j) 1.0 else 0.0)))
+
+  /** H3det `ann_ivf_det` — the IVF probe/prune/rank chain over FIXED
+    * literal centroids (VERDICT r10 item 4): the 5 seed-defined ANN
+    * keys are rows-only because k-means fit order isn't portable, so
+    * this variant removes the fit and hash-verifies everything else —
+    * row-local argmax assignment, top-nProbe centroid probing with the
+    * (cosine DESC, cid) tie-break, bucket pruning, and the exact
+    * within-candidates top-k — against a DuckDB re-derivation from the
+    * same literal centroid table. Same plan shape as `ann_ivf`'s probe
+    * path (the index build is the only thing missing).
+    */
+  def annIvfDet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = detCentroids.toDF("cid", "embedding")
+    Similarity.ivfTopK(corpus(s, dir), "vec_id", "embedding",
+        cents, "cid", query(s, dir), 10, nProbe = 4)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_project" -> embProject,
     "ann_brute" -> annBrute,
+    "ann_ivf_det" -> annIvfDet,
     "ann_hamming" -> annHamming,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -229,6 +258,40 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, CAST(j AS BIGINT) AS dim,
          |  floor(pv * 1000000 + 0.5001) / 1000000 AS proj_v
          |FROM p""".stripMargin,
+    // The deterministic IVF: the oracle re-derives assignment (argmax
+    // cosine over the SAME literal centroid table, cid-asc tie-break),
+    // the query's top-4 probed centroids, the bucket prune, and the
+    // exact top-10 within candidates. All float arithmetic is the
+    // ann_brute-proven sequential dot/norm shape; ordering on raw
+    // cosines, r6 only on output.
+    "ann_ivf_det" -> {
+      val centRows = detCentroids.map { case (cid, v) =>
+        s"($cid, CAST([${v.mkString(",")}] AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cents(cid, cv) AS (VALUES $centRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sims AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.emb, c.cv) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) *
+         |       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM sims WHERE vec_id <> 0) WHERE rn = 1),
+         |probes AS (SELECT cid FROM sims WHERE vec_id = 0
+         |  ORDER BY cos DESC, cid LIMIT 4),
+         |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (cid)),
+         |scored AS (SELECT e.vec_id,
+         |    list_dot_product(e.emb, qv) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) *
+         |       sqrt(list_dot_product(qv, qv))) AS cosine
+         |  FROM e JOIN cand USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, round(cosine, 6) AS cosine
+         |FROM scored ORDER BY scored.cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
     // Exact top-k is SQL-expressible: same double-precision dot/norm
     // arithmetic (sequential accumulation over the float-cast elements
     // in both engines), same (cosine DESC, vec_id) tie-break, rounding

@@ -37,7 +37,9 @@ class ContractSpec extends AnyFunSuite {
       "ts_rolling_std", "ts_mad", "q_cube",
       // r10 additions
       "dedup_hamming", "ann_hamming", "dedup_prune_robust", "ts_step",
-      "ds_epochs", "mm_resize_bilinear", "q_merge", "ts_gaps", "q_salted")
+      "ds_epochs", "mm_resize_bilinear", "q_merge", "ts_gaps", "q_salted",
+      // r11 additions
+      "ann_ivf_det")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

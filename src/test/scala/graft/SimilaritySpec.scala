@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ann_ivf_det fixed-centroid IVF: probing ALL buckets recovers brute force exactly") {
+    // with the fit removed (literal centroids), the bucket prune is the
+    // ONLY approximation in the chain — probing every bucket must
+    // reproduce the exact top-k, bit for bit
+    val cents = graft.queries.SimilarityQueries.detCentroids
+      .map { case (cid, v) => (cid, v.toArray) }.toDF("cid", "embedding")
+    val dim64 = (id: Long, hot: Int) =>
+      (id, Array.tabulate(64)(d => if (d == hot) 1f else 0.01f * ((d + id) % 5)))
+    val corpus64 = (1L to 40L).map(i => dim64(i, (i % 16).toInt * 4)).toDF("vec_id", "embedding")
+    val query64 = Seq(dim64(0L, 8)).toDF("vec_id", "embedding")
+    val all = Similarity.ivfTopK(corpus64, "vec_id", "embedding",
+      cents, "cid", query64, 10, nProbe = 16).collect()
+    val brute = Similarity.bruteForceTopK(corpus64, "vec_id", "embedding",
+      query64, 10).collect()
+    assert(all.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // and a 4-probe run returns a SUBSET of buckets' vectors ranked
+    // identically within the probed candidates (here the hot query
+    // bucket is probed, so the true top result survives the prune)
+    val pruned = Similarity.ivfTopK(corpus64, "vec_id", "embedding",
+      cents, "cid", query64, 10, nProbe = 4).collect()
+    assert(pruned.head.getLong(0) === brute.head.getLong(0))
+  }
+
   test("zero-norm vectors yield null cosine, not a job abort") {
     val z = Seq((9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(corpus.union(z), "vec_id", "embedding", query, 10)
