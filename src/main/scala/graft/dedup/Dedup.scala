@@ -954,6 +954,35 @@ object Dedup {
     * actually share a shingle, and the heavy per-shingle work stays in
     * codegen instead of interpreted array expressions.
     */
+  /** The over-frequency (block, shingle-hash) BOILERPLATE set of a
+    * corpus: shingles present in more than `maxShingleDocFrac` of
+    * their block's non-null documents. ONE definition shared by the
+    * batch df-cap ([[blockedJaccard]]'s rare-universe restriction,
+    * `dedup_prune_robust`) and the streaming gate
+    * ([[graft.streaming.Streaming.dfCapStream]]'s prefit broadcast
+    * dim) so the two cannot drift on what counts as boilerplate. The
+    * output is small by construction — only near-universal features
+    * clear the frequency bar — which is exactly the bound a broadcast
+    * needs.
+    */
+  def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, shingleN: Int = 3,
+                          maxShingleDocFrac: Double = 0.5): DataFrame = {
+    val raw = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), shingleN)).as("s"))
+    val blockDocs = docs.filter(col(textCol).isNotNull)
+      .groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("_nd"))
+    // shingleHashes is distinct-per-doc, so count(*) = doc freq
+    raw.groupBy(col("blk"), col("s"))
+      .agg(count(lit(1)).as("_df"))
+      .join(broadcast(blockDocs), Seq("blk"))
+      .filter(col("_df") > lit(maxShingleDocFrac) * col("_nd"))
+      .select(col("blk"), col("s"))
+  }
+
   def blockedJaccard(docs: DataFrame, idCol: String,
                      textCol: String, blockCol: String,
                      shingleN: Int = 3,
@@ -976,15 +1005,8 @@ object Dedup {
     val ex = maxShingleDocFrac match {
       case None => raw
       case Some(frac) =>
-        val blockDocs = docs.filter(col(textCol).isNotNull)
-          .groupBy(col(blockCol).as("blk"))
-          .agg(count(lit(1)).as("_nd"))
-        // shingleHashes is distinct-per-doc, so count(*) = doc freq
-        val dfreq = raw.groupBy(col("blk"), col("s"))
-          .agg(count(lit(1)).as("_df"))
-        raw.join(dfreq, Seq("blk", "s"))
-          .join(broadcast(blockDocs), Seq("blk"))
-          .filter(col("_df") <= lit(frac) * col("_nd"))
+        raw.join(boilerplateShingles(docs, idCol, textCol, blockCol,
+            shingleN, frac), Seq("blk", "s"), "left_anti")
           .select(col("doc_id"), col("blk"), col("s"))
     }
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -520,8 +520,20 @@ object Mix {
                                 budget: Column,
                                 maxEpochs: Double): DataFrame = {
     require(maxEpochs > 0, s"maxEpochs must be positive (got $maxEpochs)")
-    require(shares.filter(col("share") <= 0 || col("share").isNull).isEmpty,
+    // validate the tiny shares dim DRIVER-SIDE in one collect (ADVICE
+    // r10: the previous filter(...).isEmpty ran a full Spark action at
+    // operator-construction time and never rejected DUPLICATE sources,
+    // which would double-join the totals row and silently inflate the
+    // realized_share denominator). The dim is source-domain-bounded —
+    // the same bound its broadcast below already requires.
+    val shareRows = shares
+      .select(col(sourceCol), col("share").cast("double")).collect()
+    require(shareRows.forall(r => !r.isNullAt(1) && r.getDouble(1) > 0),
       "every target share must be positive and non-null")
+    val dupSources = shareRows.map(_.get(0)).groupBy(identity)
+      .collect { case (s, v) if v.length > 1 => s }
+    require(dupSources.isEmpty,
+      s"duplicate source rows in shares dim: ${dupSources.mkString(", ")}")
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokenCol)).cast("long").as("tokens"))
     val staged = totals.join(broadcast(shares), Seq(sourceCol))

@@ -160,9 +160,19 @@ object Similarity {
     // sketches dedup_hamming dedups with)
     val corpus = graft.dedup.Dedup.fingerprintWords(docs, idCol, textCol)
       .withColumnRenamed("doc_id", idCol)
+    // the query frame must hold exactly ONE non-null-text row — a
+    // driver-side head(2) states it (ADVICE r10: the previous bare
+    // limit(1) silently picked an arbitrary row from a multi-row
+    // query, and a null/absent query text yielded an empty result
+    // instead of an error)
+    val qRows = query.filter(col(queryTextCol).isNotNull).head(2)
+    require(qRows.length == 1,
+      s"hammingTopK query frame must contain exactly one non-null-text " +
+        s"row (got ${qRows.length})")
     val q = graft.dedup.Dedup
-      .fingerprintWords(query.withColumn("_qid", lit(0L)), "_qid", queryTextCol)
-      .select(col("_lo").as("_qlo"), col("_hi").as("_qhi")).limit(1)
+      .fingerprintWords(query.filter(col(queryTextCol).isNotNull)
+        .withColumn("_qid", lit(0L)), "_qid", queryTextCol)
+      .select(col("_lo").as("_qlo"), col("_hi").as("_qhi"))
     corpus.crossJoin(broadcast(q))
       .select(col(idCol),
         (bit_count(col("_lo").bitwiseXOR(col("_qlo"))) +

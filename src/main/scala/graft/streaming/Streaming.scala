@@ -99,6 +99,15 @@ object Streaming {
     * (ts DESC, id DESC) order). Update output mode: each micro-batch
     * emits the keys whose state changed; the final table equals the
     * batch q_merge over the same log (spec-pinned).
+    *
+    * STATE BOUND (r10 ADVICE): state is one row per DISTINCT key,
+    * forever — the materialized-view contract (a compacted view has no
+    * expiry). That is the right bound for entity-keyed CDC (users,
+    * orders), but under unbounded key churn (UUID-per-event streams)
+    * it grows without limit; such streams should either pre-bucket
+    * keys or use a TTL'd stateful twin (the [[gapReportStream]]
+    * `stateTtlMillis` pattern: EventTimeTimeout + state.remove on
+    * timeout) and accept that an evicted key re-admits stale rows.
     */
   def latestStateStream(events: DataFrame, keyCol: String, tsCol: String,
                         tieCol: String, valueCols: Seq[String]): DataFrame =
@@ -422,6 +431,149 @@ object Streaming {
   case class StepState(buffer: Seq[(Long, Double)], emittedThrough: Long)
   case class StepOut(key: Long, ts: java.sql.Timestamp, step: Option[Double])
 
+  /** Streaming df-cap boilerplate gate (the `dedup_prune_robust`
+    * universe restriction as an ingestion gate — VERDICT r10 item 3):
+    * the batch robust near-dup chain restricts every document's
+    * Jaccard universe to NON-boilerplate shingles before pair
+    * enumeration. A stream cannot compute the document frequencies it
+    * caps against (the winsorizeStream contract: FIT in batch, GATE
+    * on the stream), so the boilerplate set is prefit by
+    * [[graft.dedup.Dedup.boilerplateShingles]] — one definition with
+    * the batch operator — and rides as a per-block ARRAY dim
+    * ([[boilerplateDim]], one row per block, bounded because only
+    * near-universal features clear the frequency bar).
+    *
+    * The gate itself is STATELESS: shingle hashes are a row-local
+    * codegen projection, the dim joins stream-static broadcast on the
+    * block key (1:1, append-safe, no state store), and the
+    * rare/boilerplate split is `array_intersect` arithmetic in-row —
+    * no explode, no re-aggregation, no watermark. Output per doc:
+    * total shingles, rare-universe size, boilerplate fraction, and
+    * the all-boilerplate flag (an empty rare universe is the batch
+    * chain's pair-with-nothing contract — the doc carries no dedup
+    * signal and typically fails admission). Unseen blocks pass with
+    * boiler_frac 0 — admission policy stays with the caller.
+    */
+  def dfCapStream(docs: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, boilerDim: DataFrame,
+                  shingleN: Int = 3): DataFrame = {
+    val sh = org.apache.spark.sql.graft.TextExpressions
+      .shingleHashes(col(textCol), shingleN)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("_sh", sh)
+      .join(broadcast(boilerDim.select(col("blk").as(blockCol),
+        col("boiler"))), Seq(blockCol), "left")
+      .withColumn("n_shingles", size(col("_sh")).cast("long"))
+      .withColumn("n_boiler",
+        when(col("boiler").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("_sh"), col("boiler")))
+            .cast("long")))
+      .withColumn("n_rare", col("n_shingles") - col("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_boiler").cast("double") / col("n_shingles")))
+      .withColumn("all_boiler",
+        col("n_shingles") > 0 && col("n_rare") === 0)
+      .drop("_sh", "boiler")
+  }
+
+  /** The per-block boilerplate-array dim [[dfCapStream]] expects, fit
+    * from a BATCH corpus: [[graft.dedup.Dedup.boilerplateShingles]]
+    * collapsed to one sorted array row per block.
+    */
+  def boilerplateDim(corpus: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, shingleN: Int = 3,
+                     maxShingleDocFrac: Double = 0.5): DataFrame =
+    graft.dedup.Dedup.boilerplateShingles(corpus, idCol, textCol, blockCol,
+        shingleN, maxShingleDocFrac)
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(col("s"))).as("boiler"))
+
+  /** Event-time in MICROSECONDS — the batch operators' unit (they
+    * window on `unix_micros`), shared by every stateful stream twin so
+    * batch/stream parity holds below millisecond resolution.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Inverse of [[micros]]: a Timestamp carrying the full sub-ms part. */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  case class GapEvent(key: Long, ts: java.sql.Timestamp)
+  case class GapState(lastTsUs: Long, nObs: Long, maxGapUs: Option[Long],
+                      nOver: Long, nLate: Long)
+  case class GapReport(key: Long, n_obs: Long, max_gap_us: Option[Long],
+                       n_gaps_over: Long, n_late: Long)
+
+  /** Streaming twin of [[graft.operators.TimeSeriesOps.gapReport]]
+    * (A13 `ts_gaps` — VERDICT r10 item 3): the per-key sampling-gap
+    * audit as a live monitor. Per-key state is O(1) — last observed
+    * event time plus the running (n_obs, max_gap, n_gaps_over)
+    * report — updated in MICROSECONDS (`Timestamp.getTime * 1000 +
+    * sub-ms nanos`), the batch operator's unit, so batch and stream
+    * state the same gaps bit-for-bit (the stepDetectStream ms-vs-µs
+    * drift reviewed in r10 is designed out here, not documented
+    * around). Update mode: each trigger emits the refreshed report
+    * for every key that saw data.
+    *
+    * Disorder contract: events are folded in event-time order WITHIN
+    * each trigger; an event arriving in a LATER trigger with a
+    * timestamp behind the key's frontier cannot retroactively split
+    * an already-stated gap (no retraction in Update mode), so it
+    * counts into `n_obs` and the explicit `n_late` column and touches
+    * no gap statistic — the audit states its own blind spot instead
+    * of silently mis-stating gaps. For in-order feeds (n_late = 0)
+    * the stream report equals the batch gapReport exactly
+    * (spec-pinned). State for idle keys is dropped after `stateTtl`
+    * past the watermark when set (the latestStateStream
+    * unbounded-key-churn lesson); with no TTL, state is one small row
+    * per key forever — bound it on churn-heavy key spaces.
+    */
+  def gapReportStream(spark: SparkSession, events: Dataset[GapEvent],
+                      thresholdSec: Long,
+                      watermarkDelay: String = "10 minutes",
+                      stateTtlMillis: Option[Long] = None)
+      : Dataset[GapReport] = {
+    import spark.implicits._
+    val thrUs = thresholdSec * 1000000L
+    val timeoutConf =
+      if (stateTtlMillis.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GapState, GapReport](
+        OutputMode.Update(), timeoutConf) {
+        (key, batch, state: GroupState[GapState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.map(e => micros(e.ts)).toSeq.sorted
+            val st = sorted.foldLeft(state.getOption.getOrElse(
+              GapState(Long.MinValue, 0L, None, 0L, 0L))) { (s, tsUs) =>
+              if (s.nObs == 0L)
+                GapState(tsUs, 1L, None, 0L, 0L)
+              else if (tsUs >= s.lastTsUs) {
+                val gap = tsUs - s.lastTsUs
+                GapState(tsUs, s.nObs + 1,
+                  Some(s.maxGapUs.fold(gap)(math.max(_, gap))),
+                  s.nOver + (if (gap > thrUs) 1L else 0L), s.nLate)
+              } else
+                s.copy(nObs = s.nObs + 1, nLate = s.nLate + 1)
+            }
+            state.update(st)
+            stateTtlMillis.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + ttl,
+                st.lastTsUs / 1000L + ttl)))
+            Iterator.single(
+              GapReport(key, st.nObs, st.maxGapUs, st.nOver, st.nLate))
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.operators.TimeSeriesOps.stepDetect]]:
     * the two-sample step statistic needs the FUTURE window [t, t+w), so
     * an event's step can only be stated once the watermark passes
@@ -438,9 +590,12 @@ object Streaming {
     * events per key, independent of stream length; per-trigger work is
     * O(|buffer| × emitted) per key — the streaming analogue of the
     * batch operator's per-key frame work. Event-time timeout fires the
-    * pending emissions when a key goes quiet. Millisecond resolution
-    * (the GroupState watermark clock); sides with fewer than
-    * `minPeriods` observations emit a None step, matching batch.
+    * pending emissions when a key goes quiet. Buffering and windowing
+    * run in MICROSECONDS (the batch stepDetect unit — sub-ms inputs
+    * window identically in both, r10 ADVICE); only the GroupState
+    * timeout clock is ms, which delays at most the WAKE-UP, never the
+    * window arithmetic. Sides with fewer than `minPeriods`
+    * observations emit a None step, matching batch.
     */
   def stepDetectStream(spark: SparkSession, events: Dataset[StepEvent],
                        windowMillis: Long, minPeriods: Int = 3,
@@ -448,6 +603,12 @@ object Streaming {
       : Dataset[StepOut] = {
     require(windowMillis > 0, "window must be positive")
     import spark.implicits._
+    // all buffer/window arithmetic in MICROSECONDS (the batch
+    // stepDetect unit — ADVICE r10: buffering at ms resolution
+    // silently broke parity for sub-ms inputs); only the GroupState
+    // timeout clock stays in ms, with emission-safety stated against
+    // the ms watermark's µs lower bound (wm*1000)
+    val windowUs = windowMillis * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
@@ -455,21 +616,21 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key, batch, state: GroupState[StepState]) =>
           val prev = state.getOption.getOrElse(StepState(Nil, Long.MinValue))
-          val wm = state.getCurrentWatermarkMs()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val buf = (prev.buffer ++
-            batch.map(e => (e.ts.getTime, e.value))).sortBy(_._1)
+            batch.map(e => (micros(e.ts), e.value))).sortBy(_._1)
           val (ripe, pending) = buf.partition { case (t, _) =>
-            t + windowMillis <= wm && t > prev.emittedThrough
+            t + windowUs <= wmUs && t > prev.emittedThrough
           }
           val emits = ripe.map { case (t, _) =>
-            val before = buf.filter(e => e._1 >= t - windowMillis && e._1 < t)
-            val after = buf.filter(e => e._1 >= t && e._1 < t + windowMillis)
+            val before = buf.filter(e => e._1 >= t - windowUs && e._1 < t)
+            val after = buf.filter(e => e._1 >= t && e._1 < t + windowUs)
             val step =
               if (before.size >= minPeriods && after.size >= minPeriods)
                 Some(after.map(_._2).sum / after.size -
                   before.map(_._2).sum / before.size)
               else None
-            StepOut(key, new java.sql.Timestamp(t), step)
+            StepOut(key, tsFromMicros(t), step)
           }
           // emitted events stay buffered while a pending event's window
           // can still reach them (ts > wm − 2w); emittedThrough stops
@@ -477,7 +638,7 @@ object Streaming {
           val emittedThrough =
             if (ripe.nonEmpty) math.max(prev.emittedThrough, ripe.map(_._1).max)
             else prev.emittedThrough
-          val keep = buf.filter(_._1 > wm - 2 * windowMillis)
+          val keep = buf.filter(_._1 > wmUs - 2 * windowUs)
           val stillPending = pending.filter(_._1 > emittedThrough)
           if (keep.isEmpty) state.remove()
           else {
@@ -488,11 +649,14 @@ object Streaming {
             // the horizon passes — GroupState timeouts don't persist
             // across invocations, so a quiet key would otherwise hold
             // its 2w buffer in the state store forever (review-pass
-            // finding: unbounded state with key churn).
-            val wake =
-              if (stillPending.nonEmpty) stillPending.map(_._1).min + windowMillis
-              else keep.map(_._1).max + 2 * windowMillis
-            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+            // finding: unbounded state with key churn). Wake times are
+            // µs rounded UP to the ms timeout clock.
+            val wakeUs =
+              if (stillPending.nonEmpty) stillPending.map(_._1).min + windowUs
+              else keep.map(_._1).max + 2 * windowUs
+            state.setTimeoutTimestamp(
+              math.max(math.floorDiv(wakeUs + 999L, 1000L),
+                state.getCurrentWatermarkMs() + 1))
           }
           emits.iterator
       }

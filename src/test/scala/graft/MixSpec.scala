@@ -312,6 +312,18 @@ class MixSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("source") ->
         r.getAs[Double]("desired_tokens")).toMap
     assert(byMult("a") === 1100.0 && byMult("b") === 1100.0)
+    // shares-dim validation (driver-side, ADVICE r10): a duplicated
+    // source would double-join the totals row — rejected up front
+    val dupShares = Seq(("a", 0.3), ("a", 0.2), ("b", 0.5))
+      .toDF("source", "share")
+    val dupErr = intercept[IllegalArgumentException] {
+      Mix.epochAllocation(corpus, "source", "n_toks", dupShares, 2000L)
+    }
+    assert(dupErr.getMessage.contains("duplicate source"))
+    val badShares = Seq(("a", 0.5), ("b", -0.5)).toDF("source", "share")
+    intercept[IllegalArgumentException] {
+      Mix.epochAllocation(corpus, "source", "n_toks", badShares, 2000L)
+    }
   }
 
   test("reweightToShares: binding source at rate 1.0, realized shares hit targets, unlisted excluded") {

@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
         "text", df.filter($"doc_id" === 0L), "text", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === expected)
+    // query-frame contract (ADVICE r10): a multi-row or empty/null-text
+    // query is an error, not an arbitrary pick or a silent empty result
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(df.filter($"doc_id" =!= 0L), "doc_id", "text",
+        df.filter($"doc_id" < 2L), "text", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(df.filter($"doc_id" =!= 0L), "doc_id", "text",
+        Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "text", 5)
+    }
   }
 
   test("ann_ivf_det fixed-centroid IVF: probing ALL buckets recovers brute force exactly") {

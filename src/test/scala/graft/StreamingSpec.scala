@@ -127,6 +127,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stepDetectStream windows sub-millisecond timestamps in microseconds (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    // events 400 µs apart, 1 ms windows: ms-resolution buffering would
+    // collapse each pair onto one tick and mis-state every window
+    // (the r10 ADVICE finding); µs buffering must match batch exactly
+    def atUs(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = Seq(200L -> 1.0, 600L -> 1.0, 1200L -> 5.0, 1600L -> 5.0)
+    val input = MemoryStream[Streaming.StepEvent]
+    val q = Streaming.stepDetectStream(spark, input.toDS(),
+        windowMillis = 1L, minPeriods = 2, watermarkDelay = "0 seconds")
+      .toDF().writeStream.format("memory").queryName("step_us_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.map { case (us, v) =>
+        Streaming.StepEvent(1L, atUs(us), v) }: _*)
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every forward window
+      input.addData(Streaming.StepEvent(2L, atUs(10000000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("step_us_stream").collect()
+        .filter(_.getAs[Long]("key") == 1L)
+        .map { r =>
+          val t = r.getAs[java.sql.Timestamp]("ts")
+          (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+        }.toMap
+      // batch-semantics expectation, computed by hand (the batch
+      // operator's windowSec granularity can't express a 1 ms window;
+      // the arithmetic contract — before [t-w, t) / after [t, t+w),
+      // minPeriods on both sides — is the same):
+      //   t=200:  before empty            -> None
+      //   t=600:  before {200} (1 < 2)    -> None
+      //   t=1200: {200,600} vs {1200,1600} -> 5-1 = 4
+      //   t=1600: after {1600} (1 < 2)    -> None
+      val expected = Map(200L -> None, 600L -> None,
+        1200L -> Some(4.0), 1600L -> None)
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (t, s) =>
+        (s, expected(t)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"us $t")
+          case (a, b) => assert(a === b, s"us $t")
+        }
+      }
+      // the µs-window step is actually detected at t = 1200 µs
+      assert(got(1200L).exists(_ > 3.5))
+    } finally q.stop()
+  }
+
   test("latestStateStream: per-key state converges to the batch q_merge pick (late + tied events)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
@@ -796,6 +848,115 @@ class StreamingSpec extends SparkSpec {
           batchDocs, "doc_id", "text", bench, "text", shingleN = 5, minOverlap = 1)
         .collect().map(_.getAs[Long]("doc_id")).toSet
       assert(batchContaminated === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("gapReportStream: in-order feed matches batch gapReport in microseconds; late events counted, not mis-stated") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Streaming.GapEvent]
+    // threshold 1 hour; key 1 has gaps of 30min / 2h / 1h-exact (not
+    // over: strict >), key 2 is a single observation (null gaps)
+    val q = Streaming.gapReportStream(spark, input.toDS(), thresholdSec = 3600)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode(OutputMode.Update()).start()
+    val evs1 = Seq(
+      Streaming.GapEvent(1L, ts("2024-01-01 00:00:00")),
+      Streaming.GapEvent(1L, ts("2024-01-01 00:30:00")),
+      Streaming.GapEvent(2L, ts("2024-01-01 05:00:00")))
+    val evs2 = Seq(
+      Streaming.GapEvent(1L, ts("2024-01-01 02:30:00")),
+      Streaming.GapEvent(1L, ts("2024-01-01 03:30:00")))
+    try {
+      input.addData(evs1: _*)
+      q.processAllAvailable()
+      input.addData(evs2: _*)
+      q.processAllAvailable()
+      // Update mode: reports are monotone in n_obs — max-by(n_obs) per
+      // key is the final state
+      def finalReports = spark.table("gap_stream")
+        .groupBy(col("key"))
+        .agg(max(struct(col("n_obs"), col("max_gap_us"),
+          col("n_gaps_over"), col("n_late"))).as("s"))
+        .select(col("key"), col("s.*"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getLong(3), r.getLong(4)))).toMap
+      val streamRep = finalReports
+      assert(streamRep(1L) === ((4L, Some(7200000000L), 1L, 0L)))
+      assert(streamRep(2L) === ((1L, None, 0L, 0L)))
+      // batch parity on the same (in-order) feed, µs for µs
+      val batch = graft.operators.TimeSeriesOps.gapReport(
+          (evs1 ++ evs2).map(e => (e.key, e.ts)).toDF("key", "ts"),
+          Seq("key"), "ts", thresholdSec = 3600)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getLong(3)))).toMap
+      assert(batch(1L) === ((4L, Some(7200000000L), 1L)))
+      assert(batch(2L) === ((1L, None, 0L)))
+      // a LATE arrival (behind key 1's frontier, inside the watermark
+      // delay): counted into n_obs and n_late, gap statistics untouched
+      input.addData(Streaming.GapEvent(1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(finalReports(1L) === ((5L, Some(7200000000L), 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dfCapStream: stateless boilerplate gate matches the batch rare-universe, unseen blocks pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // corpus: 4 docs in block b1, all carrying the same 6-token
+    // boilerplate tail (df 4/4 > 0.5), each with distinct body tokens
+    val boiler = "end of message standard corporate footer"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler", "b1"),
+      (2L, s"one two three four five six $boiler", "b1"),
+      (3L, s"red green blue yellow purple orange $boiler", "b1"),
+      (4L, s"cat dog bird fish mouse horse $boiler", "b1"))
+      .toDF("doc_id", "text", "source")
+    val dim = Streaming.boilerplateDim(corpus, "doc_id", "text", "source",
+      shingleN = 3, maxShingleDocFrac = 0.5)
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "source")
+    val q = Streaming.dfCapStream(df, "doc_id", "text", "source", dim,
+        shingleN = 3)
+      .writeStream.format("memory").queryName("dfcap_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (10L, s"fresh new body content here today $boiler", "b1"), // mixed
+        (11L, boiler, "b1"),                    // pure boilerplate
+        (12L, "totally novel text nothing shared", "b1"),   // all rare
+        (13L, s"some words $boiler", "zz"))     // unseen block
+      q.processAllAvailable()
+      val rows = spark.table("dfcap_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_rare"),
+            r.getAs[Boolean]("all_boiler")))).toMap
+      // doc 10: 12 tokens -> 10 trigrams; the 4 pure-boilerplate
+      // trigrams of the 6-token tail are capped; bridge trigrams
+      // (spanning body|tail) are rare
+      assert(rows(10L) === ((10L, 6L, false)))
+      assert(rows(11L) === ((4L, 0L, true)))   // empty rare universe
+      assert(rows(12L)._1 === rows(12L)._2)    // nothing capped
+      assert(rows(13L)._1 === rows(13L)._2 && !rows(13L)._3) // unseen blk
+      // batch parity: the stream gate's rare count equals the batch
+      // rare-universe size (explode + anti-join against the SAME
+      // boilerplateShingles set) for the corpus docs themselves
+      val streamOnCorpus = Streaming.dfCapStream(
+          corpus, "doc_id", "text", "source", dim, shingleN = 3)
+        .select(col("doc_id"), col("n_rare")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchRare = corpus
+        .select(col("doc_id"), col("source").as("blk"),
+          explode(org.apache.spark.sql.graft.TextExpressions
+            .shingleHashes(col("text"), 3)).as("s"))
+        .join(graft.dedup.Dedup.boilerplateShingles(
+          corpus, "doc_id", "text", "source", 3, 0.5),
+          Seq("blk", "s"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamOnCorpus === batchRare)
     } finally q.stop()
   }
 }
