@@ -60,11 +60,46 @@ object MeltQueries extends QueryPack {
           .as("melt_rate"))
   }
 
+  /** E4+ `melt_from_hobo` — the reference's ACTUAL entry point run end
+    * to end (VERDICT r10 item 6): raw HOBOware AWS export (title
+    * preamble, '#' column, sensor-label headers, -888.88/-888.9
+    * sentinel nulls — melt_model.py:48 read_hobo_csv) through
+    * [[graft.sources.Sources.readHobo]], then the full melt pipeline
+    * of `melt_pipeline` (2 h-centered smoothed incoming, daily
+    * clipped+ffilled albedo, enhanced temperature-index melt,
+    * fillna 0) on the loader's output columns. Runs on the COMMITTED
+    * fixture `fixtures/hobo_aws.csv` (the raw-format parse is what's
+    * under test; the sf tables carry no preamble formats), and the
+    * DuckDB oracle re-reads the same file with read_csv + the same
+    * sentinel null tokens — loader AND pipeline are hash-verified
+    * together.
+    */
+  def meltFromHobo(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File("fixtures/hobo_aws.csv").getAbsolutePath
+    val base = graft.sources.Sources.readHobo(s, path)
+      .select(col("Date Time - GMT").as("ts"), col("Temp").as("temp"),
+        col("Solar1").as("incoming"), col("Solar2").as("reflected"))
+      .withColumn("stn", lit("aws1"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stn")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-(3600L * 1000000 - 1), 3600L * 1000000)
+    val withInc = base.withColumn("inc_c", avg(col("incoming")).over(frame))
+    val alb = Melt.dailyAlbedo(base, Seq("stn"), "ts", "incoming", "reflected")
+      .select(col("stn").as("a_stn"), col("day"), col("albedo"))
+    withInc
+      .join(alb, col("stn") === col("a_stn") &&
+        date_trunc("day", col("ts")) === col("day"), "left")
+      .select(fmtTs(col("ts")).as("ts"),
+        r4(coalesce(meltEqu(col("temp"), col("albedo"), col("inc_c")),
+          lit(0.0))).as("melt_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "melt_shadow" -> meltShadow,
     "melt_albedo" -> meltAlbedo,
     "melt_rate" -> meltRate,
-    "melt_pipeline" -> meltPipeline)
+    "melt_pipeline" -> meltPipeline,
+    "melt_from_hobo" -> meltFromHobo)
 
   private val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -148,6 +183,29 @@ object MeltQueries extends QueryPack {
          |  FROM aws)
          |SELECT wi.event_id, wi.user_id,
   |  floor((coalesce(CASE WHEN wi.temp > 0.0
+         |    THEN 0.05 * wi.temp + 0.0094 * (1.0 - alb.albedo) * wi.inc_c
+         |    ELSE 0.0 END, 0.0)) * 10000 + 0.5001) / 10000 AS melt_rate
+         |FROM wi LEFT JOIN alb
+         |  ON wi.user_id = alb.user_id AND date_trunc('day', wi.ts) = alb.d""".stripMargin,
+    // same pipeline CTEs as melt_pipeline, but `aws` comes from
+    // re-reading the committed raw HOBO fixture: skip the title line,
+    // header on, the loader's sentinel tokens as nullstr — DuckDB
+    // states the parse AND the pipeline
+    "melt_from_hobo" ->
+      s"""WITH aws AS (
+         |  SELECT 'aws1' AS user_id,
+         |    "Date Time - GMT" AS ts, "Temp  C" AS temp,
+         |    "Solar Radiation  W/m2" AS incoming,
+         |    "Solar Radiation 2  W/m2" AS reflected
+         |  FROM read_csv('fixtures/hobo_aws.csv', skip = 1, header = true,
+         |    nullstr = ['-888.88', '-888.9'])),
+         |$albCte,
+         |wi AS (SELECT *, avg(incoming) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 3599999999 PRECEDING AND 3600000000 FOLLOWING) AS inc_c
+         |  FROM aws)
+         |SELECT strftime(wi.ts, '$fmt') AS ts,
+         |  floor((coalesce(CASE WHEN wi.temp > 0.0
          |    THEN 0.05 * wi.temp + 0.0094 * (1.0 - alb.albedo) * wi.inc_c
          |    ELSE 0.0 END, 0.0)) * 10000 + 0.5001) / 10000 AS melt_rate
          |FROM wi LEFT JOIN alb
