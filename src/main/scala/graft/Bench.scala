@@ -120,8 +120,38 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val ib = indexBuilds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // vs-last-committed drift guard (VERDICT r10 item 7): compare this
+    // full canonical run against the committed BENCH_LOCAL.json BEFORE
+    // overwriting it, and record the ratio IN the emitted artifact —
+    // r10's 71.4s-vs-60.8s drift was explained after the fact because
+    // nothing at bench time stated it. total_ratio > ~1.3 with spread
+    // outliers = machine contention or regression: re-run before
+    // committing the artifact.
+    val committedRef: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val fullCanonical = only.isEmpty &&
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize ==
+        java.nio.file.Paths.get(Bench.CanonicalSfDir).toAbsolutePath.normalize
+    val vsCommitted =
+      if (!fullCanonical || !committedRef.contains("value")) "null"
+      else {
+        val ratio = total / committedRef("value")
+        val outliers = results
+          .collect { case (k, v) if v > 0 && committedRef.getOrElse(k, 0.0) > 0 &&
+            v > committedRef(k) * 1.5 => k -> v / committedRef(k) }
+          .sortBy(-_._2)
+        val outJson = outliers.take(8).map { case (k, r) =>
+          "\"" + k + "\":" + math.round(r * 100) / 100.0 }
+          .mkString("{", ",", "}")
+        s"""{"total_ratio":${math.round(ratio * 1000) / 1000.0},"n_over_1_5x":${outliers.size},"worst":$outJson}"""
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Full untruncated copy for the judge. BENCH_LOCAL.json is reserved
     // for FULL runs on the canonical driver sf dir — a scale-fixture or
@@ -129,14 +159,12 @@ object Bench {
     // never clobber the committed full-surface artifact (which happened
     // twice in r10: a single-query run and a mult=10 run each replaced
     // the committed sf0.1 numbers unnoticed).
-    // path-normalized compare against the single shared constant, so an
-    // equivalent spelling (trailing slash, ..) cannot silently demote a
-    // full canonical run to a suffixed artifact (review-pass finding)
-    val canonical = only.isEmpty &&
-      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize ==
-        java.nio.file.Paths.get(Bench.CanonicalSfDir).toAbsolutePath.normalize
+    // path-normalized compare against the single shared constant (the
+    // fullCanonical val above), so an equivalent spelling (trailing
+    // slash, ..) cannot silently demote a full canonical run to a
+    // suffixed artifact (review-pass finding)
     val outName =
-      if (canonical) "BENCH_LOCAL.json"
+      if (fullCanonical) "BENCH_LOCAL.json"
       else "BENCH_LOCAL_" + java.nio.file.Paths.get(sfDir).getFileName
         .toString.replaceAll("[^A-Za-z0-9_.-]", "_") +
         (if (only.isEmpty) "" else "_subset") + ".json"

@@ -412,19 +412,15 @@ class DedupSpec extends SparkSpec {
     assert(r0.contains((0L, 40L, 0L)))
   }
 
-  test("hammingNearDup capped mode: a pair survives iff >= 1 shared block survives the cap") {
+  test("hammingNearDup capped mode: over-cap classes excluded, surviving class pairs expand") {
     import org.apache.spark.sql.functions._
-    // dense corpus -> some (blk, bv) buckets exceed a small cap while
-    // others stay healthy, so pairs exist whose SMALLEST matching
-    // block is capped but a later shared block is not (the r10
-    // review-pass recall bug: row-local smallest-matching-block dedup
-    // silently dropped those under a cap)
-    // base x10 (every block bucket over cap) + two crafted variants
-    // (searched offline over the md5 fingerprint space): the variant
-    // pair sits at Hamming 3, matches at blocks {0, 1}, block 0 is
-    // shared with the base group (over-cap bucket), block 1 is theirs
-    // alone (healthy bucket) — smallest-matching-block dedup under the
-    // cap would silently lose the pair
+    // r11 class-collapse contract: the cap bounds both quadratic
+    // dimensions — (blk, bv) buckets count CLASSES (the block-mask
+    // path is pinned separately on synthetic words), and classes with
+    // more than cap MEMBERS are excluded from expansion (identical-doc
+    // floods are exact dedup's job, the pre-r11 capped behavior).
+    // base x10 -> one class of size 10 > cap 5: no within pairs, no
+    // cross pairs; the two singleton variants still pair normally.
     val base = (0 until 40).map(k => s"base$k").mkString(" ")
     val rows = (0 until 10).map(i => (i.toLong, base)) ++
       Seq((100L, s"$base xa6 xb6"), (101L, s"$base xa67 xb67"))
@@ -432,37 +428,27 @@ class DedupSpec extends SparkSpec {
     val fps = df.select(col("doc_id"), org.apache.spark.sql.graft
         .TextExpressions.portableSimhash64(col("text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
-    def block(f: Seq[Long], b: Int): Long = {
-      val w = if (b < 2) f(0) else f(1)
-      (w >> ((b % 2) * 16)) & 0xFFFFL
-    }
     def ham(a: Seq[Long], b: Seq[Long]): Long =
       java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
-    val cap = 5
-    val counts = (for ((_, f) <- fps; b <- 0 until 4)
-      yield (b, block(f, b))).groupBy(identity).map { case (k, v) => k -> v.size }
-    val expected = (for {
-      i <- fps.indices; j <- (i + 1) until fps.length
-      (ai, fi) = fps(i); (aj, fj) = fps(j)
-      d = ham(fi, fj)
-      if d <= 3 && (0 until 4).exists(b => block(fi, b) == block(fj, b) &&
-        counts((b, block(fi, b))) <= cap)
-    } yield (ai, aj, d)).toSet
-    // the crafted pair is in the expected set AND its smallest
-    // matching block is over-cap (the bug path is genuinely exercised)
-    assert(expected.exists(p => p._1 === 100L && p._2 === 101L))
+    // fixture sanity: the variants are within radius of the base class,
+    // so ONLY the class-size rule (not distance) removes those pairs
+    val fBase = fps.find(_._1 == 0L).get._2
     val fx = fps.find(_._1 == 100L).get._2
     val fy = fps.find(_._1 == 101L).get._2
-    val matching = (0 until 4).filter(b => block(fx, b) == block(fy, b))
-    assert(counts((matching.head, block(fx, matching.head))) > cap,
-      "fixture drifted: smallest matching block no longer over-cap")
+    assert(ham(fBase, fx) <= 3 && ham(fx, fy) <= 3)
     val got = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = 3,
-        maxBucketSize = cap)
+        maxBucketSize = 5)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
-    assert(got === expected)
-    // and the base group's identical pairs were cap-dropped (exact
-    // dedup's job), not enumerated
-    assert(!got.exists(p => p._1 < 10L && p._2 < 10L))
+    assert(got === Set((100L, 101L, ham(fx, fy))))
+    // uncapped: the full brute-force pair set, identical pairs included
+    val uncapped = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val brute = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      d = ham(fps(i)._2, fps(j)._2) if d <= 3
+    } yield (fps(i)._1, fps(j)._1, d)).toSet
+    assert(uncapped === brute)
+    assert(uncapped.exists(p => p._1 < 10L && p._2 < 10L)) // identical pairs present
   }
 
   test("PortableSimHash64: set semantics (order/repeats don't matter), null text, word parity") {

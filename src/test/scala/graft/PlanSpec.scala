@@ -390,6 +390,23 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"))
   }
 
+  test("dedup_simhash: row-local exactly-once — no dropDuplicates exchange, no pair-set window") {
+    val plan = planOf(DedupQueries.dedupSimhash(spark, dir))
+    assert(plan.contains("simhash_bands"), s"band expr missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing must be the band equi-join, not all-pairs:\n$plan")
+    // the r11 rewrite: pair dedup is the smallest-surviving-matching-
+    // block FILTER on the join output — a dropDuplicates over the
+    // candidate-pair set (the 18x-growth r10 shape) or a Window over
+    // it must never reappear. (The capped path's bucket-size aggregate
+    // is a HashAggregate over the small banded rows, not a Window.)
+    assert(!plan.contains("Window"),
+      s"pair-set window resurfaced (was: count-window bucket stats):\n$plan")
+    val dd = "Deduplicate|dropDuplicates".r.findAllIn(plan).toSeq
+    assert(dd.isEmpty, s"dropDuplicates exchange resurfaced:\n$plan")
+  }
+
   test("ann_hamming: one broadcast of the 1-row query sketch feeding TakeOrdered") {
     val plan = planOf(SimilarityQueries.annHamming(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
