@@ -81,6 +81,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.head.getLong(0) === brute.head.getLong(0))
   }
 
+  test("embeddingNearDup carried-payload join equals the brute-force band-sharing pair scan") {
+    import org.apache.spark.sql.functions._
+    // 40 vectors in 4 loose clusters so band collisions and in-threshold
+    // pairs arise; exercises the exactly-once first-matching-band dedup
+    val vecs = (1 to 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == c * 2) 1f else 0.1f) + 0.01f * ((i * 7 + d) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDup(df, "vec_id", "embedding",
+        dim = 8, threshold = 0.8, numBits = 16, bitsPerBand = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.map(_._1).distinct.length === out.length, "pair repeated")
+    // brute force from the same band projection + exact cosine
+    val bands = Similarity.lshBands(df, "vec_id", "embedding", 8, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._2).map(_._3).toSeq }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vmap = vecs.toMap
+    val brute = (for {
+      i <- vecs.map(_._1); j <- vecs.map(_._1) if i < j
+      if bands(i).zip(bands(j)).exists { case (x, y) => x == y }
+      c = cos(vmap(i), vmap(j)) if c >= 0.8
+    } yield (i, j)).toSet
+    assert(out.map(_._1).toSet === brute)
+    assert(brute.nonEmpty, "fixture must produce in-threshold pairs")
+  }
+
   test("zero-norm vectors yield null cosine, not a job abort") {
     val z = Seq((9L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(corpus.union(z), "vec_id", "embedding", query, 10)
