@@ -193,10 +193,35 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 
+  /** Fixed literal PQ codebooks for `ann_pq_det`: 8 subspaces x 4
+    * codewords over the 8-dim slices, values in exact binary quarters
+    * (1.0 / 0.25-multiples) so both engines hold them bit-identically.
+    * Shared by the Spark query and (stringified) its DuckDB oracle.
+    */
+  private[graft] val detBooks: IndexedSeq[Array[(Long, Array[Double])]] =
+    (0 until 8).map(j => Array.tabulate(4)(c =>
+      (c.toLong, Array.tabulate(8)(i =>
+        if (i == 2 * c) 1.0 else 0.25 * ((c + i + j) % 3)))))
+
+  /** H6det `ann_pq_det` — the PQ encode/LUT/ADC/top-k chain over FIXED
+    * literal codebooks (the ann_ivf_det pattern applied to H6): with
+    * the k-means fit removed, per-subspace code assignment (cosine
+    * argmax, cid tie-break), the driver-side query LUTs, the
+    * left-to-right ADC sum, and the (score DESC, id) top-10 are all
+    * exact arithmetic both engines state identically — DuckDB
+    * re-derives every step from the same stringified codebook table.
+    * Only the fit itself remains rows-only (`ann_pq`).
+    */
+  def annPqDet(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKWithBooks(corpus(s, dir), "vec_id", "embedding", 64,
+        query(s, dir), 10, 8, detBooks)
+      .select(col("vec_id"), r6(col("adc_score")).as("adc_score"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_project" -> embProject,
     "ann_brute" -> annBrute,
     "ann_ivf_det" -> annIvfDet,
+    "ann_pq_det" -> annPqDet,
     "ann_hamming" -> annHamming,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -258,6 +283,43 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, CAST(j AS BIGINT) AS dim,
          |  floor(pv * 1000000 + 0.5001) / 1000000 AS proj_v
          |FROM p""".stripMargin,
+    // The deterministic PQ: per-subspace cosine-argmax assignment over
+    // the same literal codebooks, query LUTs as plain dot products,
+    // ADC restated as the explicit left-to-right 8-term sum (matching
+    // the Spark fold's association), ordering on raw scores, r6 on
+    // output only.
+    "ann_pq_det" -> {
+      val bookRows = (0 until 8).flatMap(j => (0 until 4).map { c =>
+        val cw = detBooks(j)(c)._2
+        s"($j, $c, CAST([${cw.mkString(",")}] AS DOUBLE[]))"
+      }).mkString(", ")
+      val termCols = (0 until 8).map(j =>
+        s"max(CASE WHEN a.j = $j THEN l.lv END) AS s$j").mkString(", ")
+      val sumExpr = (0 until 8).map(j => s"s$j").mkString(" + ")
+      s"""WITH books(j, c, cw) AS (VALUES $bookRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         |sims AS (SELECT e.vec_id, b.j, b.c,
+         |    list_dot_product(e.emb[b.j*8+1 : b.j*8+8], b.cw) /
+         |      (sqrt(list_dot_product(e.emb[b.j*8+1 : b.j*8+8],
+         |                             e.emb[b.j*8+1 : b.j*8+8])) *
+         |       sqrt(list_dot_product(b.cw, b.cw))) AS cos
+         |  FROM e CROSS JOIN books b WHERE e.vec_id <> 0),
+         |assign AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c, row_number() OVER
+         |      (PARTITION BY vec_id, j ORDER BY cos DESC NULLS LAST, c) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |lut AS (SELECT b.j, b.c,
+         |    list_dot_product(qv[b.j*8+1 : b.j*8+8], b.cw) AS lv
+         |  FROM books b CROSS JOIN q),
+         |terms AS (SELECT a.vec_id, $termCols
+         |  FROM assign a JOIN lut l ON a.j = l.j AND a.c = l.c
+         |  GROUP BY a.vec_id),
+         |scored AS (SELECT vec_id, $sumExpr AS adc FROM terms)
+         |SELECT vec_id, round(adc, 6) AS adc_score
+         |FROM scored ORDER BY scored.adc DESC, vec_id LIMIT 10""".stripMargin
+    },
     // The deterministic IVF: the oracle re-derives assignment (argmax
     // cosine over the SAME literal centroid table, cid-asc tie-break),
     // the query's top-4 probed centroids, the bucket prune, and the

@@ -431,10 +431,24 @@ object Similarity {
              query: DataFrame, k: Int, m: Int = 8, kSub: Int = 16,
              iterations: Int = 2, fitSampleRate: Double = 1.0): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val vecD = col(vecCol).cast("array<double>")
     val books = pqCodebooks(df, idCol, vecCol, dim, m, kSub, iterations,
       fitSampleRate)
+    pqTopKWithBooks(df, idCol, vecCol, dim, query, k, m, books)
+  }
+
+  /** The encode+LUT+ADC+top-k back half of [[pqTopK]] with the
+    * codebooks INJECTED — shared by the fitted path above and the
+    * fixed-literal-codebook `ann_pq_det` (which removes the k-means
+    * fit so the whole chain is DuckDB-oracleable, the ann_ivf_det
+    * pattern).
+    */
+  private[graft] def pqTopKWithBooks(df: DataFrame, idCol: String,
+                                     vecCol: String, dim: Int,
+                                     query: DataFrame, k: Int, m: Int,
+                                     books: IndexedSeq[Array[(Long, Array[Double])]])
+      : DataFrame = {
+    val subDim = dim / m
+    val vecD = col(vecCol).cast("array<double>")
     val q = query.select(vecD.as("_qv")).head.getSeq[Double](0).toArray
     require(q.length == dim, s"query dim ${q.length} != $dim")
     val luts: IndexedSeq[Array[Double]] = (0 until m).map { j =>
