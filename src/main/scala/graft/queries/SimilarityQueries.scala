@@ -37,7 +37,14 @@ object SimilarityQueries extends QueryPack {
       docs.filter(col("doc_id") === 0), "text", 10)
   }
 
-  /** H2 `ann_lsh` — hyperplane-LSH candidates, exact rank within. */
+  /** H2 `ann_lsh` — hyperplane-LSH candidates, exact rank within.
+    * SQL-ORACLED since r11 (was rows-only): the hyperplanes are a
+    * deterministic seeded ±1 matrix, so the oracle stringifies the
+    * SAME 48x64 plane table and re-derives sign-of-dot band values,
+    * the band-sharing candidate set, and the exact cosine top-10 — the
+    * full approximate-query semantics, hash-verified. The sign test
+    * rides the ann_brute-proven sequential-dot arithmetic.
+    */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(corpus(s, dir), "vec_id", "embedding", 64,
         query(s, dir), 10)
@@ -283,6 +290,35 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, CAST(j AS BIGINT) AS dim,
          |  floor(pv * 1000000 + 0.5001) / 1000000 AS proj_v
          |FROM p""".stripMargin,
+    // ann_lsh, oracled from the stringified plane matrix: band value =
+    // sum over the band's 6 planes of 2^(p%6) where dot(v, plane) > 0
+    // (strict, matching HyperplaneBandValues); candidates share >= 1
+    // (band, value) with the query; exact cosine top-10 within.
+    "ann_lsh" -> {
+      val planeRows = Similarity.planes(48, 64, 42L).zipWithIndex
+        .map { case (pl, p) => s"($p, CAST([${pl.mkString(",")}] AS DOUBLE[]))" }
+        .mkString(", ")
+      s"""WITH planes(p, pl) AS (VALUES $planeRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         |bits AS (SELECT e.vec_id, p.p // 6 AS band,
+         |    CASE WHEN list_dot_product(e.emb, p.pl) > 0
+         |         THEN 1 << (p.p % 6) ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes p),
+         |bands AS (SELECT vec_id, band, SUM(bit) AS bv
+         |  FROM bits GROUP BY vec_id, band),
+         |qbands AS (SELECT band, bv FROM bands WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT b.vec_id
+         |  FROM bands b JOIN qbands USING (band, bv) WHERE b.vec_id <> 0),
+         |c AS (SELECT e.vec_id,
+         |    list_dot_product(e.emb, qv) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) *
+         |       sqrt(list_dot_product(qv, qv))) AS cosine
+         |  FROM e JOIN cand USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, round(cosine, 6) AS cosine
+         |FROM c ORDER BY c.cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
     // The deterministic PQ: per-subspace cosine-argmax assignment over
     // the same literal codebooks, query LUTs as plain dot products,
     // ADC restated as the explicit left-to-right 8-term sum (matching

@@ -24,7 +24,7 @@ object Similarity {
     * original literal-column formulation, so the planes — and every
     * downstream candidate set — are bit-identical across the rewrite.
     */
-  private def planes(numBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def planes(numBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }

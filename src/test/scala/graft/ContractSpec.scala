@@ -72,7 +72,9 @@ class ContractSpec extends AnyFunSuite {
     // sql-oracled; what remains is genuinely hash/seed/impl-defined.
     val expected = Set(
       "dedup_minhash", "dedup_simhash", "dedup_embed", // LSH candidate sets
-      "ann_lsh", "ann_ivf",  // approximate by construction
+      "ann_ivf",             // k-means fit is float-sum-order-defined
+      // (ann_lsh moved to sql-oracled in r11: the seeded plane matrix
+      // is stringified into the oracle)
       "ann_knn_join",        // IVF-probed kNN self-join, approximate (r7)
       "ann_pq",              // PQ codebooks are k-means-defined (r9)
       "ann_ivf_pq",          // coarse + PQ quantizers both k-means-defined (r9)
