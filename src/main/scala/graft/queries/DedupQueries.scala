@@ -281,6 +281,41 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    // dedup_embed, oracled since r11 from the stringified hyperplane
+    // matrix (the ann_lsh pattern): band values re-derived as
+    // sign-of-dot sums (strict > 0, HyperplaneBandValues' test), the
+    // exactly-once band-sharing pair set as DISTINCT pairs, exact
+    // cosine verify at the threshold, r4 on output. The 10k bucket cap
+    // cannot trigger at oracle scale (<= 2000 vectors), so the
+    // uncapped statement is exact here.
+    "dedup_embed" -> {
+      val planeRows = graft.similarity.Similarity.planes(64, 64, 42L)
+        .zipWithIndex
+        .map { case (pl, p) => s"($p, CAST([${pl.mkString(",")}] AS DOUBLE[]))" }
+        .mkString(", ")
+      s"""WITH planes(p, pl) AS (VALUES $planeRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |bits AS (SELECT e.vec_id, p.p // 8 AS band,
+         |    CASE WHEN list_dot_product(e.emb, p.pl) > 0
+         |         THEN 1 << (p.p % 8) ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes p),
+         |bands AS (SELECT vec_id, band, SUM(bit) AS bv
+         |  FROM bits GROUP BY vec_id, band),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |c AS (SELECT cand.id_a, cand.id_b,
+         |    list_dot_product(ea.emb, eb.emb) /
+         |      (sqrt(list_dot_product(ea.emb, ea.emb)) *
+         |       sqrt(list_dot_product(eb.emb, eb.emb))) AS cosine
+         |  FROM cand
+         |  JOIN e ea ON cand.id_a = ea.vec_id
+         |  JOIN e eb ON cand.id_b = eb.vec_id)
+         |SELECT id_a, id_b,
+         |  floor(cosine * 10000 + 0.5001) / 10000 AS cosine
+         |FROM c WHERE cosine >= 0.3""".stripMargin
+    },
     // brute-force pair scan over fingerprints recomputed from scratch:
     // md5 sign bits per DISTINCT token (the '0x'||substr(md5) parse is
     // the ds_dsir convention), +-1 sums per bit position, bit set iff

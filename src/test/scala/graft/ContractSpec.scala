@@ -71,7 +71,9 @@ class ContractSpec extends AnyFunSuite {
     // q_approx (exact half + accuracy-certificate flags) to
     // sql-oracled; what remains is genuinely hash/seed/impl-defined.
     val expected = Set(
-      "dedup_minhash", "dedup_simhash", "dedup_embed", // LSH candidate sets
+      "dedup_minhash", "dedup_simhash", // xxhash64-seeded candidate sets
+      // (dedup_embed moved to sql-oracled in r11: hyperplane matrix
+      // stringified into the oracle, like ann_lsh)
       "ann_ivf",             // k-means fit is float-sum-order-defined
       // (ann_lsh moved to sql-oracled in r11: the seeded plane matrix
       // is stringified into the oracle)
