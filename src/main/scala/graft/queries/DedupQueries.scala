@@ -141,6 +141,23 @@ object DedupQueries extends QueryPack {
       .select(col("id_a"), col("id_b"), col("cid"),
         r4(col("cosine")).as("cosine"))
 
+  /** G9det `dedup_semantic_det` — the SemDeDup chain over FIXED
+    * literal centroids (the ann_ivf_det pattern applied to G9): with
+    * the k-means fit removed, the argmax cluster blocker, the
+    * exactly-once in-cluster pairing, and the exact cosine verify are
+    * all hash-verified against a DuckDB re-derivation from the same
+    * stringified centroid table. Only the fit itself remains rows-only
+    * (`dedup_semantic`).
+    */
+  def dedupSemanticDet(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupWithCentroids(Tables.embeddings(s, dir),
+        "vec_id", "embedding",
+        SimilarityQueries.detCentroids
+          .map { case (cid, v) => (cid, v.toArray) }.toArray,
+        threshold = 0.3, maxClusterSize = 10000)
+      .select(col("id_a"), col("id_b"), col("cid"),
+        r4(col("cosine")).as("cosine"))
+
   /** G+ `dedup_clusters` — connected components over a pair list (the
     * keep-one-per-cluster step). The test graph is deterministic and
     * oracle-friendly: edges event_id -> 8*event_id form trees whose
@@ -278,9 +295,43 @@ object DedupQueries extends QueryPack {
     "dedup_cut" -> dedupCut,
     "dedup_embed" -> dedupEmbed,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_det" -> dedupSemanticDet,
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    // dedup_semantic_det: assignment argmax over the SAME literal
+    // centroid table as ann_ivf_det (cosine DESC, cid tie-break),
+    // in-cluster pairs under the cap (cannot trigger at oracle scale),
+    // exact cosine verify at the threshold, r4 on output.
+    "dedup_semantic_det" -> {
+      val centRows = SimilarityQueries.detCentroids.map { case (cid, v) =>
+        s"($cid, CAST([${v.mkString(",")}] AS DOUBLE[]))"
+      }.mkString(", ")
+      s"""WITH cents(cid, cv) AS (VALUES $centRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sims AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.emb, c.cv) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) *
+         |       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(a.cid AS BIGINT) AS cid,
+         |    list_dot_product(ea.emb, eb.emb) /
+         |      (sqrt(list_dot_product(ea.emb, ea.emb)) *
+         |       sqrt(list_dot_product(eb.emb, eb.emb))) AS cosine
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON a.vec_id = ea.vec_id
+         |  JOIN e eb ON b.vec_id = eb.vec_id)
+         |SELECT id_a, id_b, cid,
+         |  floor(cosine * 10000 + 0.5001) / 10000 AS cosine
+         |FROM c WHERE cosine >= 0.3""".stripMargin
+    },
     // dedup_embed, oracled since r11 from the stringified hyperplane
     // matrix (the ann_lsh pattern): band values re-derived as
     // sign-of-dot sums (strict > 0, HyperplaneBandValues' test), the

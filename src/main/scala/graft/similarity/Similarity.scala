@@ -163,18 +163,56 @@ object Similarity {
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int, threshold: Double,
                       maxClusterSize: Int = 10000,
-                      fitSampleRate: Double = 1.0): DataFrame = {
-    val cents = kmeansCentroidArray(df, idCol, vecCol, k, iterations,
-      fitSampleRate)
-    val assigned = df.select(col(idCol).as("doc_id"),
-      CentroidExpressions.nearestCentroidId(col(vecCol), cents).as("_cid"))
-    val cand = graft.dedup.Dedup
-      .cappedBucketPairs(assigned, Seq("_cid"), maxClusterSize)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    val cidOfA = assigned.select(col("doc_id").as("id_a"), col("_cid").as("cid"))
-    verifyCosine(cand, df, idCol, vecCol, threshold)
-      .join(cidOfA, "id_a")
-      .select(col("id_a"), col("id_b"), col("cid"), col("cosine"))
+                      fitSampleRate: Double = 1.0): DataFrame =
+    semanticNearDupWithCentroids(df, idCol, vecCol,
+      kmeansCentroidArray(df, idCol, vecCol, k, iterations, fitSampleRate),
+      threshold, maxClusterSize)
+
+  /** The blocker + in-cluster pairing + verify back half of
+    * [[semanticNearDup]] with the centroid table INJECTED — shared by
+    * the fitted path above and the fixed-literal-centroid
+    * `dedup_semantic_det` (which removes the fit so the whole chain is
+    * DuckDB-oracleable, the ann_ivf_det pattern).
+    *
+    * r11 shape: assignment is the row-local argmax; pairs come from
+    * ONE self-equi-join on the cluster id with both sides CARRYING
+    * their vectors — a single join key means every pair joins exactly
+    * once, so there is no dedup step at all, and the fused-codegen
+    * cosine verify is a projection on the join output (the old
+    * cappedBucketPairs composition paid a count window, a distinct
+    * over candidates, and two verify join-backs). Clusters larger than
+    * `maxClusterSize` are EXCLUDED (their in-cluster pair mass is
+    * quadratic; the old star-anchor degrade silently under-reported
+    * exactly the densest region) — the k-row size aggregate that
+    * enforces this is also how callers should audit: an over-cap
+    * cluster means k is too small for the corpus, and the SemDeDup
+    * answer is to raise k, not to sample the mega-cluster.
+    */
+  private[graft] def semanticNearDupWithCentroids(df: DataFrame,
+                                                  idCol: String,
+                                                  vecCol: String,
+                                                  cents: Array[(Long, Array[Double])],
+                                                  threshold: Double,
+                                                  maxClusterSize: Int): DataFrame = {
+    val assigned = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"),
+        CentroidExpressions.nearestCentroidId(col(vecCol), cents).as("_cid"))
+    val kept =
+      if (maxClusterSize == Int.MaxValue) assigned
+      else {
+        val small = assigned.groupBy(col("_cid"))
+          .agg(count(lit(1)).as("_cn"))
+          .filter(col("_cn") <= maxClusterSize).select(col("_cid"))
+        assigned.join(broadcast(small), Seq("_cid"))
+      }
+    val b = kept.select(col("_cid"), col("_id").as("_idb"),
+      col("_v").as("_vb"))
+    kept.join(b, Seq("_cid"))
+      .filter(col("_id") < col("_idb"))
+      .select(col("_id").as("id_a"), col("_idb").as("id_b"),
+        col("_cid").as("cid"),
+        cosineSimilarity(col("_v"), col("_vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** H1: brute-force cosine top-k against a single-row query DataFrame
