@@ -224,11 +224,28 @@ object SimilarityQueries extends QueryPack {
         query(s, dir), 10, 8, detBooks)
       .select(col("vec_id"), r6(col("adc_score")).as("adc_score"))
 
+  /** H7det `ann_ivf_pq_det` — the IVF×PQ COMPOSITION over the fixed
+    * literal quantizers of `ann_ivf_det` + `ann_pq_det`: with both
+    * fits removed, the remaining logic — driver-side coarse probe
+    * selection, the bucket prune sitting between assignment and ADC
+    * (survivors only pay the m argmax lookups), and the
+    * (score DESC, id) top-10 — is hash-verified end to end. Completes
+    * the det family: every non-fit code path of the ANN surface is
+    * now DuckDB-oracled.
+    */
+  def annIvfPqDet(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKWithQuantizers(corpus(s, dir), "vec_id", "embedding",
+        64, query(s, dir), 10, nProbe = 4, m = 8,
+        detCentroids.map { case (cid, v) => (cid, v.toArray) }.toArray,
+        detBooks)
+      .select(col("vec_id"), col("cid"), r6(col("adc_score")).as("adc_score"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_project" -> embProject,
     "ann_brute" -> annBrute,
     "ann_ivf_det" -> annIvfDet,
     "ann_pq_det" -> annPqDet,
+    "ann_ivf_pq_det" -> annIvfPqDet,
     "ann_hamming" -> annHamming,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -290,6 +307,61 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, CAST(j AS BIGINT) AS dim,
          |  floor(pv * 1000000 + 0.5001) / 1000000 AS proj_v
          |FROM p""".stripMargin,
+    // The deterministic IVF x PQ composition: coarse probes from the
+    // literal centroid table, candidates = corpus vectors whose argmax
+    // centroid is probed, ADC terms from the literal codebooks over
+    // candidates only, explicit left-to-right sum, (score DESC, id)
+    // top-10.
+    "ann_ivf_pq_det" -> {
+      val centRows = detCentroids.map { case (cid, v) =>
+        s"($cid, CAST([${v.mkString(",")}] AS DOUBLE[]))"
+      }.mkString(", ")
+      val bookRows = (0 until 8).flatMap(j => (0 until 4).map { c =>
+        s"($j, $c, CAST([${detBooks(j)(c)._2.mkString(",")}] AS DOUBLE[]))"
+      }).mkString(", ")
+      val termCols = (0 until 8).map(j =>
+        s"max(CASE WHEN a.j = $j THEN l.lv END) AS s$j").mkString(", ")
+      val sumExpr = (0 until 8).map(j => s"s$j").mkString(" + ")
+      s"""WITH cents(cid, cv) AS (VALUES $centRows),
+         |books(j, c, cw) AS (VALUES $bookRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         |csims AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.emb, c.cv) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) *
+         |       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |  FROM e CROSS JOIN cents c),
+         |probes AS (SELECT cid FROM csims WHERE vec_id = 0
+         |  ORDER BY cos DESC, cid LIMIT 4),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM csims WHERE vec_id <> 0) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id, a.cid
+         |  FROM assign a JOIN probes p USING (cid)),
+         |ssims AS (SELECT cand.vec_id, b.j, b.c,
+         |    list_dot_product(e.emb[b.j*8+1 : b.j*8+8], b.cw) /
+         |      (sqrt(list_dot_product(e.emb[b.j*8+1 : b.j*8+8],
+         |                             e.emb[b.j*8+1 : b.j*8+8])) *
+         |       sqrt(list_dot_product(b.cw, b.cw))) AS cos
+         |  FROM cand JOIN e USING (vec_id) CROSS JOIN books b),
+         |sassign AS (SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c, row_number() OVER
+         |      (PARTITION BY vec_id, j ORDER BY cos DESC NULLS LAST, c) AS rn
+         |    FROM ssims) WHERE rn = 1),
+         |lut AS (SELECT b.j, b.c,
+         |    list_dot_product(qv[b.j*8+1 : b.j*8+8], b.cw) AS lv
+         |  FROM books b CROSS JOIN q),
+         |terms AS (SELECT a.vec_id, $termCols
+         |  FROM sassign a JOIN lut l ON a.j = l.j AND a.c = l.c
+         |  GROUP BY a.vec_id),
+         |scored AS (SELECT t.vec_id, CAST(cand.cid AS BIGINT) AS cid,
+         |    $sumExpr AS adc
+         |  FROM terms t JOIN cand ON t.vec_id = cand.vec_id)
+         |SELECT vec_id, cid, round(adc, 6) AS adc_score
+         |FROM scored ORDER BY scored.adc DESC, vec_id LIMIT 10""".stripMargin
+    },
     // ann_lsh, oracled from the stringified plane matrix: band value =
     // sum over the band's 6 planes of 2^(p%6) where dot(v, plane) > 0
     // (strict, matching HyperplaneBandValues); candidates share >= 1

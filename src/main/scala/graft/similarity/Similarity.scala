@@ -535,11 +535,29 @@ object Similarity {
                 kSub: Int = 16, pqIterations: Int = 2,
                 fitSampleRate: Double = 1.0): DataFrame = {
     require(nProbe >= 1 && nProbe <= kIvf, s"nProbe $nProbe out of [1, $kIvf]")
-    val vecD = col(vecCol).cast("array<double>")
     val cents = kmeansCentroidArray(df, idCol, vecCol, kIvf, ivfIterations,
       fitSampleRate)
     val books = pqCodebooks(df, idCol, vecCol, dim, m, kSub, pqIterations,
       fitSampleRate)
+    ivfPqTopKWithQuantizers(df, idCol, vecCol, dim, query, k, nProbe, m,
+      cents, books)
+  }
+
+  /** The probe/prune/ADC/top-k back half of [[ivfPqTopK]] with BOTH
+    * quantizers injected — shared by the fitted path above and the
+    * fixed-literal `ann_ivf_pq_det` (which removes both fits so the
+    * composition glue — coarse probe selection, bucket prune sitting
+    * between assignment and scoring, ADC over survivors only — is
+    * DuckDB-oracleable end to end).
+    */
+  private[graft] def ivfPqTopKWithQuantizers(df: DataFrame, idCol: String,
+                                             vecCol: String, dim: Int,
+                                             query: DataFrame, k: Int,
+                                             nProbe: Int, m: Int,
+                                             cents: Array[(Long, Array[Double])],
+                                             books: IndexedSeq[Array[(Long, Array[Double])]])
+      : DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
     val q = query.select(vecD.as("_qv")).head.getSeq[Double](0).toArray
     require(q.length == dim, s"query dim ${q.length} != $dim")
     // probe selection: cosine-rank the bounded centroid table driver-side

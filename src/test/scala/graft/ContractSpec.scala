@@ -39,7 +39,8 @@ class ContractSpec extends AnyFunSuite {
       "dedup_hamming", "ann_hamming", "dedup_prune_robust", "ts_step",
       "ds_epochs", "mm_resize_bilinear", "q_merge", "ts_gaps", "q_salted",
       // r11 additions
-      "ann_ivf_det", "melt_from_hobo", "ann_pq_det", "dedup_semantic_det")
+      "ann_ivf_det", "melt_from_hobo", "ann_pq_det", "dedup_semantic_det",
+      "ann_ivf_pq_det")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs
