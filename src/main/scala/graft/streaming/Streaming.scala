@@ -427,6 +427,50 @@ object Streaming {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Streaming EMBEDDING near-dup gate (G5's stream twin, completing
+    * the admission-gate family: minhash — nearDupCheckStream, hamming
+    * — hammingCheckStream, df-cap — dfCapStream, and now vectors):
+    * each stream doc's hyperplane band values are a row-local codegen
+    * projection carrying the vector alongside; candidates come from a
+    * STATELESS stream-static equi-join against the history's banded
+    * rows (also carrying vectors), the exactly-once pair dedup is the
+    * smallest-matching-band rule on the two carried band arrays (the
+    * r11 batch shape — no watermark, no dropDuplicates state), and the
+    * cosine verify is the fused codegen projection on the join output.
+    * The history side is uncapped here: an admission gate checks one
+    * doc against an index, so in-bucket mass is |bucket|, not
+    * |bucket|² — the quadratic the batch cap exists for never forms.
+    *
+    * Output: (idCol, hist_id, cosine >= threshold).
+    */
+  def embedCheckStream(docs: DataFrame, idCol: String, vecCol: String,
+                       history: DataFrame, histIdCol: String,
+                       histVecCol: String, dim: Int,
+                       threshold: Double = 0.9, numBits: Int = 64,
+                       bitsPerBand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val nBands = numBits / bitsPerBand
+    val planes = graft.similarity.Similarity.planes(numBits, dim, 42L)
+    def banded(df: DataFrame, id: String, vec: String, pre: String) =
+      df.filter(col(vec).isNotNull)
+        .select(col(id).as(s"${pre}id"),
+          col(vec).cast("array<double>").as(s"${pre}v"),
+          VectorExpressions.hyperplaneBands(col(vec), planes, bitsPerBand)
+            .as(s"${pre}bands"))
+        .select(col(s"${pre}id"), col(s"${pre}v"), col(s"${pre}bands"),
+          posexplode(col(s"${pre}bands")).as(Seq(s"${pre}band", s"${pre}bv")))
+    val s = banded(docs, idCol, vecCol, "_s")
+    val h = banded(history, histIdCol, histVecCol, "_h")
+    val firstMatching = coalesce((0 until nBands).map(k =>
+      when(element_at(col("_sbands"), k + 1) ===
+        element_at(col("_hbands"), k + 1), lit(k))): _*)
+    s.join(h, col("_sband") === col("_hband") && col("_sbv") === col("_hbv"))
+      .filter(col("_sband") === firstMatching)
+      .select(col("_sid").as(idCol), col("_hid").as("hist_id"),
+        graft.functions.cosineSimilarity(col("_sv"), col("_hv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   case class StepEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class StepState(buffer: Seq[(Long, Double)], emittedThrough: Long)
   case class StepOut(key: Long, ts: java.sql.Timestamp, step: Option[Double])

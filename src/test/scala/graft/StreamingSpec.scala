@@ -851,6 +851,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedCheckStream: stateless vector gate matches driver-side brute force, one row per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // history: 20 vectors in 4 loose directions
+    val mk = (i: Long, hot: Int) =>
+      (i, Array.tabulate(8)(d => (if (d == hot) 1f else 0.05f) + 0.01f * ((i + d) % 3).toInt))
+    val hist = (100L to 119L).map(i => mk(i, (i % 4).toInt * 2))
+      .toDF("hist_id", "embedding")
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("doc_id", "embedding")
+    val q = Streaming.embedCheckStream(df, "doc_id", "embedding",
+        hist, "hist_id", "embedding", dim = 8, threshold = 0.95,
+        numBits = 16, bitsPerBand = 4)
+      .writeStream.format("memory").queryName("embed_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 1 = near-clone of a history direction; doc 2 orthogonal-ish
+      input.addData((1L, mk(104L, 0)._2), (2L, Array.tabulate(8)(d =>
+        if (d == 7) 1f else 0f)))
+      q.processAllAvailable()
+      val got = spark.table("embed_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.map(_._1).contains(1L) && !got.map(_._1).contains(2L))
+      // exactly-once per pair
+      val all = spark.table("embed_gate").collect()
+      assert(all.length === all.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+      // driver-side brute force: pairs sharing >= 1 band AND cosine >= t
+      val planesDf = graft.similarity.Similarity.lshBands(
+        hist, "hist_id", "embedding", 8, 16, 4)
+      val hb = planesDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      val sb = graft.similarity.Similarity.lshBands(
+          Seq((1L, mk(104L, 0)._2), (2L, Array.tabulate(8)(d => if (d == 7) 1f else 0f)))
+            .toDF("doc_id", "embedding"), "doc_id", "embedding", 8, 16, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+        ad.zip(bd).map { case (x, y) => x * y }.sum /
+          (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+      }
+      val hv = (100L to 119L).map(i => i -> mk(i, (i % 4).toInt * 2)._2).toMap
+      val sv = Map(1L -> mk(104L, 0)._2,
+        2L -> Array.tabulate(8)(d => if (d == 7) 1f else 0f))
+      val brute = (for {
+        s <- sv.keys; h <- hv.keys
+        if sb(s).zip(hb(h)).exists { case (x, y) => x == y }
+        if cos(sv(s), hv(h)) >= 0.95
+      } yield (s, h)).toSet
+      assert(got === brute)
+    } finally q.stop()
+  }
+
   test("gapReportStream: in-order feed matches batch gapReport in microseconds; late events counted, not mis-stated") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
