@@ -219,6 +219,12 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7,
                  maxBucketSize: Int = 10000): DataFrame = {
+    // Deliberately NOT the r11 carried-band shape the rest of the
+    // near-dup family uses: an r11 A/B (SCALING.md "carried-payload
+    // minhashLsh REJECTED") measured every carried variant 1.4-13x
+    // slower at sg_uni/sg10 — the variable ~1-2 KB shingle sets are
+    // too heavy to carry or join back per pair, while this shape's one
+    // window exchange is reused by every downstream branch.
     val banded = minhashBanded(docs, idCol, textCol, shingleN, numHashes, bands)
     val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
     // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with

@@ -135,10 +135,9 @@ object Similarity {
     * arXiv:2303.09540): cluster the embedding space with k-means, then
     * look for high-cosine pairs WITHIN each cluster only — the cluster
     * assignment is the candidate blocker, turning the quadratic
-    * all-pairs search into k independent in-cluster searches. Candidates
-    * come from [[graft.dedup.Dedup.cappedBucketPairs]] keyed on the
-    * cluster id (so a degenerate mega-cluster degrades to star
-    * candidates instead of n² pairs), verified by exact cosine.
+    * all-pairs search into k independent in-cluster searches
+    * (carried-vector self-join per cluster, over-cap clusters
+    * excluded — see [[semanticNearDupWithCentroids]]).
     *
     * Scale shape: centroids are a k x dim driver table (the only
     * materialization, same as IVF); assignment is a ROW-LOCAL argmax
