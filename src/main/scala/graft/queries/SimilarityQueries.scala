@@ -240,7 +240,24 @@ object SimilarityQueries extends QueryPack {
         detBooks)
       .select(col("vec_id"), col("cid"), r6(col("adc_score")).as("adc_score"))
 
+  /** H9det `ann_kmeans_det` — the k-means FIT itself, hash-oracled:
+    * the one step of the ANN family the det queries above still left
+    * rows-only. [[Similarity.kmeansCentroidsQuantized]] restates
+    * Lloyd's in quantized integer arithmetic (floor(x*1e6) longs,
+    * integer argmin assignment with smallest-cid tie-break, exact long
+    * sums, floor-of-mean re-quantization each round, empty-cluster
+    * carryover), so seeding + 2 full Lloyd rounds are EXACT and DuckDB
+    * re-derives the identical (cid, dim, cvalue) table — no float
+    * order anywhere. The float fit (`ann_ivf` et al.) shares this
+    * structure; what stays rows-only there is only the last-ulp sum
+    * order of its per-dimension float means.
+    */
+  def annKmeansDet(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansCentroidsQuantized(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8, iterations = 2)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans_det" -> annKmeansDet,
     "emb_project" -> embProject,
     "ann_brute" -> annBrute,
     "ann_ivf_det" -> annIvfDet,
@@ -256,6 +273,57 @@ object SimilarityQueries extends QueryPack {
     "emb_quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    // The quantized k-means fit, re-derived step for step: quantize to
+    // floor(x*1e6) BIGINTs, seeds = vectors of the 8 smallest ids,
+    // then two unrolled Lloyd rounds of integer-argmin assignment
+    // (dist, cid) and floor(sum/n) re-quantized means with
+    // empty-cluster carryover. Every comparison and sum is exact
+    // integer arithmetic; the only doubles are the quantize multiply
+    // and the mean division, both single IEEE ops on exact inputs.
+    "ann_kmeans_det" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), ev AS (
+        |  SELECT vec_id, d.i AS dim, v[d.i + 1] AS x
+        |  FROM e, (SELECT unnest(range(0, 64)) AS i) d
+        |), c0 AS (
+        |  SELECT vec_id AS cid, dim, x AS cx FROM ev
+        |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+        |), d1 AS (
+        |  SELECT ev.vec_id, c.cid,
+        |    SUM((ev.x - c.cx) * (ev.x - c.cx)) AS dist
+        |  FROM ev JOIN c0 c USING (dim) GROUP BY ev.vec_id, c.cid
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |  WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a1.cid, ev.dim,
+        |    CAST(floor(CAST(SUM(ev.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        |  FROM a1 JOIN ev USING (vec_id) GROUP BY a1.cid, ev.dim
+        |), c1 AS (
+        |  SELECT c0.cid, c0.dim, COALESCE(m1.cx, c0.cx) AS cx
+        |  FROM c0 LEFT JOIN m1 ON c0.cid = m1.cid AND c0.dim = m1.dim
+        |), d2 AS (
+        |  SELECT ev.vec_id, c.cid,
+        |    SUM((ev.x - c.cx) * (ev.x - c.cx)) AS dist
+        |  FROM ev JOIN c1 c USING (dim) GROUP BY ev.vec_id, c.cid
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+        |  WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a2.cid, ev.dim,
+        |    CAST(floor(CAST(SUM(ev.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        |  FROM a2 JOIN ev USING (vec_id) GROUP BY a2.cid, ev.dim
+        |)
+        |SELECT c1.cid, CAST(c1.dim AS BIGINT) AS dim,
+        |  COALESCE(m2.cx, c1.cx) AS cvalue
+        |FROM c1 LEFT JOIN m2 ON c1.cid = m2.cid AND c1.dim = m2.dim""".stripMargin,
     // fingerprints recomputed from scratch (the dedup_hamming CTE),
     // then the exact (hamming, doc_id) top-10 against doc 0's sketch —
     // integer arithmetic only, so ORDER BY + LIMIT states the same

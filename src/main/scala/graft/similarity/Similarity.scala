@@ -427,6 +427,81 @@ object Similarity {
     centroids
   }
 
+  /** Bitwise-REPRODUCIBLE Lloyd's k-means: the same fit as
+    * [[kmeansCentroids]] restated in quantized integer arithmetic, so
+    * the result is identical across partitionings, executor counts,
+    * engines, and reruns — the property a 100 TB pipeline needs to
+    * re-derive an index fit byte-for-byte for audits or incremental
+    * rebuilds. The float fit is order-sensitive in the last ulps of
+    * its per-dimension mean; here every order-sensitive step is exact:
+    *
+    *   - vectors quantize row-local to `floor(x * scale)` longs (the
+    *     double multiply and floor are single IEEE ops — identical on
+    *     any engine given the same input floats);
+    *   - assignment = argmin of the INTEGER squared L2 distance to
+    *     each centroid, smallest-cid tie-break (a least-of-structs
+    *     projection over the k x dim literal table: row-local, zero
+    *     exchanges — the [[CentroidExpressions]] shape);
+    *   - the per-centroid mean re-quantizes each round:
+    *     `floor(sum / n)` with an exact long sum, so the next round's
+    *     assignment is again pure integer arithmetic;
+    *   - empty clusters keep their previous centroid (same contract
+    *     as [[kmeansCentroidArray]]).
+    *
+    * Seeds = the vectors of the `k` smallest ids. The per-round mean
+    * is a posexplode + (cid, dim) partial-aggregating groupBy — map
+    * sides collapse to k x dim rows per partition, so the shuffle is
+    * bounded by k x dim x partitions, not the corpus. Returns the
+    * final quantized centroid table as (cid, dim, cvalue) rows.
+    */
+  def kmeansCentroidsQuantized(df: DataFrame, idCol: String, vecCol: String,
+                               k: Int, iterations: Int,
+                               scale: Double = 1e6): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(scale)).cast("long")).as("_v"))
+    var cents: Array[(Long, Array[Long])] = vecs.orderBy(col("_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assigned: DataFrame = {
+      val scored = cents.map { case (cid, cv) =>
+        val dist = aggregate(
+          zip_with(col("_v"), typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("d"), lit(cid).as("c"))
+      }
+      vecs.select(least(scored: _*).getField("c").as("_cid"), col("_v"))
+    }
+    def roundMeans: DataFrame = assigned
+      .select(col("_cid"), posexplode(col("_v")).as(Seq("dim", "x")))
+      .groupBy(col("_cid"), col("dim"))
+      .agg(sum(col("x")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("_cid").as("cid"), col("dim").cast("long").as("dim"),
+        floor(col("_s").cast("double") / col("_n")).cast("long").as("_cv"))
+    for (_ <- 0 until iterations - 1) {
+      val updated = roundMeans.collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Long](rows.length)
+          rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+          (cid, arr)
+        }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    // the final round stays distributed; empty clusters fall back to
+    // the previous round's centroid via the tiny k x dim literal table
+    val prev = cents.toSeq.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (v, d) => (cid, d.toLong, v) }
+    }.toDF("cid", "dim", "_prev")
+    roundMeans.join(prev, Seq("cid", "dim"), "full")
+      .select(col("cid"), col("dim"),
+        coalesce(col("_cv"), col("_prev")).as("cvalue"))
+  }
+
   /** A (cid, vector) DataFrame as the driver-side array the assignment
     * projection embeds — k x dim, the same bounded materialization the
     * old broadcast required.

@@ -40,7 +40,7 @@ class ContractSpec extends AnyFunSuite {
       "ds_epochs", "mm_resize_bilinear", "q_merge", "ts_gaps", "q_salted",
       // r11 additions
       "ann_ivf_det", "melt_from_hobo", "ann_pq_det", "dedup_semantic_det",
-      "ann_ivf_pq_det")
+      "ann_ivf_pq_det", "ann_kmeans_det")
     val missing = inventory.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys missing from SparkEntry: $missing")
     // and nothing in the maps is an accidental duplicate across packs

@@ -194,6 +194,40 @@ class SimilaritySpec extends SparkSpec {
     assert(dims.toSeq === Seq(0, 1))
   }
 
+  test("kmeansCentroidsQuantized: bitwise-identical across partitionings, separates planted clusters, carries empty clusters") {
+    val data = ((1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 0f, 0f, 0f))) ++
+      (11 to 20).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroidsQuantized(df, "vec_id", "embedding",
+          k = 2, iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // THE reproducibility contract: the same fit bit-for-bit regardless
+    // of physical partitioning (integer sums are order-independent —
+    // the float fit only promises this per-plan)
+    val p1 = fit(data.repartition(1))
+    val p7 = fit(data.repartition(7, col("vec_id")))
+    assert(p1 === p7)
+    // both planted clusters found: one centroid dominated by dim 0
+    // (quantized mean of 10.06..10.1 scaled by 1e6), the other by dim 1
+    val byCid = p1.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val domDims = byCid.values.map(v => v.zipWithIndex.maxBy(_._1)._2).toSeq.sorted
+    assert(domDims === Seq(0, 1))
+    assert(byCid.values.forall(v => v.max > 10000000L)) // ~10.0x * 1e6
+    // empty-cluster carryover: seeds 1 and 2 both sit in the dim-0
+    // cluster; a corpus where EVERYTHING is nearer seed 1 leaves seed
+    // 2's cluster empty after round 1 — its centroid must survive as
+    // the quantized seed vector, not vanish
+    val mono = (1 to 6).map(i => (i.toLong, Array(10f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val fitted = Similarity.kmeansCentroidsQuantized(mono, "vec_id",
+        "embedding", k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fitted.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L))
+    assert(fitted.filter(_._1 == 2L).map(_._3).max === 10000000L)
+  }
+
   test("kmeansCentroids sampled fit: rate 1.0 equals the full fit; rate <1 fits on the hash sample") {
     val data = ((1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))) ++
       (11 to 20).map(i => (i.toLong, Array(0f, 10f + i * 0.01f, 0f, 0f, 0f, 0f, 0f, 0f))))
