@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.TimeSeriesOps
+import graft.dedup.Dedup
+
+/** Generative properties: randomized inputs (deterministic scalacheck
+  * seeds, so every run tests the SAME cases) checked against
+  * independent in-memory reference implementations. These complement
+  * the example specs and the DuckDB oracles with a third evidence
+  * class — the reference here is a direct restatement of the
+  * documented contract (pandas merge_asof rules, union-find, string
+  * shingles), not a second Spark plan, so a shared-blind-spot bug in
+  * the window formulation cannot hide.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n deterministic samples of g (seeded; no filters → total). */
+  private def samples[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed0 + i)))
+
+  // ---- as-of joins vs the pandas merge_asof contract -----------------
+
+  private case class Row3(key: Int, tsMs: Long, v: Double)
+
+  // small ranges on purpose: collisions in (key, ts) exercise the
+  // documented tie-breaks, sparse keys exercise the no-match path
+  private val genSeries: Gen[(List[Row3], List[Row3])] = for {
+    nL <- Gen.choose(1, 40)
+    nR <- Gen.choose(0, 40)
+    mkRow = for {
+      k <- Gen.choose(0, 2)
+      t <- Gen.choose(0L, 30L)
+      v <- Gen.choose(1, 9)
+    } yield Row3(k, t * 1000L, v.toDouble)
+    l <- Gen.listOfN(nL, mkRow)
+    r <- Gen.listOfN(nR, mkRow)
+  } yield (l, r)
+
+  private def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("asof joins match the merge_asof reference on random keyed series") {
+    samples(genSeries, 8, 1001L).zipWithIndex.foreach { case ((l, r), i) =>
+      val left = l.map(e => (e.key, tsOf(e.tsMs), e.v)).toDF("key", "ts", "lv")
+      val right = r.map(e => (e.key, tsOf(e.tsMs), e.v)).toDF("key", "ts", "rv")
+      def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Double, Option[Double])] =
+        df.collect().map(x => (x.getInt(0), x.getTimestamp(1).getTime,
+          x.getDouble(2), Option(x.get(3)).map(_.asInstanceOf[Double])))
+          .toSeq.sorted
+      // references, straight from the documented contract:
+      // backward = latest right ts <= left ts, LARGEST value on ties;
+      // forward = earliest right ts >= left ts, SMALLEST value on ties;
+      // nearest = closer of the two, equal distance -> backward
+      def bwd(e: Row3): Option[Row3] = {
+        val c = r.filter(x => x.key == e.key && x.tsMs <= e.tsMs)
+        if (c.isEmpty) None else Some(c.maxBy(x => (x.tsMs, x.v)))
+      }
+      def fwd(e: Row3): Option[Row3] = {
+        val c = r.filter(x => x.key == e.key && x.tsMs >= e.tsMs)
+        if (c.isEmpty) None else Some(c.minBy(x => (x.tsMs, x.v)))
+      }
+      def near(e: Row3): Option[Row3] = (bwd(e), fwd(e)) match {
+        case (Some(b), Some(f)) =>
+          if (e.tsMs - b.tsMs <= f.tsMs - e.tsMs) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      def expect(pick: Row3 => Option[Row3]) =
+        l.map(e => (e.key, e.tsMs, e.v, pick(e).map(_.v))).sorted
+      val ctx = s"case $i: left=$l right=$r"
+      assert(run(TimeSeriesOps.asofJoinBackward(left, right, Seq("key"), "ts",
+        Seq("rv"))) === expect(bwd), s"backward $ctx")
+      assert(run(TimeSeriesOps.asofJoinForward(left, right, Seq("key"), "ts",
+        Seq("rv"))) === expect(fwd), s"forward $ctx")
+      assert(run(TimeSeriesOps.asofJoinNearest(left, right, Seq("key"), "ts",
+        Seq("rv"))) === expect(near), s"nearest $ctx")
+    }
+  }
+
+  // ---- linear interpolation vs the pandas-default reference ----------
+
+  private val genGappy: Gen[List[(Int, Long, Option[Double])]] = for {
+    n <- Gen.choose(2, 30)
+    keys <- Gen.listOfN(n, Gen.choose(0, 1))
+    // distinct timestamps per (key pool) — interpolation's window
+    // orders by ts alone, so duplicate stamps would be order-defined
+    vals <- Gen.listOfN(n, Gen.option(Gen.choose(-50, 50).map(_.toDouble)))
+  } yield keys.lazyZip(1 to n).lazyZip(vals).toList
+    .map { case (k, t, v) => (k, t * 7000L, v) }
+
+  test("interpolateLinear matches the prev/next reference on random gappy series") {
+    samples(genGappy, 8, 2002L).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.map { case (k, ms, v) =>
+        (k, tsOf(ms), v.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+      }.toDF("key", "ts", "v")
+      val got = TimeSeriesOps
+        .interpolateLinear(df, Seq("key"), "ts", "v", "vi")
+        .collect().map(r => ((r.getInt(0), r.getTimestamp(1).getTime),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      rows.groupBy(_._1).foreach { case (_, series) =>
+        val s = series.sortBy(_._2)
+        s.indices.foreach { j =>
+          val (k, ms, v) = s(j)
+          val exp: Option[Double] = v.orElse {
+            val prev = s.take(j).reverse.find(_._3.isDefined)
+            val next = s.drop(j + 1).find(_._3.isDefined)
+            (prev, next) match {
+              case (Some((_, t0, Some(v0))), Some((_, t1, Some(v1)))) =>
+                // same association order as the column formula, in µs
+                Some(v0 + (v1 - v0) * ((ms - t0) * 1000L) /
+                  ((t1 - t0) * 1000L))
+              case (Some((_, _, Some(v0))), _) => Some(v0) // trailing ffill
+              case _ => None                               // leading stays null
+            }
+          }
+          val g = got((k, ms))
+          assert(g.isDefined === exp.isDefined, s"case $i rows=$rows at $ms")
+          g.zip(exp).foreach { case (a, b) =>
+            assert(math.abs(a - b) < 1e-9, s"case $i rows=$rows at $ms: $a vs $b")
+          }
+        }
+      }
+    }
+  }
+
+  // ---- connected components vs union-find ----------------------------
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 35)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L)
+    } yield (a, b))
+  } yield es
+
+  test("connectedComponents matches union-find min-labels on random graphs") {
+    samples(genEdges, 8, 3003L).zipWithIndex.foreach { case (es, i) =>
+      if (es.nonEmpty) {
+        val got = Dedup.connectedComponents(es.toDF("src", "dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // reference: path-compressing union-find, then min node per root
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val minOf = nodes.groupBy(find).map { case (r, ns) => (r, ns.min) }
+        val exp = nodes.map(n => (n, minOf(find(n)))).toMap
+        assert(got === exp, s"case $i edges=$es")
+      }
+    }
+  }
+
+  // ---- minhash LSH: planted duplicates + verified-output exactness ---
+
+  private val genCorpus: Gen[(List[String], List[Int])] = for {
+    n <- Gen.choose(6, 14)
+    vocabDocs <- Gen.listOfN(n, Gen.listOfN(25,
+      Gen.choose(0, 49).map(w => s"w$w")).map(_.mkString(" ")))
+    nDup <- Gen.choose(1, 3)
+    dupOf <- Gen.listOfN(nDup, Gen.choose(0, n - 1))
+  } yield (vocabDocs, dupOf)
+
+  test("minhashLsh finds every planted exact duplicate; every emitted jaccard is the true shingle jaccard") {
+    samples(genCorpus, 6, 4004L).zipWithIndex.foreach { case ((texts, dupOf), i) =>
+      val n = texts.size
+      val docs = (texts.zipWithIndex.map { case (t, id) => (id.toLong, t) } ++
+        dupOf.zipWithIndex.map { case (src, j) => ((n + j).toLong, texts(src)) })
+        .toDF("doc_id", "text")
+      val out = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // reference 3-word-shingle sets (split -1 semantics, short-doc pad)
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < 3) Set(t)
+        else (0 to w.length - 3).map(k => w.slice(k, k + 3).mkString(" ")).toSet
+      }
+      val all = texts ++ dupOf.map(texts)
+      def jac(a: Int, b: Int): Double = {
+        val (sa, sb) = (shingles(all(a)), shingles(all(b)))
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      // recall on planted exact duplicates: identical text shares every
+      // band, so the pair is guaranteed a candidate and jaccard 1.0
+      dupOf.zipWithIndex.foreach { case (src, j) =>
+        val pair = (src.toLong, (n + j).toLong)
+        assert(out.get(pair).exists(_ == 1.0d),
+          s"case $i: planted duplicate $pair missing from $out")
+      }
+      // soundness: every emitted pair carries the TRUE shingle jaccard
+      // (hash-set jaccard == string-set jaccard barring collision) and
+      // respects the threshold
+      out.foreach { case ((a, b), jv) =>
+        assert(jv >= 0.7, s"case $i: pair ($a,$b) below threshold")
+        assert(math.abs(jv - jac(a.toInt, b.toInt)) < 1e-9,
+          s"case $i: pair ($a,$b) jaccard $jv != reference ${jac(a.toInt, b.toInt)}")
+      }
+    }
+  }
+}
