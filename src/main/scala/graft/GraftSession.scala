@@ -52,6 +52,22 @@ object GraftSession {
       // data provides the parallelism (CLUSTER.md).
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // Filter INFERENCE off (both rules are optimizations, never
+      // semantics): every graft operator already filters its own nulls
+      // before joins and explodes (the code-level contract), so the
+      // inferred isnotnull/size>0 predicates only restate existing
+      // filters — and when a join key or generator input is an
+      // EXPENSIVE derived expression (simhash fingerprints, hyperplane
+      // band arrays, minhash signatures), predicate pushdown
+      // substitutes that full expression through its defining
+      // projection into every corpus scan's Filter, re-evaluating it
+      // per row per scan. Measured (r11, min-of-3): dedup_simhash
+      // -27..31%, dedup_hamming -10..25%, dedup_embed -11..21% at
+      // sg_uni/sg10; whole 148-query sf0.1 surface -6% median 0.94,
+      // no query regressing beyond noise.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
       .config("spark.ui.enabled", "false")
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
