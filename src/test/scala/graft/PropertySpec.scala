@@ -5,6 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.operators.TimeSeriesOps
 import graft.dedup.Dedup
+import graft.similarity.Similarity
 
 /** Generative properties: randomized inputs (deterministic scalacheck
   * seeds, so every run tests the SAME cases) checked against
@@ -153,6 +154,125 @@ class PropertySpec extends SparkSpec {
         val minOf = nodes.groupBy(find).map { case (r, ns) => (r, ns.min) }
         val exp = nodes.map(n => (n, minOf(find(n)))).toMap
         assert(got === exp, s"case $i edges=$es")
+      }
+    }
+  }
+
+  // ---- r11 carried-fingerprint rewrites vs brute-force references ----
+  // These target the machinery the r11 rewrites changed — the block
+  // equi-join, the row-local exactly-once rule, the over-cap bitmask —
+  // by collecting the ENGINE's own signatures and brute-forcing the
+  // pair set from them in Scala. (Signature correctness itself is
+  // pinned by the DuckDB oracles.)
+
+  private val genTexts: Gen[List[String]] = for {
+    n <- Gen.choose(5, 10)
+    base <- Gen.listOfN(n, Gen.listOfN(25,
+      Gen.choose(0, 49).map(w => s"w$w")).map(_.mkString(" ")))
+    nDup <- Gen.choose(1, 3)
+    dupOf <- Gen.listOfN(nDup, Gen.choose(0, n - 1))
+    nNear <- Gen.choose(1, 3)
+    nearOf <- Gen.listOfN(nNear, Gen.choose(0, n - 1))
+  } yield base ++ dupOf.map(base) ++ nearOf.map { s =>
+    // one-word edit: a small, sometimes-in-radius fingerprint change
+    val w = base(s).split(" "); w(7) = "edited"; w.mkString(" ")
+  }
+
+  private def popcnt(x: Long) = java.lang.Long.bitCount(x)
+
+  test("hammingNearDup equals the brute-force radius scan (lossless pigeonhole), each pair exactly once") {
+    samples(genTexts, 5, 5005L).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = Dedup.hammingNearDup(docs, "doc_id", "text", maxHamming = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+      assert(rows.map(_._1).distinct.size === rows.size,
+        s"case $i: duplicate pair emissions in $rows")
+      val fps = Dedup.fingerprintWords(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val exp = (for {
+        (a, alo, ahi) <- fps; (b, blo, bhi) <- fps if a < b
+        h = popcnt(alo ^ blo) + popcnt(ahi ^ bhi) if h <= 3
+      } yield ((a, b), h.toLong)).toMap
+      assert(rows.toMap === exp, s"case $i texts=$texts")
+    }
+  }
+
+  test("simhashNearDup equals the band-sharing + radius reference, capped and uncapped, each pair exactly once") {
+    samples(genTexts, 5, 6006L).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val words = Dedup.simhashWords(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // 4 x 16-bit blocks of fp64 = lo | hi << 32 (band k = bits 16k..)
+      def blocks(lo: Long, hi: Long): Seq[Long] = {
+        val fp = lo | (hi << 32)
+        (0 until 4).map(k => (fp >>> (16 * k)) & 0xFFFFL)
+      }
+      def expect(cap: Int): Map[(Long, Long), Long] = {
+        val bySize = words.flatMap { case (_, lo, hi) =>
+          blocks(lo, hi).zipWithIndex.map { case (bv, k) => (k, bv) }
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        (for {
+          (a, alo, ahi) <- words; (b, blo, bhi) <- words if a < b
+          h = popcnt(alo ^ blo) + popcnt(ahi ^ bhi) if h <= 8
+          shared = blocks(alo, ahi).zip(blocks(blo, bhi)).zipWithIndex
+            .filter { case ((x, y), k) => x == y && bySize((k, x)) <= cap }
+          if shared.nonEmpty
+        } yield ((a, b), h.toLong)).toMap
+      }
+      Seq(10000, 2).foreach { cap =>
+        val rows = Dedup.simhashNearDup(docs, "doc_id", "text",
+            maxHamming = 8, maxBucketSize = cap)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+        assert(rows.map(_._1).distinct.size === rows.size,
+          s"case $i cap=$cap: duplicate pair emissions")
+        assert(rows.toMap === expect(cap), s"case $i cap=$cap texts=$texts")
+      }
+    }
+  }
+
+  private val genVecs: Gen[List[Array[Double]]] = for {
+    n <- Gen.choose(4, 8)
+    base <- Gen.listOfN(n, Gen.listOfN(8,
+      Gen.choose(-100, 100).map(_ / 10.0)).map(_.toArray))
+    nNear <- Gen.choose(1, 3)
+    nearOf <- Gen.listOfN(nNear, Gen.choose(0, n - 1))
+  } yield base ++ nearOf.map(s => base(s).map(_ * 1.01 + 0.005))
+
+  test("embeddingNearDup equals the shared-band + cosine reference, capped and uncapped, each pair exactly once") {
+    samples(genVecs, 5, 7007L).zipWithIndex.foreach { case (vecs, i) =>
+      val df = vecs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val bands = df.select(col("vec_id"),
+          org.apache.spark.sql.graft.VectorExpressions.hyperplaneBands(
+            col("embedding"), Similarity.planes(16, 8, 42L), 8).as("b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq)).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+        while (j < a.length) { d += a(j) * b(j); na += a(j) * a(j)
+          nb += b(j) * b(j); j += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def expect(cap: Int): Set[(Long, Long)] = {
+        val bySize = bands.values.flatMap(_.zipWithIndex.map(_.swap))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        (for {
+          a <- vecs.indices; b <- vecs.indices if a < b
+          shared = bands(a.toLong).zip(bands(b.toLong)).zipWithIndex
+            .filter { case ((x, y), k) => x == y && bySize((k, x)) <= cap }
+          if shared.nonEmpty && cos(vecs(a), vecs(b)) >= 0.95
+        } yield (a.toLong, b.toLong)).toSet
+      }
+      Seq(10000, 2).foreach { cap =>
+        val rows = graft.similarity.Similarity.embeddingNearDup(df, "vec_id",
+            "embedding", dim = 8, threshold = 0.95, numBits = 16,
+            bitsPerBand = 8, maxBucketSize = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows.distinct.size === rows.size,
+          s"case $i cap=$cap: duplicate pair emissions")
+        assert(rows.toSet === expect(cap), s"case $i cap=$cap")
       }
     }
   }
