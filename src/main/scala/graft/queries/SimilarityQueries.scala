@@ -285,6 +285,8 @@ object SimilarityQueries extends QueryPack {
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
         |), ev AS (
         |  SELECT vec_id, d.i AS dim, v[d.i + 1] AS x
         |  FROM e, (SELECT unnest(range(0, 64)) AS i) d

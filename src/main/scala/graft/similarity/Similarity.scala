@@ -453,6 +453,18 @@ object Similarity {
     * sides collapse to k x dim rows per partition, so the shuffle is
     * bounded by k x dim x partitions, not the corpus. Returns the
     * final quantized centroid table as (cid, dim, cvalue) rows.
+    *
+    * Input contract (each makes the failure loud rather than silently
+    * breaking the bit-reproducibility promise): rows whose vector is
+    * null, empty, or contains a null element are EXCLUDED up front (a
+    * null element would null-poison the integer distance fold where a
+    * SQL re-derivation's SUM skips it); quantized components must
+    * satisfy |x|*scale < ~sqrt(Long.MaxValue / dim) so the squared-L2
+    * fold cannot wrap (for 64 dims: |x|*scale < ~3.8e8 — checked on
+    * the seed vectors as a cheap tripwire; embeddings at the default
+    * 1e6 scale have ~8 orders of headroom), and per-cluster mean sums
+    * must stay under 2^53 for the exact double division (n * |x| *
+    * scale — at 1e6 scale that is ~9e9 rows per cluster).
     */
   def kmeansCentroidsQuantized(df: DataFrame, idCol: String, vecCol: String,
                                k: Int, iterations: Int,
@@ -461,12 +473,22 @@ object Similarity {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.filter(col(vecCol).isNotNull)
+    val vecs = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol).cast("long").as("_id"),
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * lit(scale)).cast("long")).as("_v"))
+      .persist() // re-scanned for seeds + every Lloyd round
     var cents: Array[(Long, Array[Long])] = vecs.orderBy(col("_id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.length >= 2,
+      s"corpus has ${cents.length} usable vectors; k-means needs >= 2")
+    val dim = cents.head._2.length
+    val maxSafe = math.sqrt(Long.MaxValue.toDouble / math.max(dim, 1)) / 2
+    require(cents.forall(_._2.forall(v => math.abs(v) < maxSafe)),
+      s"quantized seed component exceeds the overflow-safe bound $maxSafe " +
+        "for the integer distance fold; lower `scale`")
     def assigned: DataFrame = {
       val scored = cents.map { case (cid, cv) =>
         val dist = aggregate(
@@ -497,9 +519,12 @@ object Similarity {
     val prev = cents.toSeq.flatMap { case (cid, cv) =>
       cv.zipWithIndex.map { case (v, d) => (cid, d.toLong, v) }
     }.toDF("cid", "dim", "_prev")
-    roundMeans.join(prev, Seq("cid", "dim"), "full")
+    val out = roundMeans.join(prev, Seq("cid", "dim"), "full")
       .select(col("cid"), col("dim"),
         coalesce(col("_cv"), col("_prev")).as("cvalue"))
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   /** A (cid, vector) DataFrame as the driver-side array the assignment

@@ -226,6 +226,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fitted.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L))
     assert(fitted.filter(_._1 == 2L).map(_._3).max === 10000000L)
+    // degenerate-input contract: a vector with a null ELEMENT would
+    // null-poison the integer distance fold (where a SQL re-derivation
+    // skips the null) — such rows are excluded up front, so the fit
+    // equals the fit without them
+    val withNullElem = ((1 to 6).map(i =>
+        (i.toLong, Array[java.lang.Float](10f, 0f, 0f, 0f))) :+
+      (7L, Array[java.lang.Float](10f, null, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cleaned = Similarity.kmeansCentroidsQuantized(withNullElem, "vec_id",
+        "embedding", k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(cleaned === fitted.sorted)
+    // fewer than 2 usable vectors -> loud error, not a least() crash
+    val tiny = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroidsQuantized(tiny, "vec_id", "embedding",
+        k = 2, iterations = 1)
+    }
   }
 
   test("kmeansCentroids sampled fit: rate 1.0 equals the full fit; rate <1 fits on the hash sample") {
