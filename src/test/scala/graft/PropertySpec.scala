@@ -277,6 +277,127 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- assembly (Mix) family invariants --------------------------------
+
+  private val genPackCorpus: Gen[List[(Int, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      sh <- Gen.choose(0, 2)
+      tok <- Gen.choose(1, 500)
+    } yield (sh, tok.toLong))
+  } yield rows.zipWithIndex.map { case ((sh, tok), id) => (sh, id.toLong, tok) }
+
+  test("packing lays every shard out contiguously from 0 with pack_id = offset div capacity (both variants)") {
+    samples(genPackCorpus, 6, 8008L).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("shard", "doc_id", "tokens")
+      def checkLayout(out: Seq[(Int, Long, Long, Long, Long)], which: String): Unit = {
+        // (shard, doc_id, tokens, tok_offset, pack_id)
+        assert(out.map(r => (r._1, r._2)).sorted ===
+          rows.map(r => (r._1, r._2)).sorted, s"case $i $which: rows lost/duped")
+        out.groupBy(_._1).foreach { case (sh, g) =>
+          val sorted = g.sortBy(_._4)
+          var expect = 0L
+          sorted.foreach { case (_, id, tok, off, pid) =>
+            assert(off === expect,
+              s"case $i $which shard $sh doc $id: offset $off != $expect (gap/overlap)")
+            assert(pid === off / 512, s"case $i $which doc $id pack_id")
+            expect += tok
+          }
+        }
+      }
+      def collect(out: org.apache.spark.sql.DataFrame) =
+        out.select(col("shard"), col("doc_id"), col("tokens"),
+            col("tok_offset"), col("pack_id"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+      checkLayout(collect(graft.mix.Mix.packSequences(df, "shard", "doc_id",
+        "tokens", 512)), "plain")
+      checkLayout(collect(graft.mix.Mix.packSequencesScalable(df, "shard",
+        "doc_id", "tokens", 512, numSubShards = 4)), "scalable")
+    }
+  }
+
+  test("splitByHash partitions every id into exactly one split, stable under corpus subsetting") {
+    val splits = Seq("train" -> 0.7, "val" -> 0.1, "test" -> 0.2)
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L))
+    } yield ids.distinct
+    samples(gen, 6, 9009L).zipWithIndex.foreach { case (ids, i) =>
+      val full = graft.mix.Mix.splitByHash(ids.toDF("doc_id"), "doc_id", splits)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(full.keySet === ids.toSet, s"case $i: rows lost")
+      assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+      // THE contamination-safety property: assignment is a function of
+      // the id alone — a half-corpus re-run never reassigns anything
+      val half = ids.take(ids.size / 2)
+      if (half.nonEmpty) {
+        val sub = graft.mix.Mix.splitByHash(half.toDF("doc_id"), "doc_id", splits)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        assert(sub === half.map(id => (id, full(id))).toMap, s"case $i: unstable")
+      }
+      // loose frequency sanity on the larger corpora
+      if (ids.size >= 200) {
+        val trainFrac = full.values.count(_ == "train").toDouble / ids.size
+        assert(math.abs(trainFrac - 0.7) < 0.12, s"case $i: train frac $trainFrac")
+      }
+    }
+  }
+
+  test("interleaveWeighted's global key order IS start-time fair queuing (greedy simulation parity)") {
+    val weights = Seq(("a", 1.0), ("b", 0.5), ("c", 0.25))
+    val gen = for {
+      na <- Gen.choose(5, 20); nb <- Gen.choose(5, 20); nc <- Gen.choose(5, 20)
+    } yield Seq("a" -> na, "b" -> nb, "c" -> nc)
+    samples(gen, 5, 10010L).zipWithIndex.foreach { case (counts, i) =>
+      var id = -1L
+      val rows = counts.flatMap { case (s, n) =>
+        (0 until n).map { _ => id += 1; (id, s) }
+      }
+      val out = graft.mix.Mix.interleaveWeighted(rows.toDF("doc_id", "source"),
+          "doc_id", "source", weights.toDF("source", "weight"))
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("seq"), r.getAs[Double]("interleave_key")))
+      // per-source seq must be dense 0..n-1
+      out.groupBy(_._1).foreach { case (s, g) =>
+        assert(g.map(_._2).sorted.toSeq === (0L until g.size.toLong).toSeq,
+          s"case $i source $s: seq not dense")
+      }
+      // the engine's ascending-key source order must equal the greedy
+      // fair-queue simulation (weights chosen so keys can never tie)
+      val engineOrder = out.sortBy(_._3).map(_._1).toSeq
+      val remaining = scala.collection.mutable.Map(counts.map { case (s, n) => (s, n) }: _*)
+      val emitted = scala.collection.mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+      val wMap = weights.toMap
+      val sim = Seq.newBuilder[String]
+      while (remaining.values.sum > 0) {
+        val s = remaining.filter(_._2 > 0).keys
+          .minBy(s => (emitted(s) + 0.5) / wMap(s))
+        sim += s; emitted(s) += 1; remaining(s) -= 1
+      }
+      assert(engineOrder === sim.result(), s"case $i counts=$counts")
+    }
+  }
+
+  test("stratifiedHashSample takes exactly min(k, stratum size) rows per stratum, reproducibly") {
+    val gen = for {
+      n <- Gen.choose(10, 120)
+      rows <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield rows.zipWithIndex.map { case (k, id) => (k, id.toLong) }
+    samples(gen, 5, 11011L).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("stratum", "doc_id")
+      def run() = graft.mix.Mix.stratifiedHashSample(df, "stratum", "doc_id", 7)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val got = run()
+      val bySt = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      got.groupBy(_._1).foreach { case (st, g) =>
+        assert(g.size === math.min(7, bySt(st)), s"case $i stratum $st")
+      }
+      assert(bySt.keySet.forall(st => got.exists(_._1 == st)), s"case $i: stratum lost")
+      assert(got === run(), s"case $i: not reproducible")
+    }
+  }
+
   // ---- minhash LSH: planted duplicates + verified-output exactness ---
 
   private val genCorpus: Gen[(List[String], List[Int])] = for {
