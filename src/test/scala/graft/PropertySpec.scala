@@ -398,6 +398,138 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- stateful streaming twins: randomized batch parity ---------------
+
+  test("sessionize stream equals the in-memory gap fold for random streams under random micro-batch chunking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    import Streaming.SessionEvent
+    val gapMs = 10 * 60 * 1000L
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 3)
+        mins <- Gen.choose(0, 300)
+        v <- Gen.choose(1, 9)
+      } yield (u.toLong, mins.toLong * 60000L, v.toDouble))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (evs, cuts)
+    samples(gen, 3, 12012L).zipWithIndex.foreach { case ((evs, cuts), i) =>
+      val base = ts("2024-01-01 00:00:00").getTime
+      // events delivered in GLOBAL ts order (nothing late) but split at
+      // random micro-batch boundaries — sessions must not care where
+      // the batch cuts fall
+      val ordered = evs.sortBy(e => (e._2, e._1))
+        .map { case (u, off, v) => SessionEvent(u, new java.sql.Timestamp(base + off), v) }
+      // reference: per-user linear gap fold
+      val exp = ordered.groupBy(_.user_id).flatMap { case (u, es) =>
+        val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Double)]
+        var cur: Option[(Long, Long, Long, Double)] = None
+        es.foreach { e =>
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some((s0, e0, n0, v0)) if t - e0 <= gapMs =>
+              Some((s0, math.max(e0, t), n0 + 1, v0 + e.value))
+            case Some((s0, e0, n0, v0)) =>
+              closed += ((u, s0, e0, n0, v0)); Some((t, t, 1L, e.value))
+            case None => Some((t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { case (s0, e0, n0, v0) => closed += ((u, s0, e0, n0, v0)) }
+        closed
+      }.toSet
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SessionEvent]
+      val qn = s"sess_prop_$i"
+      val q = Streaming.sessionize(spark, input.toDS(), gapMillis = gapMs)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val bounds = (cuts.map(_ min ordered.size) :+ 0 :+ ordered.size).distinct.sorted
+        bounds.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { input.addData(ordered.slice(a, b): _*); q.processAllAvailable() }
+        }
+        val far = base + 400L * 60000L * 100
+        (1L to 3L).foreach(u => input.addData(SessionEvent(u, new java.sql.Timestamp(far), 0.0)))
+        q.processAllAvailable()
+        (1L to 3L).foreach(u => input.addData(SessionEvent(u, new java.sql.Timestamp(far * 2), 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(qn).collect()
+          .map(r => (r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").getTime,
+            r.getAs[java.sql.Timestamp]("session_end").getTime,
+            r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+          .filter(_._2 < far).toSet
+        assert(got === exp, s"case $i evs=$evs cuts=$cuts")
+      } finally q.stop()
+    }
+  }
+
+  test("funnelStream output is arrival-order-invariant and equals the (ts, event_id)-ordered batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    import Streaming.FunnelEvent
+    val steps = Seq("a", "b", "c")
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 3)
+        mins <- Gen.choose(0, 50)
+        st <- Gen.oneOf("a", "b", "c", "x") // x = non-step noise
+      } yield (u.toLong, mins.toLong * 60000L, st))
+      shuffleSeed <- Gen.choose(0L, 1000L)
+    } yield (evs, shuffleSeed)
+    samples(gen, 3, 13013L).zipWithIndex.foreach { case ((evs0, shuffleSeed), i) =>
+      val base = ts("2024-01-01 00:00:00").getTime
+      val evs = evs0.zipWithIndex.map { case ((u, off, st), id) =>
+        FunnelEvent(u, new java.sql.Timestamp(base + off), id.toLong, st)
+      }
+      // reference: per-user fold over (ts, event_id)-sorted step events
+      val stepIdx = steps.zipWithIndex.toMap
+      val exp = evs.filter(e => stepIdx.contains(e.event_type))
+        .groupBy(_.user_id).flatMap { case (u, es) =>
+          val times = Array.fill[Option[Long]](steps.size)(None)
+          es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val k = stepIdx(e.event_type); val t = e.ts.getTime
+            val qual = k == 0 || times(k - 1).exists(_ < t)
+            if (qual && times(k).forall(t < _)) {
+              times(k) = Some(t); Some((u, k + 1, e.event_type, t))
+            } else None
+          }
+        }.toSet
+      // deliver in a DIFFERENT random order than event time (disorder
+      // is legal inside the watermark horizon) — output must not care
+      val rnd = new scala.util.Random(shuffleSeed)
+      val shuffled = rnd.shuffle(evs)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[FunnelEvent]
+      val qn = s"funnel_prop_$i"
+      val q = Streaming.funnelStream(spark, input.toDS(), steps,
+          watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (h1, h2) = shuffled.splitAt(shuffled.size / 2)
+        if (h1.nonEmpty) { input.addData(h1: _*); q.processAllAvailable() }
+        if (h2.nonEmpty) { input.addData(h2: _*); q.processAllAvailable() }
+        val far = base + 600L * 60000L * 100
+        (1L to 3L).foreach(u => input.addData(
+          FunnelEvent(u, new java.sql.Timestamp(far), 100000L + u, "x")))
+        q.processAllAvailable()
+        (1L to 3L).foreach(u => input.addData(
+          FunnelEvent(u, new java.sql.Timestamp(far * 2), 200000L + u, "x")))
+        q.processAllAvailable()
+        val got = spark.table(qn).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+            r.getAs[String]("event_type"),
+            r.getAs[java.sql.Timestamp]("step_ts").getTime)).toSet
+        assert(got === exp, s"case $i evs=$evs0 seed=$shuffleSeed")
+      } finally q.stop()
+    }
+  }
+
   // ---- minhash LSH: planted duplicates + verified-output exactness ---
 
   private val genCorpus: Gen[(List[String], List[Int])] = for {
