@@ -54,13 +54,20 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
                                      val bands: Int) {
   require(numHashes % bands == 0, "bands must divide numHashes")
 
-  def sigs: DataFrame = spark.read.parquet(s"$path/sigs")
-  def banded: DataFrame = spark.read.parquet(s"$path/banded")
+  // explicit schemas: an index built over an EMPTY corpus (a pipeline
+  // bootstrapping from no history) writes zero parquet data files, and
+  // a schema-inferring read of that directory throws
+  // UNABLE_TO_INFER_SCHEMA — the declared schema makes it an empty
+  // frame instead (and skips footer inference on every load)
+  def sigs: DataFrame = spark.read
+    .schema("doc_id BIGINT, sig ARRAY<BIGINT>").parquet(s"$path/sigs")
+  def banded: DataFrame = spark.read
+    .schema("doc_id BIGINT, band INT, bh BIGINT").parquet(s"$path/banded")
 
   private[dedup] def signatures(docs: DataFrame, idCol: String,
                                 textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
 
@@ -166,7 +173,7 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     sigs.coalesce(sigFiles).write.mode("overwrite").parquet(s"$path/sigs_next")
     // repartition ON band -> exactly one task, and so one file, per
     // band directory
-    spark.read.parquet(s"$path/banded")
+    banded
       .repartition(bands, col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/banded_next")
     Seq("sigs", "banded").foreach { t =>

@@ -398,6 +398,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- incremental LSH index: chunking invariance ----------------------
+
+  test("LshIndex accumulates the same pair set regardless of how the corpus is chunked into increments") {
+    import graft.dedup.LshIndex
+    val gen = for {
+      n <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(n, Gen.listOfN(25,
+        Gen.choose(0, 30).map(w => s"w$w")).map(_.mkString(" ")))
+      nDup <- Gen.choose(1, 3)
+      dupOf <- Gen.listOfN(nDup, Gen.choose(0, n - 1))
+      cut1 <- Gen.choose(1, n + nDup - 1)
+      cut2 <- Gen.choose(1, n + nDup - 1)
+    } yield (texts ++ dupOf.map(texts), Seq(cut1, cut2))
+    samples(gen, 4, 14014L).zipWithIndex.foreach { case ((texts, cuts), i) =>
+      val rows = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+      def run(chunks: Seq[Seq[(Long, String)]], tag: String): Map[(Long, Long), Double] = {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"lsh_prop_${i}_$tag").toString
+        val idx = LshIndex.build(
+          Seq.empty[(Long, String)].toDF("doc_id", "text"),
+          "doc_id", "text", path)
+        chunks.filter(_.nonEmpty).flatMap { c =>
+          idx.checkAndAdd(c.toDF("doc_id", "text"), "doc_id", "text")
+            .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        }.toMap
+      }
+      val single = run(Seq(rows), "single")
+      val bounds = (Seq(0, rows.size) ++ cuts.map(_ min rows.size)).distinct.sorted
+      val chunked = run(bounds.sliding(2).map { case Seq(a, b) => rows.slice(a, b) }.toSeq,
+        "chunked")
+      // every pair is reported exactly once (when its later side
+      // arrives), with the same estimated jaccard, no matter where the
+      // increment boundaries fall — the production daily-batch contract
+      assert(chunked === single, s"case $i cuts=$cuts texts=$texts")
+      // and planted exact duplicates are always caught
+      rows.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+        val ids = g.map(_._1).sorted
+        ids.combinations(2).foreach { case Seq(a, b) =>
+          assert(single.get((a, b)).exists(_ == 1.0d),
+            s"case $i: planted dup ($a,$b) missing")
+        }
+      }
+    }
+  }
+
   // ---- stateful streaming twins: randomized batch parity ---------------
 
   test("sessionize stream equals the in-memory gap fold for random streams under random micro-batch chunking") {
