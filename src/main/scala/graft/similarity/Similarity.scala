@@ -406,6 +406,9 @@ object Similarity {
     var centroids = vecs.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centroids.nonEmpty,
+      "k-means fit needs at least one non-null vector (empty corpus / " +
+        "all-null vector column / sample rate too low for this corpus)")
     for (_ <- 0 until iterations) {
       val assigned = vecs.select(
         CentroidExpressions.nearestCentroidId(col("_v"), centroids).as("_cid"),

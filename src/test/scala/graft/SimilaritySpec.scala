@@ -244,6 +244,13 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansCentroidsQuantized(tiny, "vec_id", "embedding",
         k = 2, iterations = 1)
     }
+    // the float fit likewise fails loudly on an empty corpus instead of
+    // feeding an empty centroid table into the argmax expression
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(none, "vec_id", "embedding", k = 2,
+        iterations = 1)
+    }
   }
 
   test("kmeansCentroids sampled fit: rate 1.0 equals the full fit; rate <1 fits on the hash sample") {
