@@ -443,6 +443,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex incremental adds are chunking-invariant: same assignments, same topK, re-sent ids skipped") {
+    import graft.similarity.IvfIndex
+    val gen = for {
+      nBase <- Gen.choose(6, 10)
+      nAdd <- Gen.choose(4, 12)
+      vecs <- Gen.listOfN(nBase + nAdd, Gen.listOfN(6,
+        Gen.choose(-50, 50).map(_ / 5.0)).map(_.toArray))
+      cut <- Gen.choose(1, nAdd - 1)
+    } yield (vecs.take(nBase), vecs.drop(nBase), cut)
+    samples(gen, 3, 15015L).zipWithIndex.foreach { case ((base, adds, cut), i) =>
+      def df(rows: Seq[(Long, Array[Double])]) = rows.toDF("vec_id", "embedding")
+      val baseRows = base.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      val addRows = adds.zipWithIndex.map { case (v, j) => ((base.size + j).toLong, v) }
+      def state(tag: String, chunks: Seq[Seq[(Long, Array[Double])]]) = {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"ivf_prop_${i}_$tag").toString
+        val idx = IvfIndex.build(df(baseRows), "vec_id", "embedding", path,
+          k = 4, iterations = 2)
+        chunks.filter(_.nonEmpty).foreach(c => idx.addVectors(df(c)))
+        val assigned = idx.assignments
+          .selectExpr("vec_id", "cast(cid as long) as cid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val top = idx.topK(df(Seq((999L, adds.head))), k = 5, nProbe = 2)
+          .collect().map(r => r.getAs[Long]("vec_id")).toSeq
+        (assigned, top)
+      }
+      val (aOne, tOne) = state("one", Seq(addRows))
+      val (aTwo, tTwo) = state("two", Seq(addRows.take(cut), addRows.drop(cut)))
+      // same centroids (same base fit) -> identical assignment maps and
+      // identical probe results no matter how the adds were chunked
+      assert(aOne === aTwo, s"case $i: assignments diverge")
+      assert(tOne === tTwo, s"case $i: topK diverges")
+      assert(aOne.keySet === (baseRows ++ addRows).map(_._1).toSet)
+      // re-sending an already-indexed id must not duplicate its vector
+      val path3 = java.nio.file.Files
+        .createTempDirectory(s"ivf_prop_${i}_resend").toString
+      val idx3 = IvfIndex.build(df(baseRows), "vec_id", "embedding", path3,
+        k = 4, iterations = 2)
+      idx3.addVectors(df(addRows)); idx3.addVectors(df(addRows))
+      assert(idx3.assignments.count() === (baseRows.size + addRows.size).toLong,
+        s"case $i: re-sent ids duplicated")
+    }
+  }
+
   // ---- stateful streaming twins: randomized batch parity ---------------
 
   test("sessionize stream equals the in-memory gap fold for random streams under random micro-batch chunking") {
