@@ -697,11 +697,16 @@ object Dedup {
                                         srcCol: String = "src",
                                         dstCol: String = "dst",
                                         maxIter: Int = 50): DataFrame = {
-    val init = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-    val nodes = init.select(col("u").as("node"))
-      .union(init.select(col("v").as("node"))).distinct()
+    val all = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // nodes come from the UNFILTERED edge list: a self-loop (u, u)
+    // contributes no star work but its node is still "in the edge
+    // list" and must surface as its own singleton component — the
+    // pointer-doubling contract (a generative spec caught the two
+    // implementations disagreeing here)
+    val nodes = all.select(col("u").as("node"))
+      .union(all.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
+    val init = all.filter(col("u") =!= col("v"))
 
     // m(u) = min of the closed neighborhood over the SYMMETRIZED edge
     // set; emitted edges (v, m) are kept directed large → small so each

@@ -154,6 +154,10 @@ class PropertySpec extends SparkSpec {
         val minOf = nodes.groupBy(find).map { case (r, ns) => (r, ns.min) }
         val exp = nodes.map(n => (n, minOf(find(n)))).toMap
         assert(got === exp, s"case $i edges=$es")
+        // the alternative large/small-star formulation must agree
+        val lss = Dedup.connectedComponentsLargeSmallStar(es.toDF("src", "dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(lss === exp, s"case $i edges=$es (large/small star)")
       }
     }
   }
