@@ -491,6 +491,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans + cutDuplicateSpans match the window/merge/cut reference on random corpora with planted passages") {
+    val w = 4 // window tokens
+    val gen = for {
+      n <- Gen.choose(3, 7)
+      docs <- Gen.listOfN(n, Gen.listOfN(30,
+        Gen.choose(0, 200).map(x => s"t$x")).map(_.toVector))
+      passage <- Gen.listOfN(6, Gen.choose(300, 305).map(x => s"p$x"))
+      insertAt <- Gen.listOfN(2, Gen.choose(0, n - 1))
+      posSeed <- Gen.choose(0, 20)
+    } yield {
+      // plant the same 6-token passage into >=2 docs so some windows
+      // exceed the df floor; random tokens from a 200-word space make
+      // accidental window repeats possible but rare
+      val planted = docs.zipWithIndex.map { case (d, j) =>
+        if (insertAt.contains(j)) {
+          val at = (posSeed + j) % (d.size - 1)
+          (d.take(at) ++ passage ++ d.drop(at)).toVector
+        } else d
+      }
+      planted.map(_.mkString(" "))
+    }
+    samples(gen, 5, 16016L).zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      // reference: hash windows are plain token-slice strings; a window
+      // is hot when >= 2 DISTINCT docs contain it; flagged positions
+      // chain into spans while consecutive gaps are <= w; span covers
+      // [minPos, maxPos + w)
+      val toks = texts.map(_.split(" ", -1).toVector)
+      val winsOf = toks.map(t =>
+        if (t.size < w) Seq.empty[(Int, String)]
+        else (0 to t.size - w).map(p => (p, t.slice(p, p + w).mkString(" "))))
+      val dfCount = winsOf.flatMap(_.map(_._2).distinct)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expSpans = winsOf.zipWithIndex.flatMap { case (ws, id) =>
+        val ps = ws.filter(x => dfCount(x._2) >= 2).map(_._1).sorted
+        if (ps.isEmpty) Nil
+        else {
+          val groups = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+            if (p - acc.head.head <= w) (p :: acc.head) :: acc.tail
+            else List(p) :: acc
+          }.map(_.reverse).reverse
+          groups.map(g => (id.toLong, g.head.toLong, g.last.toLong + w,
+            g.size.toLong))
+        }
+      }.toSet
+      val gotSpans = Dedup.duplicateSpans(df, "doc_id", "text",
+          windowTokens = w, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(gotSpans === expSpans, s"case $i texts=$texts")
+      // the cut: surviving text = tokens minus every span range
+      val cut = Dedup.cutDuplicateSpans(df, "doc_id", "text",
+          windowTokens = w, minDocs = 2)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("clean_text"))).toMap
+      toks.zipWithIndex.foreach { case (t, id) =>
+        val drop = expSpans.filter(_._1 == id.toLong)
+          .flatMap(s => s._2.toInt until s._3.toInt).toSet
+        val exp = t.indices.filterNot(drop).map(t).mkString(" ")
+        assert(cut(id.toLong) === exp, s"case $i doc $id")
+      }
+    }
+  }
+
   // ---- stateful streaming twins: randomized batch parity ---------------
 
   test("sessionize stream equals the in-memory gap fold for random streams under random micro-batch chunking") {
