@@ -556,6 +556,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticNearDup over fixed centroids equals the in-cluster blocker reference, capped and uncapped") {
+    val cents = (0L until 4L).map(j =>
+      (j, Array.tabulate(6)(d => if (d == j) 1.0 else 0.0))).toArray
+    val gen = for {
+      n <- Gen.choose(5, 10)
+      base <- Gen.listOfN(n, Gen.listOfN(6,
+        Gen.choose(1, 100).map(_ / 10.0)).map(_.toArray))
+      nNear <- Gen.choose(1, 3)
+      nearOf <- Gen.listOfN(nNear, Gen.choose(0, n - 1))
+    } yield base ++ nearOf.map(s => base(s).map(_ * 1.02 + 0.01))
+    samples(gen, 5, 17017L).zipWithIndex.foreach { case (vecs, i) =>
+      val df = vecs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "embedding")
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+        while (j < a.length) { d += a(j) * b(j); na += a(j) * a(j)
+          nb += b(j) * b(j); j += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // assignment reference: argmax cosine over the centroid table,
+      // smallest-cid tie-break
+      val cid = vecs.map(v => cents.map { case (c, cv) => (cos(v, cv), -c) }
+        .zipWithIndex.maxBy(x => (x._1._1, x._1._2))._2.toLong)
+      def expect(cap: Int): Set[(Long, Long)] = {
+        val sizes = cid.groupBy(identity).view.mapValues(_.size).toMap
+        (for {
+          a <- vecs.indices; b <- vecs.indices if a < b
+          if cid(a) == cid(b) && sizes(cid(a)) <= cap
+          if cos(vecs(a), vecs(b)) >= 0.97
+        } yield (a.toLong, b.toLong)).toSet
+      }
+      Seq(10000, 2).foreach { cap =>
+        val rows = Similarity.semanticNearDupWithCentroids(df, "vec_id",
+            "embedding", cents, threshold = 0.97, maxClusterSize = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(rows.distinct.size === rows.size, s"case $i cap=$cap: dup pairs")
+        assert(rows.toSet === expect(cap), s"case $i cap=$cap")
+      }
+    }
+  }
+
+  test("bloomGate never misses: every batch text present in history is flagged, nulls are not") {
+    val gen = for {
+      nh <- Gen.choose(3, 30)
+      hist <- Gen.listOfN(nh, Gen.listOfN(8,
+        Gen.choose(0, 500).map(x => s"h$x")).map(_.mkString(" ")))
+      nRepeat <- Gen.choose(1, 8)
+      repeatOf <- Gen.listOfN(nRepeat, Gen.choose(0, nh - 1))
+      nFresh <- Gen.choose(1, 8)
+      fresh <- Gen.listOfN(nFresh, Gen.listOfN(8,
+        Gen.choose(0, 500).map(x => s"f$x")).map(_.mkString(" ")))
+    } yield (hist, repeatOf.map(hist), fresh)
+    samples(gen, 5, 18018L).zipWithIndex.foreach { case ((hist, repeats, fresh), i) =>
+      val histDf = hist.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = (repeats ++ fresh ++ Seq(null.asInstanceOf[String]))
+        .zipWithIndex.map { case (t, id) => (1000L + id, t) }
+      val got = Dedup.bloomGate(histDf, batch.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      batch.foreach { case (id, t) =>
+        if (t == null)
+          assert(!got(id), s"case $i: null text flagged")
+        else if (hist.contains(t))
+          assert(got(id), s"case $i: history text missed (false negative)")
+      }
+    }
+  }
+
   // ---- stateful streaming twins: randomized batch parity ---------------
 
   test("sessionize stream equals the in-memory gap fold for random streams under random micro-batch chunking") {
