@@ -383,6 +383,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sampleByHash: nested rates, subset-stable, frequency-sane") {
+    val gen = for {
+      n <- Gen.choose(100, 500)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+    } yield ids.distinct
+    samples(gen, 5, 19019L).zipWithIndex.foreach { case (ids, i) =>
+      val df = ids.toDF("doc_id")
+      def sample(rate: Double, of: Seq[Long] = ids): Set[Long] =
+        graft.mix.Mix.sampleByHash(of.toDF("doc_id"), "doc_id", rate)
+          .collect().map(_.getLong(0)).toSet
+      val s25 = sample(0.25); val s50 = sample(0.5)
+      // monotone nesting: the 25% sample IS a subset of the 50% sample
+      // (hash-threshold membership), enabling reproducible sub-subsets
+      assert(s25.subsetOf(s50), s"case $i: samples not nested")
+      // subset stability: sampling half the corpus selects exactly the
+      // full-corpus selections among those ids
+      val half = ids.take(ids.size / 2)
+      assert(sample(0.5, half) === s50.intersect(half.toSet), s"case $i")
+      // loose frequency sanity
+      val frac = s50.size.toDouble / ids.size
+      assert(math.abs(frac - 0.5) < 0.15, s"case $i: 50% sample frac $frac")
+    }
+  }
+
   test("stratifiedHashSample takes exactly min(k, stratum size) rows per stratum, reproducibly") {
     val gen = for {
       n <- Gen.choose(10, 120)
