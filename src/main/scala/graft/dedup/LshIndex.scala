@@ -65,11 +65,17 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     .schema("doc_id BIGINT, band INT, bh BIGINT").parquet(s"$path/banded")
 
   private[dedup] def signatures(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame =
+                                textCol: String): DataFrame = {
+    // the persisted schema pins doc_id to BIGINT; a non-integral id
+    // would cast to null for EVERY row under ansi=false (dropDuplicates
+    // then keeps one null-id row and silently discards the batch) —
+    // fail loudly at plan time instead, like every hash-keyed operator
+    graft.mix.Mix.requireIntegralId(docs, idCol)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         org.apache.spark.sql.graft.TextExpressions
           .minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+  }
 
   private[dedup] def bandRows(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),

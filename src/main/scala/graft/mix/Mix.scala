@@ -340,7 +340,7 @@ object Mix {
     * with one split. Fractional numerics are rejected too: truncation
     * would hash-collide ids 1.2 and 1.9.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String): Unit = {
     val dt = df.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
       s"hash-keyed id column '$idCol' must be an integral type, got $dt — " +

@@ -401,33 +401,37 @@ object Similarity {
       s"fitSampleRate must be in (0, 1], got $fitSampleRate")
     val fit = if (fitSampleRate >= 1.0) df
               else graft.mix.Mix.sampleByHash(df, idCol, fitSampleRate)
-    val vecs = fit.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    // null vectors are unindexable and would NPE the seed collect —
+    // exclude them from the fit entirely
+    val vecs = fit.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .persist() // re-scanned every Lloyd iteration
-    var centroids = vecs.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(centroids.nonEmpty,
-      "k-means fit needs at least one non-null vector (empty corpus / " +
-        "all-null vector column / sample rate too low for this corpus)")
-    for (_ <- 0 until iterations) {
-      val assigned = vecs.select(
-        CentroidExpressions.nearestCentroidId(col("_v"), centroids).as("_cid"),
-        col("_v"))
-      // per-centroid mean: ONE map-side-combining VectorMean aggregate
-      // (dim-length partial state per cid) — never a corpus x dim
-      // posexplode through an exchange
-      val means = assigned
-        .groupBy(col("_cid"))
-        .agg(org.apache.spark.sql.graft.VectorAggregates
-          .vectorMean(col("_v")).as("_cv"))
-        .filter(col("_cv").isNotNull)
+    try {
+      var centroids = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("_cid"), col("_v").as("_cv"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      // empty clusters keep their previous centroid
-      val updated = means.toMap
-      centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
-    }
-    vecs.unpersist()
-    centroids
+      require(centroids.nonEmpty,
+        "k-means fit needs at least one non-null vector (empty corpus / " +
+          "all-null vector column / sample rate too low for this corpus)")
+      for (_ <- 0 until iterations) {
+        val assigned = vecs.select(
+          CentroidExpressions.nearestCentroidId(col("_v"), centroids).as("_cid"),
+          col("_v"))
+        // per-centroid mean: ONE map-side-combining VectorMean aggregate
+        // (dim-length partial state per cid) — never a corpus x dim
+        // posexplode through an exchange
+        val means = assigned
+          .groupBy(col("_cid"))
+          .agg(org.apache.spark.sql.graft.VectorAggregates
+            .vectorMean(col("_v")).as("_cv"))
+          .filter(col("_cv").isNotNull)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        // empty clusters keep their previous centroid
+        val updated = means.toMap
+        centroids = centroids.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
+      }
+      centroids
+    } finally vecs.unpersist()
   }
 
   /** Bitwise-REPRODUCIBLE Lloyd's k-means: the same fit as

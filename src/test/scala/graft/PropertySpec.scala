@@ -447,10 +447,15 @@ class PropertySpec extends SparkSpec {
         val idx = LshIndex.build(
           Seq.empty[(Long, String)].toDF("doc_id", "text"),
           "doc_id", "text", path)
-        chunks.filter(_.nonEmpty).flatMap { c =>
+        val reports = chunks.filter(_.nonEmpty).flatMap { c =>
           idx.checkAndAdd(c.toDF("doc_id", "text"), "doc_id", "text")
             .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
-        }.toMap
+        }
+        // exactly-once across increments: toMap must not be hiding a
+        // pair reported by two different checkAndAdd calls
+        assert(reports.map(_._1).distinct.size === reports.size,
+          s"case $i $tag: pair reported twice across increments")
+        reports.toMap
       }
       val single = run(Seq(rows), "single")
       val bounds = (Seq(0, rows.size) ++ cuts.map(_ min rows.size)).distinct.sorted
