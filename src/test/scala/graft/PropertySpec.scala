@@ -786,6 +786,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gapReportStream's final per-key report equals the linear gap fold, independent of micro-batch chunking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    import Streaming.GapEvent
+    val thrSec = 120L
+    val gen = for {
+      n <- Gen.choose(6, 40)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 3)
+        secs <- Gen.choose(0, 3000)
+      } yield (k.toLong, secs.toLong * 1000L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (evs, cuts)
+    samples(gen, 3, 20020L).zipWithIndex.foreach { case ((evs, cuts), i) =>
+      val base = ts("2024-01-01 00:00:00").getTime
+      val ordered = evs.sortBy(_._2)
+        .map { case (k, off) => GapEvent(k, new java.sql.Timestamp(base + off)) }
+      // reference: per-key fold over in-order microsecond gaps
+      val exp = ordered.groupBy(_.key).map { case (k, es) =>
+        val uss = es.map(_.ts.getTime * 1000L)
+        val gaps = uss.zip(uss.drop(1)).map { case (a, b) => b - a }
+        (k, (es.size.toLong,
+          if (gaps.isEmpty) None else Some(gaps.max),
+          gaps.count(_ > thrSec * 1000000L).toLong, 0L))
+      }
+      def run(bounds: Seq[Int], tag: String): Map[Long, (Long, Option[Long], Long, Long)] = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[GapEvent]
+        val qn = s"gap_prop_${i}_$tag"
+        val q = Streaming.gapReportStream(spark, input.toDS(), thrSec)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Update()).start()
+        try {
+          bounds.sliding(2).foreach { case Seq(a, b) =>
+            if (b > a) { input.addData(ordered.slice(a, b): _*); q.processAllAvailable() }
+          }
+          // Update mode: the report with the highest n_obs per key is
+          // the final state
+          spark.table(qn).collect()
+            .map(r => (r.getAs[Long]("key"), (r.getAs[Long]("n_obs"),
+              Option(r.getAs[Any]("max_gap_us")).map(_.asInstanceOf[Long]),
+              r.getAs[Long]("n_gaps_over"), r.getAs[Long]("n_late"))))
+            .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).maxBy(_._1)) }
+        } finally q.stop()
+      }
+      val one = run(Seq(0, ordered.size), "one")
+      val many = run((Seq(0, ordered.size) ++ cuts.map(_ min ordered.size))
+        .distinct.sorted, "many")
+      assert(one === exp, s"case $i evs=$evs")
+      assert(many === exp, s"case $i cuts=$cuts evs=$evs")
+    }
+  }
+
   // ---- minhash LSH: planted duplicates + verified-output exactness ---
 
   private val genCorpus: Gen[(List[String], List[Int])] = for {
