@@ -14,6 +14,11 @@ object DevDump {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/$name.sql"),
+          sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.stop()
   }

@@ -768,6 +768,9 @@ object Dedup {
     * are the already-bounded operators, and the prune itself anti-joins
     * against a drop list no larger than the clustered-duplicate count
     * (duplicates are a small corpus fraction — broadcastable).
+    * `maxShingleDocFrac` carries [[blockedJaccard]]'s vocab bound (see
+    * its Scaladoc): plain `None` is the small-vocab variant; the
+    * shipped `dedup_prune` entry passes `Some(0.5)` since r12.
     */
   def pruneNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, shingleN: Int = 3,
@@ -1011,10 +1014,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** The default exact form: full (block, shingle) equi-join +
-    * per-pair count. Identical output to [[blockedJaccardPrefix]] (the
-    * prefix-filter theorem; equality pinned in DedupSpec) — see that
-    * variant's Scaladoc for the measured crossover between the two.
+  /** [[blockedJaccard]] below — the exact explode-join form: full
+    * (block, shingle) equi-join + per-pair count. With
+    * `maxShingleDocFrac = None` the output is identical to
+    * [[blockedJaccardPrefix]] (the prefix-filter theorem; equality
+    * pinned in DedupSpec) — see that variant's Scaladoc for the
+    * measured crossover between the two.
+    *
+    * VOCAB BOUND of the plain (`None`) form: the equi-join's candidate
+    * mass is Σ df² over all (block, shingle) groups, so on a
+    * vocab-saturated or boilerplate-laden corpus (shingle doc
+    * frequency growing linearly with corpus size) the join mass grows
+    * QUADRATICALLY — the r11 10x-data sweep measured 13x/12x wall
+    * growth for the uncapped jaccard/prune entries. The plain form is
+    * therefore the SMALL-VOCAB variant: use it when shingle df stays
+    * bounded (niche corpora, high-entropy text). For production
+    * corpora pass `maxShingleDocFrac = Some(0.5)` — the df-cap drops
+    * near-universal shingles from the Jaccard universe (exact by
+    * definition over the rare-shingle sets, skew ratio 3.8x→1.5x
+    * measured) — which is what the shipped `dedup_jaccard` /
+    * `dedup_prune` query entries default to since r12.
     *
     * Explode-join form: intersection sizes come from an equi-join on
     * (block, shingle) + count, not from pairwise array_intersect over a

@@ -31,16 +31,27 @@ object DedupQueries extends QueryPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
 
-  /** G4 `dedup_jaccard` — blocked (by source) trigram Jaccard >= 0.3.
+  /** G4 `dedup_jaccard` — blocked (by source) trigram Jaccard >= 0.3
+    * over the df-capped (rare-shingle) universe. Since r12 this entry
+    * takes the PRODUCTION ordering by default (verdict-r11 item 2):
+    * shingles present in more than half their block's documents leave
+    * the universe before pair enumeration, bounding the equi-join's
+    * Σ df² candidate mass on vocab-saturated / boilerplate-laden
+    * corpora (the r11 10x-data sweep measured 13x growth for the
+    * uncapped form). The cap is exact-by-definition — Jaccard over the
+    * rare-shingle sets — and the oracle restates it, so the operator
+    * stays hash-verified. The uncapped small-vocab form remains
+    * available as [[graft.dedup.Dedup.blockedJaccard]] with
+    * `maxShingleDocFrac = None` (its Scaladoc states the vocab bound).
     * SQL-oracled: the block join is an exact (not approximate) pruning
     * — a pair can only pass the threshold if it shares the block — so
-    * DuckDB's brute-force within-source pair scan states the same set,
+    * DuckDB's capped within-source pair scan states the same set,
     * with shingle STRINGS standing in for the xxhash64 values (identical
     * barring a 64-bit collision, the dedup_exact/decontam convention).
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccard(Tables.documents(s, dir), "doc_id", "text", "source",
-      shingleN = 3, threshold = 0.3)
+      shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
 
   /** G+ `dedup_prune` — the MATERIALIZED deduplicated corpus (what a
@@ -50,10 +61,14 @@ object DedupQueries extends QueryPack {
     * DuckDB recomputes the pairs (the dedup_jaccard oracle), derives
     * components with a recursive min-label CTE, and anti-joins — so
     * the hash compare proves the whole pair→cluster→prune chain.
+    * Since r12 the entry defaults to the saturation-robust df-capped
+    * ordering (verdict-r11 item 2) — see [[dedupJaccard]]; it now
+    * coincides with [[dedupPruneRobust]], which is retained as the
+    * explicitly-pinned checklist form (G+r).
     */
   def dedupPrune(s: SparkSession, dir: String): DataFrame =
     Dedup.pruneNearDups(Tables.documents(s, dir), "doc_id", "text", "source",
-        shingleN = 3, threshold = 0.3)
+        shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
   /** G+r `dedup_prune_robust` — [[dedupPrune]] with the boilerplate
@@ -550,43 +565,66 @@ object DedupQueries extends QueryPack {
         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_cut_lines
         |FROM k""".stripMargin,
+    // since r12 the entry is df-capped by default (verdict-r11 item
+    // 2): per-(block, shingle) doc frequency over the distinct per-doc
+    // shingle lists, universe capped at df <= 0.5 * block doc count,
+    // Jaccard over the KEPT sets. 0.5*nd is exact on both engines.
     "dedup_jaccard" ->
       """WITH s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
         |        FROM documents WHERE text IS NOT NULL)),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
-        |    len(a.sh) AS na, len(b.sh) AS nb
-        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
-        |FROM p WHERE i / (na + nb - i) >= 0.3""".stripMargin,
-    // the dedup_jaccard pair CTE + recursive min-label components +
-    // keep-smallest-per-cluster anti-join: the full prune chain in SQL
+        |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
+        |kept AS (SELECT ex.doc_id, ex.source, ex.g
+        |  FROM ex JOIN df USING (source, g) JOIN bc USING (source)
+        |  WHERE df.c <= CAST(0.5 AS DOUBLE) * bc.nd),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+        |  JOIN sz sb ON sb.doc_id = iv.doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3""".stripMargin,
+    // the df-capped dedup_jaccard pair chain + recursive min-label
+    // components + keep-smallest-per-cluster anti-join: the full
+    // (since-r12 default-robust) prune chain in SQL — identical to
+    // dedup_prune_robust's, which pins the same wiring explicitly
     "dedup_prune" ->
       """WITH RECURSIVE s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
         |        FROM documents WHERE text IS NOT NULL)),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |        >= 0.3),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |      UNION SELECT doc_b, doc_a FROM p),
+        |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
+        |kept AS (SELECT ex.doc_id, ex.source, ex.g
+        |  FROM ex JOIN df USING (source, g) JOIN bc USING (source)
+        |  WHERE df.c <= CAST(0.5 AS DOUBLE) * bc.nd),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM iv
+        |  JOIN sz sa ON sa.doc_id = iv.doc_a
+        |  JOIN sz sb ON sb.doc_id = iv.doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
         |reach(node, root) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
         |  UNION
         |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
-        |comp AS (SELECT node, min(root) AS component
-        |  FROM reach GROUP BY node)
+        |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id NOT IN
-        |  (SELECT node FROM comp WHERE node <> component)""".stripMargin,
+        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
     // the dedup_prune chain with the boilerplate guard restated: per-
     // (block, shingle) doc frequency over the distinct per-doc shingle
     // lists, universe capped at df <= 0.5 * block doc count, Jaccard

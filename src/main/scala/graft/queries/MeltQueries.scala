@@ -197,7 +197,7 @@ object MeltQueries extends QueryPack {
          |    "Date Time - GMT" AS ts, "Temp  C" AS temp,
          |    "Solar Radiation  W/m2" AS incoming,
          |    "Solar Radiation 2  W/m2" AS reflected
-         |  FROM read_csv('fixtures/hobo_aws.csv', skip = 1, header = true,
+         |  FROM read_csv('${new java.io.File("fixtures/hobo_aws.csv").getAbsolutePath}', skip = 1, header = true,
          |    nullstr = ['-888.88', '-888.9'])),
          |$albCte,
          |wi AS (SELECT *, avg(incoming) OVER (
