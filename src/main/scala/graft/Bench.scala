@@ -30,6 +30,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2))
+    // Full untruncated artifact destination. BENCH_LOCAL.json is
+    // reserved for FULL runs on the canonical driver sf dir — a
+    // scale-fixture or SPARK_GRAFT_ONLY run writes a suffixed file
+    // instead, so it can never clobber the committed full-surface
+    // artifact (which happened twice in r10). Path-normalized compare
+    // against the single shared constant, so an equivalent spelling
+    // (trailing slash, ..) cannot silently demote a full canonical run
+    // to a suffixed artifact (review-pass finding).
+    val fullCanonical = only.isEmpty &&
+      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize ==
+        java.nio.file.Paths.get(Bench.CanonicalSfDir).toAbsolutePath.normalize
+    val outName =
+      if (fullCanonical) "BENCH_LOCAL.json"
+      else "BENCH_LOCAL_" + java.nio.file.Paths.get(sfDir).getFileName
+        .toString.replaceAll("[^A-Za-z0-9_.-]", "_") +
+        (if (only.isEmpty) "" else "_subset") + ".json"
+    // Name the artifact FIRST (VERDICT r11 item 8) and again in the
+    // JSON line's tail: the driver records only a bounded tail of
+    // stdout, and the single summary line outgrows it at 148 queries
+    // (its START — metric/value — is what gets cut). The pointer
+    // therefore rides at BOTH ends: a dedicated first line for
+    // head-captured logs, and an "artifact" field after "queries" so
+    // the surviving end of a truncated tail still names the file.
+    println(s"bench artifact: ${java.nio.file.Paths.get(outName).toAbsolutePath}")
     // Contention-outlier guard (the r6 bench shipped two spikes that
     // min-of-2 didn't absorb; the judge's re-runs were 1.7x / 3.6x
     // faster): when benching sf0.1, a query whose min still exceeds
@@ -131,12 +155,29 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
-        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        // Parse ONLY the top-level "value" and the flat "queries"
+        // object: the committed artifact's vs_committed.worst block
+        // also maps query names to numbers (RATIOS, not seconds), so a
+        // whole-file flat scan with last-occurrence-wins would let
+        // emit-order decide whether a ratio shadows a timing
+        // (ADVICE r11). The queries object is flat (no nested braces)
+        // by construction, so the first '}' after it closes it.
+        val kv = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+        val qStart = txt.indexOf("\"queries\":")
+        val qBlock =
+          if (qStart < 0) ""
+          else {
+            val open = txt.indexOf('{', qStart)
+            val close = if (open < 0) -1 else txt.indexOf('}', open)
+            if (close > open && open >= 0) txt.substring(open, close + 1)
+            else ""
+          }
+        val qMap = kv.findAllMatchIn(qBlock)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val totalV = """"value":(-?[0-9][0-9.eE+-]*)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        qMap ++ totalV.map("value" -> _)
       } catch { case _: Throwable => Map.empty }
-    val fullCanonical = only.isEmpty &&
-      java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize ==
-        java.nio.file.Paths.get(Bench.CanonicalSfDir).toAbsolutePath.normalize
     val vsCommitted =
       if (!fullCanonical || !committedRef.contains("value")) "null"
       else {
@@ -151,23 +192,8 @@ object Bench {
         s"""{"total_ratio":${math.round(ratio * 1000) / 1000.0},"n_over_1_5x":${outliers.size},"worst":$outJson}"""
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"queries":$qs,"artifact":"$outName","sf":"$sfDir"}"""
     println(line)
-    // Full untruncated copy for the judge. BENCH_LOCAL.json is reserved
-    // for FULL runs on the canonical driver sf dir — a scale-fixture or
-    // SPARK_GRAFT_ONLY run writes a suffixed file instead, so it can
-    // never clobber the committed full-surface artifact (which happened
-    // twice in r10: a single-query run and a mult=10 run each replaced
-    // the committed sf0.1 numbers unnoticed).
-    // path-normalized compare against the single shared constant (the
-    // fullCanonical val above), so an equivalent spelling (trailing
-    // slash, ..) cannot silently demote a full canonical run to a
-    // suffixed artifact (review-pass finding)
-    val outName =
-      if (fullCanonical) "BENCH_LOCAL.json"
-      else "BENCH_LOCAL_" + java.nio.file.Paths.get(sfDir).getFileName
-        .toString.replaceAll("[^A-Za-z0-9_.-]", "_") +
-        (if (only.isEmpty) "" else "_subset") + ".json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

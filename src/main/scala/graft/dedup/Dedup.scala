@@ -456,9 +456,30 @@ object Dedup {
         hammingBlock(bLo, bHi, k, nBlocks) &&
         aMask.bitwiseAND(lit(1L << k)) === 0, lit(k))): _*)
 
+  /** G12: exact Hamming-radius near-dup pairs over the 128-bit
+    * fingerprint words — lossless pigeonhole block join over distinct-
+    * fingerprint CLASSES, then output-mass expansion back to document
+    * pairs (the r11 class-collapse rewrite; details inline below).
+    *
+    * CAP SEMANTICS (ADVICE r11 — pre-r12 one knob governed both; they
+    * bound DIFFERENT quadratic dimensions and are now separate):
+    *
+    * | knob | counts | bounds | dropped-mass audit |
+    * |------|--------|--------|--------------------|
+    * | `maxBucketSize` | distinct-fingerprint classes per (blk, bv) block bucket | the class block join's bucket fan-out (adversarial / boilerplate blocks) | [[oversizedSimhashBuckets]] |
+    * | `maxClassSize` | DOCUMENTS per identical-fingerprint class | the doc-pair expansion's output mass; an over-cap class is excluded entirely — its within pairs AND its cross pairs to other classes (identical-document floods are exact dedup's job) | `classesAll` rows with `_csize > maxClassSize` (recompute via [[fingerprintWords]] + groupBy) |
+    *
+    * `maxClassSize = None` (default) follows `maxBucketSize` — the
+    * r11 single-knob behavior, kept so existing tuned callers see no
+    * change; pass it explicitly to tune the two caps independently.
+    * Both caps at `Int.MaxValue` = the exact lossless operator.
+    */
   def hammingNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                     maxBucketSize: Int = Int.MaxValue,
+                     maxClassSize: Option[Int] = None): DataFrame = {
+    val classCap = maxClassSize.getOrElse(maxBucketSize)
+    require(classCap > 0, s"maxClassSize must be positive, got $classCap")
     val nBlocks = hammingBlockCount(maxHamming)
     val fp = fingerprintWords(docs, idCol, textCol)
     // CLASS COLLAPSE (r11 mult=100 finding): a near-dup-heavy corpus
@@ -474,19 +495,19 @@ object Dedup {
     // the irreducible part of a pair-list query. Identical-fingerprint
     // (hamming 0) pairs come from the class self-expansion. Output
     // rows, order contract (doc_a < doc_b) and the oracle are
-    // unchanged. The LOSSY cap now bounds both quadratic dimensions
-    // explicitly: (blk, bv) buckets holding more than maxBucketSize
-    // CLASSES are dropped before the class join (the adversarial-block
-    // guard, as before), and classes with more than maxBucketSize
-    // MEMBERS are excluded from expansion entirely (their quadratic
+    // unchanged. The two LOSSY caps bound the two quadratic dimensions
+    // separately (see the Scaladoc table): (blk, bv) buckets holding
+    // more than maxBucketSize CLASSES are dropped before the class
+    // join (the adversarial-block guard), and classes with more than
+    // classCap (= maxClassSize, defaulting to maxBucketSize) MEMBERS
+    // are excluded from expansion entirely (their quadratic
     // within/cross pair mass is the other unbounded dimension —
-    // identical-document floods are exact dedup's job, the pre-r11
-    // capped contract).
+    // identical-document floods are exact dedup's job).
     val classesAll = fp.groupBy(col("_lo"), col("_hi"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("_csize"))
     val classes =
-      (if (maxBucketSize == Int.MaxValue) classesAll
-       else classesAll.filter(col("_csize") <= maxBucketSize))
+      (if (classCap == Int.MaxValue) classesAll
+       else classesAll.filter(col("_csize") <= classCap))
         .select(col("doc_id"), col("_lo"), col("_hi"))
     val cp = nearDupFromWords(classes, nBlocks, maxHamming, maxBucketSize,
       keepWords = true)
@@ -494,7 +515,7 @@ object Dedup {
     // in cp (filtered before the join), and the within expansion must
     // not resurrect them
     val kept =
-      if (maxBucketSize == Int.MaxValue) fp
+      if (classCap == Int.MaxValue) fp
       else fp.join(classes.select(col("_lo"), col("_hi")),
         Seq("_lo", "_hi"), "left_semi")
     val aM = kept.select(col("doc_id").as("_da"),

@@ -487,11 +487,18 @@ object Similarity {
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * lit(scale)).cast("long")).as("_v"))
       .persist() // re-scanned for seeds + every Lloyd round
+    // try/finally so the seed collect, the overflow require, or a Lloyd
+    // round failing cannot leak the cached dataset (the
+    // kmeansCentroidArray lesson, ADVICE r11)
+    try {
     var cents: Array[(Long, Array[Long])] = vecs.orderBy(col("_id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(cents.length >= 2,
       s"corpus has ${cents.length} usable vectors; k-means needs >= 2")
     val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"seed vectors have ragged lengths (${cents.map(_._2.length).distinct.mkString(",")}); " +
+        "kmeansCentroidsQuantized requires uniform-dimension vectors")
     val maxSafe = math.sqrt(Long.MaxValue.toDouble / math.max(dim, 1)) / 2
     require(cents.forall(_._2.forall(v => math.abs(v) < maxSafe)),
       s"quantized seed component exceeds the overflow-safe bound $maxSafe " +
@@ -515,8 +522,22 @@ object Similarity {
       val updated = roundMeans.collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>
-          val arr = new Array[Long](rows.length)
-          rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+          // sized by the SEED dim with explicit bounds checks: a ragged
+          // non-seed vector shows up here as a dim index beyond (or a
+          // dim count short of) the contract — fail with the contract
+          // error, not ArrayIndexOutOfBounds / a silent zero centroid
+          // component (ADVICE r11)
+          require(rows.length == dim,
+            s"cluster $cid aggregated ${rows.length} dimensions, expected $dim: " +
+              s"a vector in $vecCol has non-uniform length")
+          val arr = new Array[Long](dim)
+          rows.foreach { r =>
+            val d = r.getLong(1).toInt
+            require(d < dim,
+              s"vector dimension index $d >= declared dim $dim in $vecCol: " +
+                "kmeansCentroidsQuantized requires uniform-dimension vectors")
+            arr(d) = r.getLong(2)
+          }
           (cid, arr)
         }
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
@@ -526,12 +547,11 @@ object Similarity {
     val prev = cents.toSeq.flatMap { case (cid, cv) =>
       cv.zipWithIndex.map { case (v, d) => (cid, d.toLong, v) }
     }.toDF("cid", "dim", "_prev")
-    val out = roundMeans.join(prev, Seq("cid", "dim"), "full")
+    roundMeans.join(prev, Seq("cid", "dim"), "full")
       .select(col("cid"), col("dim"),
         coalesce(col("_cv"), col("_prev")).as("cvalue"))
-      .localCheckpoint(true)
-    vecs.unpersist()
-    out
+      .localCheckpoint(true) // eager: safe to unpersist vecs after
+    } finally vecs.unpersist()
   }
 
   /** A (cid, vector) DataFrame as the driver-side array the assignment

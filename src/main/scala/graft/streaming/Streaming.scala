@@ -583,6 +583,12 @@ object Streaming {
                       stateTtlMillis: Option[Long] = None)
       : Dataset[GapReport] = {
     import spark.implicits._
+    // construction-time contract (ADVICE r11): a non-positive TTL
+    // makes setTimeoutTimestamp throw MID-STREAM once the computed
+    // timeout falls at/behind the current watermark — fail here, and
+    // clamp the runtime timeout strictly past the watermark besides
+    require(stateTtlMillis.forall(_ > 0),
+      s"stateTtlMillis must be positive when set, got $stateTtlMillis")
     val thrUs = thresholdSec * 1000000L
     val timeoutConf =
       if (stateTtlMillis.isDefined) GroupStateTimeout.EventTimeTimeout()
@@ -610,7 +616,7 @@ object Streaming {
             }
             state.update(st)
             stateTtlMillis.foreach(ttl => state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + ttl,
+              math.max(state.getCurrentWatermarkMs() + math.max(ttl, 1L),
                 st.lastTsUs / 1000L + ttl)))
             Iterator.single(
               GapReport(key, st.nObs, st.maxGapUs, st.nOver, st.nLate))

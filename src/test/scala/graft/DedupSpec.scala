@@ -449,6 +449,20 @@ class DedupSpec extends SparkSpec {
     } yield (fps(i)._1, fps(j)._1, d)).toSet
     assert(uncapped === brute)
     assert(uncapped.exists(p => p._1 < 10L && p._2 < 10L)) // identical pairs present
+    // r12 decoupled knobs (ADVICE r11): maxClassSize alone drives the
+    // class exclusion — an explicit class cap of 5 with the block-
+    // bucket cap wide open states the same set as the single-knob run,
+    // and an explicit wide-open class cap with bucket cap 5 keeps the
+    // big class (only 3 distinct-fingerprint classes, so <= 3 per
+    // bucket — no bucket drops either: full brute set)
+    val classOnly = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = 3,
+        maxClassSize = Some(5))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(classOnly === Set((100L, 101L, ham(fx, fy))))
+    val bucketOnly = Dedup.hammingNearDup(df, "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 5, maxClassSize = Some(Int.MaxValue))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(bucketOnly === brute)
   }
 
   test("PortableSimHash64: set semantics (order/repeats don't matter), null text, word parity") {
@@ -778,6 +792,48 @@ class DedupSpec extends SparkSpec {
     assert(graft.dedup.LshIndex
       .buildOrLoad(probe, "doc_id", "text", dir).sigs.count() ===
       reopened.sigs.count())
+  }
+
+  test("LshIndex: legacy INT32-doc_id layout upcasts on read (ADVICE r11)") {
+    // indexes written before appends cast idCol to long hold INT32
+    // doc_id in their parquet files; the read path must upcast instead
+    // of tripping the vectorized reader's widening rejection
+    val dir = java.nio.file.Files.createTempDirectory("lshlegacy").toString
+    val initial = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (200L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    LshIndex.build(initial, "doc_id", "text", dir)
+    // rewrite both tables with doc_id narrowed to INT32 (the legacy
+    // on-disk layout); stage through temp dirs since overwrite-in-place
+    // reads and writes the same path
+    def narrow(sub: String, partCols: Seq[String]): Unit = {
+      val legacy = spark.read.parquet(s"$dir/$sub")
+        .withColumn("doc_id", $"doc_id".cast("int"))
+      val tmp = java.nio.file.Files.createTempDirectory("lshnarrow").toString
+      val w = legacy.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp)
+      val target = new java.io.File(s"$dir/$sub")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(target)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(s"$dir/$sub"))
+    }
+    narrow("sigs", Nil)
+    narrow("banded", Seq("band"))
+    val idx = LshIndex.load(spark, dir)
+    assert(idx.sigs.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(idx.sigs.count() === 2)
+    // the candidate join against legacy history still works end to end
+    val probe = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    val pairs = idx.check(probe, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((5L, 100L)))
   }
 
   test("pruneNearDups keeps each cluster's smallest id and every unpaired doc") {
