@@ -138,14 +138,20 @@ object Gps {
     * key set (or post-filter by distance) when keys are not genuinely
     * a small dimension.
     */
-  def stationDistances(df: DataFrame, keys: Seq[String], tsCol: String,
-                       northCol: String, eastCol: String,
-                       startInclusive: String, endExclusive: String): DataFrame = {
-    val means = df
-      .filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
+  private def windowedMeans(df: DataFrame, keys: Seq[String], tsCol: String,
+                            northCol: String, eastCol: String,
+                            startInclusive: String,
+                            endExclusive: String): DataFrame =
+    df.filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
         col(tsCol) < lit(endExclusive).cast("timestamp"))
       .groupBy(keys.map(col): _*)
       .agg(avg(col(northCol)).as("mn"), avg(col(eastCol)).as("me"))
+
+  def stationDistances(df: DataFrame, keys: Seq[String], tsCol: String,
+                       northCol: String, eastCol: String,
+                       startInclusive: String, endExclusive: String): DataFrame = {
+    val means = windowedMeans(df, keys, tsCol, northCol, eastCol,
+      startInclusive, endExclusive)
     val a = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"a_$k"))
       .withColumnRenamed("mn", "a_mn").withColumnRenamed("me", "a_me")
     val b = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"b_$k"))
@@ -154,6 +160,62 @@ object Gps {
       .select(keys.map(k => col(s"a_$k")) ++ keys.map(k => col(s"b_$k")) :+
         graft.functions.quadrature(col("a_mn") - col("b_mn"),
           col("a_me") - col("b_me")).as("distance"): _*)
+  }
+
+  /** [[stationDistances]] with a distance valve (VERDICT r11 item 5):
+    * only pairs within `maxDistance` are stated, and — the point — the
+    * candidate join is a GRID-CELL EQUI-JOIN, not the all-pairs theta
+    * join, so the quadratic output of the plain form is opt-in rather
+    * than inherent. The reference's calc_dist (gpstools.py:282) is
+    * pairwise; the all-pairs matrix is graft's extension and this is
+    * its scale valve.
+    *
+    * Blocking is LOSSLESS: each station lands in the
+    * floor(mean / maxDistance) grid cell; any pair within maxDistance
+    * differs by at most one cell per axis, so the a-side explodes to
+    * its 3x3 neighborhood and equi-joins the b-side's HOME cell —
+    * which is unique per station, so every candidate pair surfaces
+    * EXACTLY once (no distinct). The exact quadrature filter then
+    * states the set the brute-force scan would. Cost: one exchange on
+    * (cell_n, cell_e); candidate mass is Σ over cells of
+    * |neighborhood| × |cell| — linear in stations + true output mass
+    * for any physically spread network, vs the plain form's C(k,2)
+    * comparisons regardless of output. (Pairs at EXACTLY maxDistance
+    * sit on a floating-point boundary — the division in the cell index
+    * could in principle round a bit differently than the quadrature;
+    * the same measure-zero caveat every FP-threshold operator here
+    * carries.)
+    */
+  def stationDistancesWithin(df: DataFrame, keys: Seq[String], tsCol: String,
+                             northCol: String, eastCol: String,
+                             startInclusive: String, endExclusive: String,
+                             maxDistance: Double): DataFrame = {
+    require(maxDistance > 0, s"maxDistance must be positive, got $maxDistance")
+    val means = windowedMeans(df, keys, tsCol, northCol, eastCol,
+      startInclusive, endExclusive)
+    val nbrs = for (dn <- -1 to 1; de <- -1 to 1) yield (dn, de)
+    val a = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"a_$k"))
+      .withColumnRenamed("mn", "a_mn").withColumnRenamed("me", "a_me")
+      .select(col("*"),
+        explode(array(nbrs.map { case (dn, de) =>
+          struct(
+            (floor(col("a_mn") / maxDistance).cast("long") + dn).as("cn"),
+            (floor(col("a_me") / maxDistance).cast("long") + de).as("ce"))
+        }: _*)).as("_nb"))
+      .select(keys.map(k => col(s"a_$k")) :+ col("a_mn") :+ col("a_me") :+
+        col("_nb.cn").as("_cn") :+ col("_nb.ce").as("_ce"): _*)
+    val b = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"b_$k"))
+      .withColumnRenamed("mn", "b_mn").withColumnRenamed("me", "b_me")
+      .withColumn("_cn", floor(col("b_mn") / maxDistance).cast("long"))
+      .withColumn("_ce", floor(col("b_me") / maxDistance).cast("long"))
+    a.join(b, Seq("_cn", "_ce"))
+      .filter(keys.map(k => col(s"a_$k") < col(s"b_$k")).reduce(_ && _))
+      .withColumn("distance",
+        graft.functions.quadrature(col("a_mn") - col("b_mn"),
+          col("a_me") - col("b_me")))
+      .filter(col("distance") <= maxDistance)
+      .select(keys.map(k => col(s"a_$k")) ++ keys.map(k => col(s"b_$k")) :+
+        col("distance"): _*)
   }
 
   /** Horizontal displacement from the first position (C6; gpstools.py:282). */

@@ -77,6 +77,18 @@ object GpsQueries extends QueryPack {
         "2024-01-05", "2024-01-15")
       .select(col("a_user_id"), col("b_user_id"), r6(col("distance")).as("distance"))
 
+  /** C+r `gps_station_dist_radius` — the distance-valved variant
+    * (VERDICT r11 item 5): pairs within 1.0 via the lossless grid-cell
+    * equi-join, so output (and candidate mass) is bounded by the radius
+    * instead of C(k,2). The oracle restates the set by brute force —
+    * the blocking is exact, so only the threshold filter differs from
+    * gps_station_dist's SQL.
+    */
+  def gpsStationDistRadius(s: SparkSession, dir: String): DataFrame =
+    Gps.stationDistancesWithin(pos(s, dir), Seq("user_id"), "ts",
+        "dnorth", "deast", "2024-01-05", "2024-01-15", maxDistance = 1.0)
+      .select(col("a_user_id"), col("b_user_id"), r6(col("distance")).as("distance"))
+
   /** C5+ `gps_drop_windows` — droplist manual QC (gpstools.py:411
     * `drop_positions` applied to the instance): remove two bad-fix time
     * windows from the position series. The droplist compiles to a
@@ -106,6 +118,7 @@ object GpsQueries extends QueryPack {
     "gps_zdetrend" -> gpsZDetrend,
     "gps_drop_windows" -> gpsDropWindows,
     "gps_station_dist" -> gpsStationDist,
+    "gps_station_dist_radius" -> gpsStationDistRadius,
     "gps_flow_angle" -> gpsFlowAngle,
     "gps_reproject" -> gpsReproject,
     "gps_detrend" -> gpsDetrend,
@@ -150,6 +163,21 @@ object GpsQueries extends QueryPack {
          |  floor((sqrt(0.0 + (a.mn - b.mn) * (a.mn - b.mn)
          |    + (a.me - b.me) * (a.me - b.me))) * 1000000 + 0.5001) / 1000000 AS distance
          |FROM means a JOIN means b ON a.user_id < b.user_id""".stripMargin,
+    // brute-force restatement: the grid-cell blocking is lossless, so
+    // only the radius filter differs from gps_station_dist's SQL
+    "gps_station_dist_radius" ->
+      s"""$posCte,
+         |means AS (SELECT user_id, avg(dnorth) AS mn, avg(deast) AS me
+         |  FROM pos
+         |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+         |  GROUP BY user_id)
+         |SELECT a_user_id, b_user_id,
+         |  floor(d * 1000000 + 0.5001) / 1000000 AS distance
+         |FROM (SELECT a.user_id AS a_user_id, b.user_id AS b_user_id,
+         |    sqrt(0.0 + (a.mn - b.mn) * (a.mn - b.mn)
+         |      + (a.me - b.me) * (a.me - b.me)) AS d
+         |  FROM means a JOIN means b ON a.user_id < b.user_id)
+         |WHERE d <= 1.0""".stripMargin,
     "gps_flow_angle" ->
       s"""$alphaCte
          |SELECT user_id, floor((alpha) * 1000000 + 0.5001) / 1000000 AS alpha FROM alphas""".stripMargin,

@@ -238,18 +238,25 @@ object RelationalQueries extends QueryPack {
     * dim; at 100 TB a user runs only the sketch half (the raw
     * estimates stay pinned by RelationalSketchSpec).
     */
+  /** The sketch-only aggregation both q_approx variants share: one
+    * scan, map-side-combining HLL++ and percentile sketches, 3 output
+    * rows.
+    */
+  private def sketchAggs(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("_e_o"),
+        approx_count_distinct(col("l_partkey")).as("_e_p"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("_q"))
+
   def qApprox(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // three SEPARATE aggregations joined on the 3-row key dim: mixing
     // countDistinct with the sketch aggs in ONE agg makes Catalyst
     // plan an Expand (one projection per distinct group) that runs the
     // percentile sketch over 3x null-padded rows — 5x slower measured
-    val sk = li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("_e_o"),
-        approx_count_distinct(col("l_partkey")).as("_e_p"),
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("_q"))
+    val sk = sketchAggs(li)
     val ex = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("nd_orders"),
@@ -268,6 +275,30 @@ object RelationalQueries extends QueryPack {
         col("_q")(1).between(col("q_9_20"), col("q_11_20")).as("p50_ok"),
         col("_q")(2).between(col("q_7_10"), col("q_4_5")).as("p75_ok"))
   }
+
+  /** F7s `q_approx_sketch` — ONLY the sketch half of [[qApprox]]: the
+    * plan a 100 TB user actually runs (VERDICT r11 item 4). q_approx's
+    * benched number conflates the sketches with their exact-certificate
+    * twins (countDistinct's dedup shuffle + the histogram-quantile rank
+    * windows exist to VERIFY the sketches, and dominate its growth);
+    * this entry benches the one-scan bounded-memory sketch aggregation
+    * alone — HLL++ registers and a single-pass percentile sketch, both
+    * map-side combining to 3 groups, so growth is scan-bound by
+    * construction. Rows-only BY NATURE: the raw estimates are
+    * implementation-defined sketch outputs (no engine-portable value to
+    * hash against); their ACCURACY stays hash-verified through
+    * q_approx's certificate flags and pinned in RelationalSketchSpec —
+    * this key exists for the bench artifact, the correctness signal
+    * lives in its oracled twin.
+    */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame =
+    sketchAggs(Tables.lineitem(s, dir))
+      .select(col("l_returnflag"),
+        col("_e_o").cast("long").as("est_nd_orders"),
+        col("_e_p").cast("long").as("est_nd_parts"),
+        col("_q")(0).as("est_p25"),
+        col("_q")(1).as("est_p50"),
+        col("_q")(2).as("est_p75"))
 
   /** F8 `ev_funnel` — ORDERED conversion funnel over the event stream:
     * users who view, then click strictly after their first view, then
@@ -292,6 +323,7 @@ object RelationalQueries extends QueryPack {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel" -> evFunnel,
     "q_approx" -> qApprox,
+    "q_approx_sketch" -> qApproxSketch,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,

@@ -226,4 +226,31 @@ class ApiSpec extends SparkSpec {
     assert(melt2.count() === 48)
     assert(melt2.columns.contains("melt_rate"))
   }
+
+  test("stationDistancesWithin equals the all-pairs form filtered to the radius") {
+    // stations spread over several grid cells of size d=1.0, including
+    // adjacent-cell pairs just under/over the radius and a negative-
+    // coordinate cell (floor-division regression); one obs per station
+    // keeps the windowed mean = the position itself
+    val pos = Seq(
+      ("s01", 0.10, 0.10), ("s02", 0.90, 0.10),  // d=0.8, cells 0 vs 0
+      ("s03", 1.85, 0.10),                       // 0.95 from s02 across cell edge
+      ("s04", 3.00, 0.10),                       // >1 from all of s01-s03
+      ("s05", -0.20, -0.20),                     // negative cell, 0.424 from s01
+      ("s06", 5.00, 5.00), ("s07", 5.70, 5.70))  // d=0.99 diagonal pair
+      .toDF("k", "dnorth", "deast")
+      .withColumn("ts", lit("2024-01-10 00:00:00").cast("timestamp"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val plain = normalize(graft.operators.Gps.stationDistances(
+        pos, Seq("k"), "ts", "dnorth", "deast", "2024-01-01", "2024-02-01")
+      .filter(col("distance") <= 1.0))
+    val valved = normalize(graft.operators.Gps.stationDistancesWithin(
+      pos, Seq("k"), "ts", "dnorth", "deast", "2024-01-01", "2024-02-01",
+      maxDistance = 1.0))
+    assert(valved === plain)
+    assert(valved.map(p => (p._1, p._2)) ===
+      Set(("s01", "s02"), ("s02", "s03"), ("s01", "s05"), ("s06", "s07")))
+  }
 }

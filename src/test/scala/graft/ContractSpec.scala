@@ -83,7 +83,10 @@ class ContractSpec extends AnyFunSuite {
       "ann_ivf_pq",          // coarse + PQ quantizers both k-means-defined (r9)
       "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)
       "dedup_semantic",      // k-means assignment is float-sum-order-defined (r6)
-      "dedup_bloom")         // Bloom bit layout is Spark-impl-defined (r7)
+      "dedup_bloom",         // Bloom bit layout is Spark-impl-defined (r7)
+      "q_approx_sketch")     // raw HLL++/percentile-sketch estimates are
+                             // impl-defined; accuracy hash-verified via
+                             // q_approx's certificate (r12, bench split)
     assert(rowsOnly === expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

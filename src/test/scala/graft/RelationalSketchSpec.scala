@@ -49,6 +49,21 @@ class RelationalSketchSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_sketch estimates agree with the exact twins (the bench-split entry)") {
+    val est = RelationalQueries.qApproxSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = RelationalQueries.qApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(est.keySet === exact.keySet && est.nonEmpty)
+    est.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a.getAs[Long]("est_nd_orders").toDouble /
+        e.getAs[Long]("nd_orders") - 1.0) <= 0.1, s"$k nd_orders")
+      assert(math.abs(a.getAs[Long]("est_nd_parts").toDouble /
+        e.getAs[Long]("nd_parts") - 1.0) <= 0.1, s"$k nd_parts")
+    }
+  }
+
   test("q_approx accuracy-certificate flags all hold") {
     val rows = RelationalQueries.qApprox(spark, dir).collect()
     assert(rows.nonEmpty)
