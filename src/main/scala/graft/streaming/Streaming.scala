@@ -577,6 +577,39 @@ object Streaming {
     * unbounded-key-churn lesson); with no TTL, state is one small row
     * per key forever — bound it on churn-heavy key spaces.
     */
+  /** Streaming twin of D4 hydro_piecewise (VERDICT r11 item 6 — the
+    * live-sensor deployment the reference's field campaigns imply): a
+    * pressure-transducer stream gets its dated sensor-height interval
+    * assigned by a STREAM-STATIC range join against the tiny interval
+    * dim, then the water-level-above-bed arithmetic is row-local. Fully
+    * STATELESS: the static side is broadcast into each micro-batch
+    * (BroadcastNestedLoopJoin, bounded by the handful of intervals), so
+    * there is no state store, no watermark requirement, and no
+    * late-data semantics to reason about — an observation computes the
+    * same row whenever it arrives, and batch parity is exact BY
+    * CONSTRUCTION (the join is [[graft.operators.Hydro
+    * .piecewiseIntervals]] itself, one definition for both engines —
+    * the dfCapStream/boilerplateShingles sharing rule). Observations
+    * outside every interval are dropped (inner join), identical to
+    * batch.
+    *
+    * `valueToWlb`: sensor reading -> water level above bed given the
+    * row's interval height (the hydrotools.py:410-446 piz_hgt blocks) —
+    * passed as a column function so deployments state their own
+    * calibration; see HydroQueries.hydroPiecewise for the shipped one.
+    */
+  def hydroPiecewiseStream(spark: SparkSession, events: DataFrame,
+                           tsCol: String,
+                           intervals: Seq[(String, String, Double)],
+                           heightCol: String,
+                           valCol: String,
+                           valueToWlb: (org.apache.spark.sql.Column,
+                             org.apache.spark.sql.Column) =>
+                             org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Hydro.piecewiseIntervals(spark, events, tsCol,
+        intervals, heightCol)
+      .withColumn("wlb", valueToWlb(col(valCol), col(heightCol)))
+
   def gapReportStream(spark: SparkSession, events: Dataset[GapEvent],
                       thresholdSec: Long,
                       watermarkDelay: String = "10 minutes",

@@ -886,4 +886,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- grid-cell radius join vs the brute-force pair scan ------------
+
+  test("stationDistancesWithin equals the brute-force radius scan on random networks") {
+    // random station clouds spanning many grid cells, mixed signs,
+    // coordinates often NEAR cell edges (quantized to 0.25 = d/4) so
+    // adjacent-cell pairs and exact-boundary distances get exercised
+    val genNet: Gen[List[(Double, Double)]] = for {
+      n <- Gen.choose(2, 60)
+      pt = for {
+        x <- Gen.choose(-16, 16)
+        y <- Gen.choose(-16, 16)
+      } yield (x * 0.25, y * 0.25)
+      pts <- Gen.listOfN(n, pt)
+    } yield pts
+    val d = 1.0
+    samples(genNet, 6, 7001L).zipWithIndex.foreach { case (pts, i) =>
+      val df = pts.zipWithIndex
+        .map { case ((mn, me), j) => (f"s$j%03d", mn, me) }
+        .toDF("k", "dnorth", "deast")
+        .withColumn("ts", lit("2024-01-10 00:00:00").cast("timestamp"))
+      val got = graft.operators.Gps.stationDistancesWithin(df, Seq("k"),
+          "ts", "dnorth", "deast", "2024-01-01", "2024-02-01", d)
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          r.getDouble(2))).toMap
+      val keys = pts.indices.map(j => f"s$j%03d")
+      val ref = (for {
+        a <- pts.indices; b <- (a + 1) until pts.length
+        dist = math.sqrt(math.pow(pts(a)._1 - pts(b)._1, 2) +
+          math.pow(pts(a)._2 - pts(b)._2, 2))
+        if dist <= d
+      } yield (keys(a), keys(b)) -> dist).toMap
+      // exactly-once: duplicate keys in the Spark result would have
+      // collapsed in toMap — compare sizes against the raw row count
+      val n = graft.operators.Gps.stationDistancesWithin(df, Seq("k"),
+        "ts", "dnorth", "deast", "2024-01-01", "2024-02-01", d).count()
+      assert(n.toInt === got.size, s"case $i: duplicate pairs emitted")
+      assert(got.keySet === ref.keySet,
+        s"case $i: extra=${got.keySet -- ref.keySet} missing=${ref.keySet -- got.keySet}")
+      got.foreach { case (p, dist) =>
+        assert(math.abs(dist - ref(p)) < 1e-9, s"case $i: $p distance")
+      }
+    }
+  }
 }

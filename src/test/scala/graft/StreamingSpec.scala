@@ -1012,4 +1012,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamOnCorpus === batchRare)
     } finally q.stop()
   }
+
+  test("hydroPiecewiseStream: stream-static interval join matches the batch pipeline") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val intervals = Seq(
+      ("2024-01-01", "2024-01-08", 299.31),
+      ("2024-01-08", "2024-01-15", 293.81))
+    val wlbOf = (v: org.apache.spark.sql.Column,
+                 h: org.apache.spark.sql.Column) => v * 0.05 + h
+    val rows = Seq(
+      (ts("2024-01-03 06:00:00"), 1L, 10.0),   // first interval
+      (ts("2024-01-07 23:59:59"), 1L, 20.0),   // last second of first
+      (ts("2024-01-08 00:00:00"), 2L, 30.0),   // exact boundary -> second
+      (ts("2024-01-20 12:00:00"), 2L, 40.0))   // outside all: dropped
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "event_id", "value")
+    val q = Streaming.hydroPiecewiseStream(spark, df, "ts", intervals,
+        "sensor_height", "value", wlbOf)
+      .writeStream.format("memory").queryName("hydro_pw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2))
+      q.processAllAvailable()
+      input.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("hydro_pw").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+          r.getAs[Double]("sensor_height"), r.getAs[Double]("wlb"))).toSet
+      val batch = graft.operators.Hydro.piecewiseIntervals(spark,
+          rows.toDF("ts", "event_id", "value"), "ts", intervals,
+          "sensor_height")
+        .withColumn("wlb", wlbOf(col("value"), col("sensor_height")))
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+          r.getAs[Double]("sensor_height"), r.getAs[Double]("wlb"))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3) // the out-of-interval obs dropped on both sides
+      assert(streamed.contains((1L, 10.0, 299.31, 10.0 * 0.05 + 299.31)))
+      assert(streamed.contains((2L, 30.0, 293.81, 30.0 * 0.05 + 293.81)))
+    } finally q.stop()
+  }
 }
