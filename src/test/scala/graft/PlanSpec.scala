@@ -454,6 +454,31 @@ class PlanSpec extends SparkSpec {
       s"gap audit should reuse the (key) exchange:\n$plan")
   }
 
+  test("q_approx_sketch is one partial-aggregating pass — no Expand, no join, one exchange") {
+    val plan = planOf(RelationalQueries.qApproxSketch(spark, dir))
+    // the sketch-only entry must keep the shape that justifies its
+    // existence: map-side-combining sketch aggregates over one scan.
+    // An Expand node would mean countDistinct leaked back in; a join
+    // would mean a certificate half rode along.
+    assert(!plan.contains("Expand"), s"sketch plan expands:\n$plan")
+    assert(!plan.contains("Join"), s"sketch plan joins:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"sketch half should shuffle only the 3-group partials:\n$plan")
+    assert(plan.contains("partial_approx_count_distinct") ||
+      plan.contains("HashAggregate"), s"no partial aggregation:\n$plan")
+  }
+
+  test("gps_station_dist_radius: grid-cell equi-join, no NLJ, means aggregate before pairing") {
+    val plan = planOf(GpsQueries.gpsStationDistRadius(spark, dir))
+    // the valve's point: candidate pairing is an EQUI-join on the grid
+    // cell (hash or broadcast-hash), never the all-pairs nested loop
+    // the plain gps_station_dist theta join plans
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"radius variant fell back to all-pairs:\n$plan")
+    assert(plan.contains("HashJoin"), s"no hash equi-join in:\n$plan")
+  }
+
   test("ann_pq scoring is a zero-exchange projection feeding TakeOrdered") {
     // the SCORING plan (fit runs eagerly before this plan is built):
     // encode + ADC are literal-embedded expressions over the scan
