@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.dedup.Dedup
 import graft.functions.cosineSimilarity
-import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, RelationalQueries, SimilarityQueries}
 
 /** Property-check artifact for the rows-only (`no_oracle`) queries:
   * every hash/seed-defined query gets QUANTITATIVE accuracy / parity
@@ -223,6 +223,25 @@ object Checks {
     val bruteKnnMass = bruteKnn.agg(sum(col("cos"))).head().getDouble(0)
     checks += Check("ann_knn_join", "quality_ratio_at_5_vs_brute",
       knnMass / bruteKnnMass, 0.8, ">=")
+
+    // ---- q_approx_sketch (r12): the rows-only sketch half carries
+    // the SAME accuracy floors its oracled twin's certificate states —
+    // each HLL estimate within 10% relative error of the exact
+    // distinct count (floors keyed per column)
+    val sk = RelationalQueries.qApproxSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exq = RelationalQueries.qApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val worstRel = Seq(("est_nd_orders", "nd_orders"),
+        ("est_nd_parts", "nd_parts")).map { case (e, x) =>
+      sk.map { case (k, r) =>
+        math.abs(r.getAs[Long](e).toDouble / exq(k).getAs[Long](x) - 1.0)
+      }.max
+    }
+    checks += Check("q_approx_sketch", "hll_orders_max_rel_err",
+      worstRel(0), 0.1, "<=")
+    checks += Check("q_approx_sketch", "hll_parts_max_rel_err",
+      worstRel(1), 0.1, "<=")
 
     // ---- emit ------------------------------------------------------
     val byQuery = checks.toList.groupBy(_.query).toSeq.sortBy(_._1)

@@ -21,7 +21,7 @@ object Probe {
     val spark = GraftSession.builder(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.tables.Tables.documents(spark, dir)
+    lazy val docs = graft.tables.Tables.documents(spark, dir)
     mode match {
       case "stats" =>
         val fp = graft.dedup.Dedup.fingerprintWords(docs, "doc_id", "text")
@@ -55,6 +55,26 @@ object Probe {
               s""""top_buckets":$top}""")
           } finally buckets.unpersist()
         } finally classes.unpersist()
+      case "radius" =>
+        // spread-network demonstration for stationDistancesWithin: n
+        // stations uniform over a box whose AREA grows with n (constant
+        // density ~1 station per unit², like a physical network), radius
+        // 1.0 — output per station is constant, so the valve should run
+        // ~linearly in n where the all-pairs form is C(n,2). Positions
+        // are pure xxhash64 functions of the id (ScaleGen's trick).
+        val n = args(2).toLong
+        val side = math.sqrt(n.toDouble)
+        def u(salt: Int) = (pmod(xxhash64(col("id"), lit(salt)),
+          lit(1000000L)).cast("double") + 0.5) / 1000000.0
+        val st = spark.range(0, n, 1, 32).select(
+          col("id").cast("string").as("k"),
+          (u(1) * side).as("dnorth"), (u(2) * side).as("deast"),
+          lit("2024-01-10 00:00:00").cast("timestamp").as("ts"))
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Gps.stationDistancesWithin(st, Seq("k"),
+          "ts", "dnorth", "deast", "2024-01-01", "2024-02-01", 1.0).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"dir":"synthetic","n_stations":$n,"pairs":$pairs,"sec":$sec}""")
       case "capped" =>
         val cap = args(2).toInt
         val t0 = System.nanoTime()
