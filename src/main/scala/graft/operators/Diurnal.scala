@@ -274,16 +274,30 @@ object Diurnal {
     * (the reference appends None rows); rows where both picks exist and
     * min > max are dropped.
     */
+  /** The calibration step of [[extremaPredicted]], exposed on its own
+    * (r12): per-key mean decimal-hour of the min/max picks over the
+    * calibration window — the `occ` dim [[extremaPredicted]] windows
+    * against, and the PREFIT a streaming deployment hands to
+    * [[graft.streaming.Streaming.diurnalPredictedStream]] (fit in
+    * batch, gate on the stream — the dfCapStream contract). One
+    * definition for both engines.
+    */
+  def predictedOccurrences(df: DataFrame, keys: Seq[String], tsCol: String,
+                           valCol: String,
+                           calibEndExclusive: String): DataFrame = {
+    val calib = extrema(
+      df.filter(col(tsCol) < lit(calibEndExclusive).cast("timestamp")),
+      keys, tsCol, valCol)
+    calib.groupBy(keys.map(col): _*).agg(
+      round(avg(round(decimalHours(col("min_time"), col("day")))), 3).as("min_occ"),
+      round(avg(round(decimalHours(col("max_time"), col("day")))), 3).as("max_occ"))
+  }
+
   def extremaPredicted(df: DataFrame, keys: Seq[String], tsCol: String,
                        valCol: String, calibEndExclusive: String,
                        halfWindowHours: Int = 8,
                        minFirst: Boolean = false): DataFrame = {
-    val calib = extrema(
-      df.filter(col(tsCol) < lit(calibEndExclusive).cast("timestamp")),
-      keys, tsCol, valCol)
-    val occ = calib.groupBy(keys.map(col): _*).agg(
-      round(avg(round(decimalHours(col("min_time"), col("day")))), 3).as("min_occ"),
-      round(avg(round(decimalHours(col("max_time"), col("day")))), 3).as("max_occ"))
+    val occ = predictedOccurrences(df, keys, tsCol, valCol, calibEndExclusive)
 
     val dayCol = date_trunc("day", col(tsCol))
     val days = df.select(keys.map(col) :+ dayCol.as("day"): _*).distinct()

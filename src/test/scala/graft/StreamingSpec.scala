@@ -1013,6 +1013,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diurnalPredictedStream matches batch extremaPredicted (prefit occ, disorder within watermark)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // 2 stations, 5 days of 2-hourly observations with a diurnal dip
+    // around (key-dependent) early hours and a peak around afternoon;
+    // deterministic pseudo-noise exercises non-trivial picks and a
+    // repeated-value tie inside a window
+    val rnd = new scala.util.Random(42)
+    val events = for {
+      key <- Seq(1L, 2L)
+      day <- 0 until 5
+      hour <- 0 until 24 by 2
+    } yield {
+      val base = 10.0 + 5.0 * math.sin((hour - 6 + key) / 24.0 * 2 * math.Pi)
+      val v = math.floor((base + rnd.nextDouble() * 0.5) * 2) / 2 // coarse grid -> ties
+      Streaming.DiurnalEvent(key,
+        ts(f"2024-01-0${day + 1}%d $hour%02d:15:00"), v)
+    }
+    val calibEnd = "2024-01-03"
+    val batchDf = events.map(e => (e.key, e.ts, e.value)).toDF("key", "ts", "value")
+    val occDf = graft.operators.Diurnal.predictedOccurrences(
+      batchDf, Seq("key"), "ts", "value", calibEnd)
+    val occ = occDf.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val expected = graft.operators.Diurnal.extremaPredicted(
+        batchDf, Seq("key"), "ts", "value", calibEnd, halfWindowHours = 8)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5)))).toSet
+    // stream: one chunk per calendar day, fully shuffled INSIDE each
+    // chunk (disorder bounded by the 1-day watermark — shuffling across
+    // days would make genuinely-late data the test's subject instead of
+    // parity), then a far-future sentinel per key to push the watermark
+    // past every real day's close
+    val shufIn = new scala.util.Random(7)
+    val chunks = events.groupBy(_.ts.getTime / 86400000L).toSeq
+      .sortBy(_._1).map { case (_, es) => shufIn.shuffle(es) }
+    val input = MemoryStream[Streaming.DiurnalEvent]
+    val q = Streaming.diurnalPredictedStream(spark, input.toDS(), occ,
+        halfWindowHours = 8, watermarkDelay = "1 day")
+      .writeStream.format("memory").queryName("diurnal_pred")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData(Seq(
+        Streaming.DiurnalEvent(1L, ts("2024-02-01 00:00:00"), 0.0),
+        Streaming.DiurnalEvent(2L, ts("2024-02-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      // one more empty-ish trigger so event-time timeouts fire for any
+      // day whose close landed exactly on the new watermark
+      input.addData(Seq(
+        Streaming.DiurnalEvent(1L, ts("2024-02-01 00:00:01"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("diurnal_pred").collect()
+        .map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime, Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(got === expected,
+        s"stream-batch drift: extra=${got -- expected} missing=${expected -- got}")
+      assert(expected.nonEmpty && expected.forall(_._3.nonEmpty))
+    } finally q.stop()
+  }
+
   test("hydroPiecewiseStream: stream-static interval join matches the batch pipeline") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
