@@ -130,10 +130,21 @@ object DedupQueries extends QueryPack {
     * the identical pair set by brute force — the first near-dup-by-
     * signature operator on the hash-verified surface (MinHash/seeded-
     * SimHash/LSH stay rows-only by seed-dependence, not by kind).
+    *
+    * Since r12 the entry ships with the PRODUCTION valve
+    * (`maxBucketSize = 10000`, the simhashNearDup convention —
+    * verdict-r11 spirit of the dedup_prune default): inert at oracle
+    * scale (sf0.1 probe: largest identical class 249 docs, hottest
+    * block bucket 668 classes — output identical to uncapped, so the
+    * brute-force oracle still states the exact set), binding only on
+    * the corpus shapes where the exact operator's output itself is the
+    * cost (the mult=1000 probe: 250k-doc classes, 3.7e10 identical
+    * pairs; capped run 55.9 s vs 2994 s — SCALING r12). The uncapped
+    * exact form stays one explicit argument away.
     */
   def dedupHamming(s: SparkSession, dir: String): DataFrame =
     Dedup.hammingNearDup(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = 3, maxBucketSize = 10000)
 
   /** G5 `dedup_embed` — hyperplane-LSH bucketed cosine near-dup pairs. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
