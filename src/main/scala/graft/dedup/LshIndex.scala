@@ -59,31 +59,19 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
   // a schema-inferring read of that directory throws
   // UNABLE_TO_INFER_SCHEMA — the declared schema makes it an empty
   // frame instead (and skips footer inference on every load).
-  // Legacy-layout guard (ADVICE r11): indexes written before appends
-  // cast idCol to long can hold INT32 doc_id in their parquet files,
-  // and a declared-BIGINT read of an INT32 column is reader-dependent
-  // (the vectorized reader rejects the widening). When data files
-  // exist, read footer-inferred and CAST to the declared schema — an
-  // upcast the plan applies uniformly — keeping the declared-schema
-  // path only for the empty bootstrap case.
-  private def readDeclared(sub: String, ddl: String): DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(dir) && {
-      val it = fs.listFiles(dir, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    if (!hasData) spark.read.schema(schema).parquet(s"$path/$sub")
-    else spark.read.parquet(s"$path/$sub")
-      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-  }
-  def sigs: DataFrame = readDeclared("sigs", "doc_id BIGINT, sig ARRAY<BIGINT>")
-  def banded: DataFrame =
-    readDeclared("banded", "doc_id BIGINT, band INT, bh BIGINT")
+  // Legacy-layout note (ADVICE r11): indexes written before appends
+  // cast idCol to long can hold INT32 doc_id in their parquet files.
+  // MEASURED on this Spark (4.1.2): the vectorized reader widens
+  // INT32 parquet columns into a declared-BIGINT read transparently,
+  // including MIXED directories (legacy INT32 files + post-upgrade
+  // INT64 appends in one dir) — DedupSpec's legacy test pins both the
+  // pure-legacy load and the append-after-upgrade lifecycle, so a
+  // Spark upgrade that drops the widening fails the suite loudly
+  // instead of corrupting ingest.
+  def sigs: DataFrame = spark.read
+    .schema("doc_id BIGINT, sig ARRAY<BIGINT>").parquet(s"$path/sigs")
+  def banded: DataFrame = spark.read
+    .schema("doc_id BIGINT, band INT, bh BIGINT").parquet(s"$path/banded")
 
   private[dedup] def signatures(docs: DataFrame, idCol: String,
                                 textCol: String): DataFrame = {

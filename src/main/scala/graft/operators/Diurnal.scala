@@ -265,15 +265,6 @@ object Diurnal {
         Seq("_c_day", "_c_which", "_c_val", "_c_time"): _*)
   }
 
-  /** Predicted-timing extrema (B6; diurnal.py:454 `predict_extrema` +
-    * get_occurance_windows): mean occurrence-hours of the plain extrema
-    * over a calibration window (each occurrence rounded to the nearest
-    * hour, mean rounded to 3 dp — diurnal.py:570/595), then extrema are
-    * picked only inside +/- `halfWindowHours` around the predicted hour
-    * of each day. Days with no observation in a window keep a null pick
-    * (the reference appends None rows); rows where both picks exist and
-    * min > max are dropped.
-    */
   /** The calibration step of [[extremaPredicted]], exposed on its own
     * (r12): per-key mean decimal-hour of the min/max picks over the
     * calibration window — the `occ` dim [[extremaPredicted]] windows
@@ -293,6 +284,15 @@ object Diurnal {
       round(avg(round(decimalHours(col("max_time"), col("day")))), 3).as("max_occ"))
   }
 
+  /** Predicted-timing extrema (B6; diurnal.py:454 `predict_extrema` +
+    * get_occurance_windows): mean occurrence-hours of the plain extrema
+    * over a calibration window (each occurrence rounded to the nearest
+    * hour, mean rounded to 3 dp — diurnal.py:570/595), then extrema are
+    * picked only inside +/- `halfWindowHours` around the predicted hour
+    * of each day. Days with no observation in a window keep a null pick
+    * (the reference appends None rows); rows where both picks exist and
+    * min > max are dropped.
+    */
   def extremaPredicted(df: DataFrame, keys: Seq[String], tsCol: String,
                        valCol: String, calibEndExclusive: String,
                        halfWindowHours: Int = 8,

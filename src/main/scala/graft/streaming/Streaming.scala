@@ -594,6 +594,17 @@ object Streaming {
                              watermarkDelay: String = "1 day")
       : Dataset[DiurnalPickOut] = {
     import spark.implicits._
+    // day truncation here is fixed-24h UTC arithmetic (floorMod of
+    // epoch micros); the batch twin truncates in the SESSION timezone
+    // (date_trunc) — under any non-UTC session the two would silently
+    // disagree on every window anchor. The library pins UTC
+    // (GraftSession; the oracles and parquet encodings assume it), so
+    // fail loud instead of drifting quiet.
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+      s"diurnalPredictedStream requires a UTC session timezone for batch " +
+        s"parity (date_trunc vs epoch-day arithmetic); got '$tz'")
     val dayLenUs = 86400000000L
     val halfH = halfWindowHours.toDouble
     def boundsOf(dayUs: Long, occH: Double): (Long, Long) = (
@@ -643,11 +654,17 @@ object Streaming {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) = days.values.toSeq.sortBy(_.dayUs)
             .partition(d => closeUs(d.dayUs, kOcc) < wmUs)
-          val out = closed.filter(_.seen).map { d =>
-            DiurnalPickOut(key, tsFromMicros(d.dayUs),
-              d.minV, d.minT.map(tsFromMicros),
-              d.maxV, d.maxT.map(tsFromMicros))
-          }
+          // batch parity: extremaPredicted drops a day whose two picks
+          // INVERT (min_val > max_val with both present) — a window
+          // placement the calibration's prediction contradicts
+          val out = closed
+            .filter(d => d.seen &&
+              !(d.minV.isDefined && d.maxV.isDefined && d.minV.get > d.maxV.get))
+            .map { d =>
+              DiurnalPickOut(key, tsFromMicros(d.dayUs),
+                d.minV, d.minT.map(tsFromMicros),
+                d.maxV, d.maxT.map(tsFromMicros))
+            }
           if (open.isEmpty) state.remove()
           else {
             state.update(DiurnalPredState(open))
@@ -666,30 +683,6 @@ object Streaming {
   case class GapReport(key: Long, n_obs: Long, max_gap_us: Option[Long],
                        n_gaps_over: Long, n_late: Long)
 
-  /** Streaming twin of [[graft.operators.TimeSeriesOps.gapReport]]
-    * (A13 `ts_gaps` — VERDICT r10 item 3): the per-key sampling-gap
-    * audit as a live monitor. Per-key state is O(1) — last observed
-    * event time plus the running (n_obs, max_gap, n_gaps_over)
-    * report — updated in MICROSECONDS (`Timestamp.getTime * 1000 +
-    * sub-ms nanos`), the batch operator's unit, so batch and stream
-    * state the same gaps bit-for-bit (the stepDetectStream ms-vs-µs
-    * drift reviewed in r10 is designed out here, not documented
-    * around). Update mode: each trigger emits the refreshed report
-    * for every key that saw data.
-    *
-    * Disorder contract: events are folded in event-time order WITHIN
-    * each trigger; an event arriving in a LATER trigger with a
-    * timestamp behind the key's frontier cannot retroactively split
-    * an already-stated gap (no retraction in Update mode), so it
-    * counts into `n_obs` and the explicit `n_late` column and touches
-    * no gap statistic — the audit states its own blind spot instead
-    * of silently mis-stating gaps. For in-order feeds (n_late = 0)
-    * the stream report equals the batch gapReport exactly
-    * (spec-pinned). State for idle keys is dropped after `stateTtl`
-    * past the watermark when set (the latestStateStream
-    * unbounded-key-churn lesson); with no TTL, state is one small row
-    * per key forever — bound it on churn-heavy key spaces.
-    */
   /** Streaming twin of D4 hydro_piecewise (VERDICT r11 item 6 — the
     * live-sensor deployment the reference's field campaigns imply): a
     * pressure-transducer stream gets its dated sensor-height interval
@@ -723,6 +716,30 @@ object Streaming {
         intervals, heightCol)
       .withColumn("wlb", valueToWlb(col(valCol), col(heightCol)))
 
+  /** Streaming twin of [[graft.operators.TimeSeriesOps.gapReport]]
+    * (A13 `ts_gaps` — VERDICT r10 item 3): the per-key sampling-gap
+    * audit as a live monitor. Per-key state is O(1) — last observed
+    * event time plus the running (n_obs, max_gap, n_gaps_over)
+    * report — updated in MICROSECONDS (`Timestamp.getTime * 1000 +
+    * sub-ms nanos`), the batch operator's unit, so batch and stream
+    * state the same gaps bit-for-bit (the stepDetectStream ms-vs-µs
+    * drift reviewed in r10 is designed out here, not documented
+    * around). Update mode: each trigger emits the refreshed report
+    * for every key that saw data.
+    *
+    * Disorder contract: events are folded in event-time order WITHIN
+    * each trigger; an event arriving in a LATER trigger with a
+    * timestamp behind the key's frontier cannot retroactively split
+    * an already-stated gap (no retraction in Update mode), so it
+    * counts into `n_obs` and the explicit `n_late` column and touches
+    * no gap statistic — the audit states its own blind spot instead
+    * of silently mis-stating gaps. For in-order feeds (n_late = 0)
+    * the stream report equals the batch gapReport exactly
+    * (spec-pinned). State for idle keys is dropped after `stateTtl`
+    * past the watermark when set (the latestStateStream
+    * unbounded-key-churn lesson); with no TTL, state is one small row
+    * per key forever — bound it on churn-heavy key spaces.
+    */
   def gapReportStream(spark: SparkSession, events: Dataset[GapEvent],
                       thresholdSec: Long,
                       watermarkDelay: String = "10 minutes",
@@ -731,8 +748,8 @@ object Streaming {
     import spark.implicits._
     // construction-time contract (ADVICE r11): a non-positive TTL
     // makes setTimeoutTimestamp throw MID-STREAM once the computed
-    // timeout falls at/behind the current watermark — fail here, and
-    // clamp the runtime timeout strictly past the watermark besides
+    // timeout falls at/behind the current watermark — fail here (the
+    // require alone guarantees watermark+ttl > watermark at runtime)
     require(stateTtlMillis.forall(_ > 0),
       s"stateTtlMillis must be positive when set, got $stateTtlMillis")
     val thrUs = thresholdSec * 1000000L
@@ -762,7 +779,7 @@ object Streaming {
             }
             state.update(st)
             stateTtlMillis.foreach(ttl => state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + math.max(ttl, 1L),
+              math.max(state.getCurrentWatermarkMs() + ttl,
                 st.lastTsUs / 1000L + ttl)))
             Iterator.single(
               GapReport(key, st.nObs, st.maxGapUs, st.nOver, st.nLate))

@@ -794,10 +794,12 @@ class DedupSpec extends SparkSpec {
       reopened.sigs.count())
   }
 
-  test("LshIndex: legacy INT32-doc_id layout upcasts on read (ADVICE r11)") {
+  test("LshIndex: legacy INT32-doc_id layout upcasts on read, incl. post-upgrade appends (ADVICE r11)") {
     // indexes written before appends cast idCol to long hold INT32
-    // doc_id in their parquet files; the read path must upcast instead
-    // of tripping the vectorized reader's widening rejection
+    // doc_id in their parquet files; the declared-BIGINT read must
+    // widen them — measured supported on Spark 4.1.2 (LshIndex note) —
+    // and must keep working after the first post-upgrade append leaves
+    // the directory MIXED (INT32 + INT64 files)
     val dir = java.nio.file.Files.createTempDirectory("lshlegacy").toString
     val initial = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again tonight"),
@@ -834,6 +836,19 @@ class DedupSpec extends SparkSpec {
     val pairs = idx.check(probe, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((5L, 100L)))
+    // post-upgrade lifecycle: the first add() writes INT64 files into
+    // the same dirs (mode append) — the mixed directory must read and
+    // ingest exactly like a uniform one
+    idx.checkAndAdd(probe, "doc_id", "text")
+    assert(idx.sigs.count() === 3)
+    assert(idx.sigs.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val probe2 = Seq(
+      (300L, "completely different content about spark plans and shuffles at scale"))
+      .toDF("doc_id", "text")
+    val pairs2 = idx.check(probe2, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 === Set((200L, 300L))) // matches a LEGACY-file doc
   }
 
   test("pruneNearDups keeps each cluster's smallest id and every unpaired doc") {

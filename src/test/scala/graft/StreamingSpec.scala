@@ -1076,6 +1076,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diurnalPredictedStream drops inverted days (min pick > max pick), the batch filter") {
+    implicit val sqlCtx = spark.sqlContext
+    // hand-set occ with disjoint +-2h windows: min in [02,06], max in
+    // [10,14]. Day 1 inverts (only a 25.0 in the min window, only a
+    // 1.0 in the max window) -> batch extremaPredicted's final filter
+    // drops it; day 2 is well-formed -> emitted
+    val occ = Map(1L -> (4.0, 12.0))
+    val input = MemoryStream[Streaming.DiurnalEvent]
+    val q = Streaming.diurnalPredictedStream(spark, input.toDS(), occ,
+        halfWindowHours = 2, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("diurnal_inv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        Streaming.DiurnalEvent(1L, ts("2024-01-01 04:00:00"), 25.0),
+        Streaming.DiurnalEvent(1L, ts("2024-01-01 12:00:00"), 1.0),
+        Streaming.DiurnalEvent(1L, ts("2024-01-02 04:00:00"), 3.0),
+        Streaming.DiurnalEvent(1L, ts("2024-01-02 12:00:00"), 9.0),
+        Streaming.DiurnalEvent(1L, ts("2024-02-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Streaming.DiurnalEvent(1L, ts("2024-02-01 00:00:01"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("diurnal_inv").collect()
+        .map(r => (r.getTimestamp(1), Option(r.get(2)), Option(r.get(4))))
+      assert(got.toSeq === Seq(
+        (ts("2024-01-02 00:00:00"), Some(3.0), Some(9.0))),
+        s"inverted day must be dropped, well-formed day emitted: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("hydroPiecewiseStream: stream-static interval join matches the batch pipeline") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
