@@ -850,6 +850,95 @@ class PropertySpec extends SparkSpec {
     dupOf <- Gen.listOfN(nDup, Gen.choose(0, n - 1))
   } yield (vocabDocs, dupOf)
 
+  test("diurnalPredictedStream equals the windowed-pick fold for random series and random occ windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    // occ is RANDOM (not data-derived) — the stream takes it as a
+    // prefit input, so the property covers window placements the
+    // calibration formula would never produce. Bounds stay in [0, 24)
+    // with half <= 8 so the documented 3-day candidacy is complete and
+    // the in-memory reference may scan all events.
+    val dayUsL = 86400000000L
+    val gen = for {
+      n <- Gen.choose(10, 40)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 2)
+        d <- Gen.choose(0, 3)
+        min <- Gen.choose(0, 1439)
+        v <- Gen.choose(1, 5)
+      } yield (k.toLong, d, min, v.toDouble))
+      occ1m <- Gen.choose(0, 23); occ1x <- Gen.choose(0, 23)
+      occ2m <- Gen.choose(0, 23); occ2x <- Gen.choose(0, 23)
+      half <- Gen.oneOf(2, 4, 8)
+    } yield (evs, Map(1L -> (occ1m + 0.5, occ1x + 0.5),
+      2L -> (occ2m + 0.5, occ2x + 0.5)), half)
+    samples(gen, 4, 31013L).zipWithIndex.foreach { case ((evs, occ, half), i) =>
+      val baseUs = ts("2024-01-01 00:00:00").getTime * 1000L
+      val events = evs.map { case (k, d, min, v) =>
+        Streaming.DiurnalEvent(k,
+          new java.sql.Timestamp((baseUs + d * dayUsL + min * 60000000L) / 1000L), v)
+      }
+      def usOf(e: Streaming.DiurnalEvent): Long = e.ts.getTime * 1000L
+      // in-memory reference: documented contract — for each OBSERVED
+      // (key, day), conditional picks over the occ±half windows with
+      // (v, earliest-us) tie-breaks, inverted days dropped
+      val exp = (for {
+        k <- occ.keys.toSeq
+        es = events.filter(_.key == k)
+        day <- es.map(e => usOf(e) - java.lang.Math.floorMod(usOf(e), dayUsL)).distinct
+      } yield {
+        def win(occH: Double) = (
+          day + math.floor((occH - half) * 3600e6).toLong,
+          day + math.floor((occH + half) * 3600e6).toLong)
+        val (mLo, mHi) = win(occ(k)._1)
+        val (xLo, xHi) = win(occ(k)._2)
+        val inMin = es.filter(e => usOf(e) >= mLo && usOf(e) <= mHi)
+        val inMax = es.filter(e => usOf(e) >= xLo && usOf(e) <= xHi)
+        val mn = if (inMin.isEmpty) None
+          else Some(inMin.minBy(e => (e.value, usOf(e))))
+        val mx = if (inMax.isEmpty) None
+          else Some(inMax.minBy(e => (-e.value, usOf(e))))
+        (k, day, mn, mx)
+      }).filter { case (_, _, mn, mx) =>
+        !(mn.isDefined && mx.isDefined && mn.get.value > mx.get.value)
+      }.map { case (k, day, mn, mx) =>
+        (k, day / 1000L, mn.map(_.value), mn.map(usOf), mx.map(_.value), mx.map(usOf))
+      }.toSet
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Streaming.DiurnalEvent]
+      val qn = s"diurnal_prop_$i"
+      val q = Streaming.diurnalPredictedStream(spark, input.toDS(), occ,
+          halfWindowHours = half, watermarkDelay = "1 day")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // day-ordered chunks, shuffled inside (disorder within watermark)
+        val shuf = new scala.util.Random(500 + i)
+        events.groupBy(e => e.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+          .foreach { case (_, c) =>
+            input.addData(shuf.shuffle(c)); q.processAllAvailable()
+          }
+        val farMs = (baseUs / 1000L) + 100L * 86400000L
+        occ.keys.foreach(k => input.addData(
+          Streaming.DiurnalEvent(k, new java.sql.Timestamp(farMs), 0.0)))
+        q.processAllAvailable()
+        input.addData(Streaming.DiurnalEvent(1L,
+          new java.sql.Timestamp(farMs + 1000L), 0.0))
+        q.processAllAvailable()
+        val got = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[java.sql.Timestamp].getTime * 1000L),
+            Option(r.get(4)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[java.sql.Timestamp].getTime * 1000L)))
+          .filter(_._2 < farMs).toSet
+        assert(got === exp,
+          s"case $i half=$half occ=$occ: extra=${got -- exp} missing=${exp -- got}")
+      } finally q.stop()
+    }
+  }
+
   test("minhashLsh finds every planted exact duplicate; every emitted jaccard is the true shingle jaccard") {
     samples(genCorpus, 6, 4004L).zipWithIndex.foreach { case ((texts, dupOf), i) =>
       val n = texts.size
