@@ -230,7 +230,12 @@ object Checks {
     // distinct count (floors keyed per column)
     val sk = RelationalQueries.qApproxSketch(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
-    val exq = RelationalQueries.qApprox(spark, sfDir)
+    // exact twins directly — running full qApprox here would recompute
+    // the sketches and the histogram-quantile rank windows just to
+    // discard them (review finding)
+    val exq = Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd_orders"),
+        countDistinct(col("l_partkey")).as("nd_parts"))
       .collect().map(r => r.getString(0) -> r).toMap
     val worstRel = Seq(("est_nd_orders", "nd_orders"),
         ("est_nd_parts", "nd_parts")).map { case (e, x) =>

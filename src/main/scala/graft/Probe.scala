@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   runMain graft.Probe <sfDir> stats          — class + bucket mass
   *   runMain graft.Probe <sfDir> capped <cap>   — timed capped hamming run
+  *   runMain graft.Probe x radius <nStations>   — constant-density
+  *     spread-network timing of stationDistancesWithin (dir unused)
   */
 object Probe {
   def main(args: Array[String]): Unit = {

@@ -637,14 +637,20 @@ object Streaming {
               if (inMin || inMax || isOwn) {
                 val d0 = days.getOrElse(dayUs,
                   DiurnalDayState(dayUs, seen = false, None, None, None, None))
+                // comparisons via Double.compare = Spark's double sort
+                // order (NaN greater than everything), so the fold is
+                // arrival-order-independent and batch-identical even on
+                // NaN observations (primitive <,> are both false vs NaN
+                // — an order-dependent pick, review finding)
+                def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
                 val d1 =
-                  if (inMin && (d0.minV.isEmpty || e.value < d0.minV.get ||
-                      (e.value == d0.minV.get && us < d0.minT.get)))
+                  if (inMin && (d0.minV.isEmpty || cmp(e.value, d0.minV.get) < 0 ||
+                      (cmp(e.value, d0.minV.get) == 0 && us < d0.minT.get)))
                     d0.copy(minV = Some(e.value), minT = Some(us))
                   else d0
                 val d2 =
-                  if (inMax && (d1.maxV.isEmpty || e.value > d1.maxV.get ||
-                      (e.value == d1.maxV.get && us < d1.maxT.get)))
+                  if (inMax && (d1.maxV.isEmpty || cmp(e.value, d1.maxV.get) > 0 ||
+                      (cmp(e.value, d1.maxV.get) == 0 && us < d1.maxT.get)))
                     d1.copy(maxV = Some(e.value), maxT = Some(us))
                   else d1
                 days = days.updated(dayUs, d2.copy(seen = d2.seen || isOwn))
@@ -656,10 +662,12 @@ object Streaming {
             .partition(d => closeUs(d.dayUs, kOcc) < wmUs)
           // batch parity: extremaPredicted drops a day whose two picks
           // INVERT (min_val > max_val with both present) — a window
-          // placement the calibration's prediction contradicts
+          // placement the calibration's prediction contradicts.
+          // Double.compare again: SQL's `>` treats NaN as greater than
+          // every double, primitive `>` as incomparable
           val out = closed
-            .filter(d => d.seen &&
-              !(d.minV.isDefined && d.maxV.isDefined && d.minV.get > d.maxV.get))
+            .filter(d => d.seen && !(d.minV.isDefined && d.maxV.isDefined &&
+              java.lang.Double.compare(d.minV.get, d.maxV.get) > 0))
             .map { d =>
               DiurnalPickOut(key, tsFromMicros(d.dayUs),
                 d.minV, d.minT.map(tsFromMicros),
@@ -739,6 +747,15 @@ object Streaming {
     * past the watermark when set (the latestStateStream
     * unbounded-key-churn lesson); with no TTL, state is one small row
     * per key forever — bound it on churn-heavy key spaces.
+    *
+    * TTL-MODE CAVEAT (review finding, spec-pinned): enabling the TTL
+    * switches the operator to EventTimeTimeout, and Spark then drops
+    * input rows older than the watermark BEFORE they reach the fold —
+    * so in TTL mode `n_obs`/`n_late` count only within-watermark
+    * disorder, while the no-TTL mode folds every arrival however late.
+    * Pick per deployment: complete late accounting (no TTL) or bounded
+    * state under key churn (TTL) — not both; the engine's late filter
+    * is tied to the timeout mode.
     */
   def gapReportStream(spark: SparkSession, events: Dataset[GapEvent],
                       thresholdSec: Long,

@@ -955,6 +955,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapReportStream with a TTL: engine drops beyond-watermark rows before the fold (documented mode difference)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // EventTimeTimeout (the TTL mode) makes Spark filter input rows
+    // older than the watermark BEFORE flatMapGroupsWithState, so a
+    // beyond-watermark arrival never reaches n_obs/n_late — unlike the
+    // NoTimeout mode above, where every arrival is folded. This pins
+    // the engine behavior the scaladoc states; if a Spark upgrade
+    // changes the filter, this test fails and the doc must move.
+    val input = MemoryStream[Streaming.GapEvent]
+    val q = Streaming.gapReportStream(spark, input.toDS(), thresholdSec = 3600,
+        watermarkDelay = "10 minutes", stateTtlMillis = Some(86400000L))
+      .writeStream.format("memory").queryName("gap_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Streaming.GapEvent(1L, ts("2024-01-01 00:00:00")),
+        Streaming.GapEvent(1L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable() // watermark -> 05:50
+      // beyond-watermark arrival: dropped by the engine in TTL mode
+      input.addData(Streaming.GapEvent(1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val n = spark.table("gap_ttl").agg(max(col("n_obs"))).collect()(0).getLong(0)
+      val late = spark.table("gap_ttl").agg(max(col("n_late"))).collect()(0).getLong(0)
+      assert(n === 2L, s"beyond-watermark row reached the fold: n_obs=$n")
+      assert(late === 0L)
+      // within-watermark disorder still counts into n_late in TTL mode
+      input.addData(Streaming.GapEvent(1L, ts("2024-01-01 05:55:00")))
+      q.processAllAvailable()
+      val late2 = spark.table("gap_ttl").agg(max(col("n_late"))).collect()(0).getLong(0)
+      assert(late2 === 1L)
+    } finally q.stop()
+  }
+
   test("dfCapStream: stateless boilerplate gate matches the batch rare-universe, unseen blocks pass") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
@@ -1094,6 +1128,13 @@ class StreamingSpec extends SparkSpec {
         Streaming.DiurnalEvent(1L, ts("2024-01-01 12:00:00"), 1.0),
         Streaming.DiurnalEvent(1L, ts("2024-01-02 04:00:00"), 3.0),
         Streaming.DiurnalEvent(1L, ts("2024-01-02 12:00:00"), 9.0),
+        // day 3: NaN arrives BEFORE the real min-window value — the
+        // SQL double order (NaN greatest) must pick 4.0 as min and NaN
+        // as max, regardless of arrival order (review finding)
+        Streaming.DiurnalEvent(1L, ts("2024-01-03 03:00:00"), Double.NaN),
+        Streaming.DiurnalEvent(1L, ts("2024-01-03 04:30:00"), 4.0),
+        Streaming.DiurnalEvent(1L, ts("2024-01-03 12:00:00"), 6.0),
+        Streaming.DiurnalEvent(1L, ts("2024-01-03 13:00:00"), Double.NaN),
         Streaming.DiurnalEvent(1L, ts("2024-02-01 00:00:00"), 0.0)))
       q.processAllAvailable()
       input.addData(Seq(
@@ -1101,9 +1142,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("diurnal_inv").collect()
         .map(r => (r.getTimestamp(1), Option(r.get(2)), Option(r.get(4))))
-      assert(got.toSeq === Seq(
-        (ts("2024-01-02 00:00:00"), Some(3.0), Some(9.0))),
-        s"inverted day must be dropped, well-formed day emitted: ${got.toSeq}")
+        .sortBy(_._1.getTime)
+      assert(got.map(_._1) === Seq(
+        ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+        s"inverted day must be dropped, others emitted: ${got.toSeq}")
+      assert(got(0)._2 === Some(3.0) && got(0)._3 === Some(9.0))
+      assert(got(1)._2 === Some(4.0), s"NaN must lose the min pick: $got")
+      assert(got(1)._3.exists(v => v.asInstanceOf[Double].isNaN),
+        s"NaN must win the max pick (SQL order): $got")
     } finally q.stop()
   }
 
