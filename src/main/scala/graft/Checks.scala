@@ -117,6 +117,29 @@ object Checks {
     checks += Check("dedup_simhash", "recall_vs_exact_jaccard_0.85",
       shHit.toDouble / math.max(nTruth085, 1), 0.7, ">=")
 
+    // dedup_hamming cap attribution (ADVICE r12): the shipped entry
+    // caps at maxBucketSize = 10000 (class cap defaults to it) while
+    // its DuckDB oracle stays the exact uncapped brute force — valid
+    // only while neither cap binds on the fixture. Measure the two
+    // observed maxima the caps bound; if fixture growth ever pushes
+    // either past the cap, THIS row goes red with the attribution in
+    // hand, instead of a bare oracle hash mismatch with no hint that
+    // the cap (not the operator) diverged.
+    val hammingCap = 10000.0
+    val hClasses = Dedup.fingerprintWords(docs, "doc_id", "text")
+      .groupBy(col("_lo"), col("_hi")).agg(count(lit(1)).as("csize")).cache()
+    val maxClass = hClasses.agg(max(col("csize"))).head().getLong(0)
+    val maxBucket = Dedup.bandedFingerprints(
+        hClasses.select(lit(0L).as("doc_id"), col("_lo"), col("_hi")),
+        Dedup.hammingBlockCount(3), "")
+      .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m"))).head().getLong(0)
+    hClasses.unpersist()
+    checks += Check("dedup_hamming", "max_identical_class_vs_cap",
+      maxClass.toDouble, hammingCap, "<=")
+    checks += Check("dedup_hamming", "max_block_bucket_vs_cap",
+      maxBucket.toDouble, hammingCap, "<=")
+
     // dedup_bloom: membership = batch text present in history (exact).
     // Zero false negatives is the Bloom contract; fp rate is bounded.
     val history = docsAll.filter(col("doc_id") % 2 === 0)

@@ -147,6 +147,19 @@ object Gps {
       .groupBy(keys.map(col): _*)
       .agg(avg(col(northCol)).as("mn"), avg(col(eastCol)).as("me"))
 
+  /** Exactly-once pair ordering over composite station keys: a strict
+    * LEXICOGRAPHIC tuple comparison via struct ordering, not a
+    * componentwise AND of per-key '<' (which would drop any pair whose
+    * key columns order in opposite directions — e.g. keys (a=1,b=9) vs
+    * (a=2,b=3) passes in neither orientation under the AND form).
+    * Single-key behavior is identical; multi-key now states every
+    * unordered pair exactly once.
+    */
+  private def pairOrder(keys: Seq[String]): Column =
+    if (keys.size == 1) col(s"a_${keys.head}") < col(s"b_${keys.head}")
+    else struct(keys.map(k => col(s"a_$k")): _*) <
+      struct(keys.map(k => col(s"b_$k")): _*)
+
   def stationDistances(df: DataFrame, keys: Seq[String], tsCol: String,
                        northCol: String, eastCol: String,
                        startInclusive: String, endExclusive: String): DataFrame = {
@@ -156,7 +169,7 @@ object Gps {
       .withColumnRenamed("mn", "a_mn").withColumnRenamed("me", "a_me")
     val b = keys.foldLeft(means)((d, k) => d.withColumnRenamed(k, s"b_$k"))
       .withColumnRenamed("mn", "b_mn").withColumnRenamed("me", "b_me")
-    a.join(b, keys.map(k => col(s"a_$k") < col(s"b_$k")).reduce(_ && _))
+    a.join(b, pairOrder(keys))
       .select(keys.map(k => col(s"a_$k")) ++ keys.map(k => col(s"b_$k")) :+
         graft.functions.quadrature(col("a_mn") - col("b_mn"),
           col("a_me") - col("b_me")).as("distance"): _*)
@@ -209,7 +222,7 @@ object Gps {
       .withColumn("_cn", floor(col("b_mn") / maxDistance).cast("long"))
       .withColumn("_ce", floor(col("b_me") / maxDistance).cast("long"))
     a.join(b, Seq("_cn", "_ce"))
-      .filter(keys.map(k => col(s"a_$k") < col(s"b_$k")).reduce(_ && _))
+      .filter(pairOrder(keys))
       .withColumn("distance",
         graft.functions.quadrature(col("a_mn") - col("b_mn"),
           col("a_me") - col("b_me")))

@@ -605,6 +605,22 @@ object Streaming {
     require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
       s"diurnalPredictedStream requires a UTC session timezone for batch " +
         s"parity (date_trunc vs epoch-day arithmetic); got '$tz'")
+    // validate the prefit calibration like the timezone: a NaN/infinite
+    // occurrence hour would make floor(NaN * 3600e6).toLong evaluate to
+    // 0 — a degenerate [dayUs, dayUs] window and silently wrong picks —
+    // whereas the batch twin's null/NaN occ yields null predicates (no
+    // picks). predictedOccurrences CAN surface NaN when calibration
+    // extrema times are null, so fail loud here (review finding r12).
+    occ.foreach { case (k, (mn, mx)) =>
+      // [0, 24] inclusive: predictedOccurrences is a mean of per-day
+      // hours each rounded to the nearest hour, so 24.0 is reachable
+      // (a 23.5+ occurrence rounds up). NaN fails every comparison.
+      require(mn >= 0.0 && mn <= 24.0 && mx >= 0.0 && mx <= 24.0,
+        s"diurnalPredictedStream: calibration for key $k has non-finite " +
+          s"or out-of-range occurrence hours ($mn, $mx); expected [0, 24]. " +
+          s"Drop uncalibratable keys before handing in the map — the batch " +
+          s"twin's null predicates emit no picks for them.")
+    }
     val dayLenUs = 86400000000L
     val halfH = halfWindowHours.toDouble
     def boundsOf(dayUs: Long, occH: Double): (Long, Long) = (
