@@ -18,10 +18,34 @@ object Bench {
     // untimed warmup: touch every table once so measured queries see a
     // warm session (parquet footers cached, codegen JIT'd) instead of
     // charging the first alphabetical query ~5s of session startup.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () })
+    // SPARK_GRAFT_WARMUP selects depth (r12 judge finding 3 — the
+    // footer-only default left first-scan queries at a new scale decade
+    // reading as 9-19x growers until a warm re-run, a storage-bandwidth
+    // number masquerading as plan growth):
+    //   footer (default) — count() per table: footers + session JIT
+    //     only; the canonical sf0.1 artifact keeps this so its history
+    //     stays comparable across rounds.
+    //   pages — additionally push every column of every table through
+    //     the noop sink, decoding all data pages into the OS page cache
+    //     so the timed passes measure the PLAN, not cold storage. Use
+    //     for scale-fixture runs feeding SCALING.md growth tables.
+    //   none — skip warmup entirely: the first pass of a min-of-N is a
+    //     true cold-cache read. Pair a none-run with a pages-run to
+    //     publish cold+warm side by side for scan-bound queries.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "footer")
+    require(Set("footer", "pages", "none")(warmup),
+      s"SPARK_GRAFT_WARMUP must be footer|pages|none, got '$warmup'")
+    if (warmup != "none")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach { t =>
+          try {
+            val df = spark.read.parquet(s"$sfDir/$t.parquet")
+            if (warmup == "pages")
+              df.write.format("noop").mode("overwrite").save()
+            else df.count()
+          } catch { case _: Throwable => () }
+        }
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset; SPARK_GRAFT_REPEAT=N times
     // each query N times and reports the MINIMUM of the N runs. Default
     // is 2: min-of-2 absorbs JIT warm-up and the transient machine

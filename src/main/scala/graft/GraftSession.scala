@@ -70,8 +70,17 @@ object GraftSession {
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
       .config("spark.ui.enabled", "false")
 
+  /** Default shuffle partitions: 32 locally (matches local[32]), but
+    * overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS so scale-fixture
+    * runs can size partitions to the DATA the way a cluster deployment
+    * would (partitions scale with input; a fixed 32 at 20 GB conflates
+    * spill with plan growth — r12 scaling-table caveat).
+    */
+  def defaultShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(32)
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = defaultShufflePartitions): SparkSession.Builder =
     tuned(SparkSession.builder().master(master), shufflePartitions)
 
   def get(): SparkSession = {

@@ -344,19 +344,20 @@ object Diurnal {
       if (!minFirst) agged(cand, maxCond(lit(Long.MinValue)))
       else {
         // min_first interplay (diurnal.py:313-316): the max window may
-        // not start before the found minimum of the same day — the min
-        // pick is an aggregate of the same group, so it needs its own
-        // per-(key, day) pass joined back onto the candidates (one row
-        // per series-day: much smaller than the observations but NOT
-        // broadcastable at cluster scale — AQE picks the join strategy).
-        val minPicks = cand.groupBy(keys.map(col) :+ col("day"): _*)
-          .agg(min(when(inMin, struct(col(valCol).as("v"), col(tsCol).as("t"))))
-            .as("_mn0"))
-        val minsR = minPicks.select(keys.map(k => col(k).as(s"_m_$k")) ++
-          Seq(col("day").as("_m_day"), col("_mn0.t").as("_m_min_time")): _*)
-        val withMin = cand.join(minsR,
-          keys.map(k => col(k) === col(s"_m_$k")).reduce(_ && _) &&
-            col("day") === col("_m_day"), "left")
+        // not start before the found minimum of the same day. The min
+        // pick is an aggregate of the SAME (key, day) group the final
+        // aggregation runs over, so it is a full-partition window over
+        // the candidates — NOT a separate groupBy pass joined back
+        // (the r12 shape): that join recomputed the whole
+        // scan+explode+days-join lineage a second time and re-shuffled
+        // the 3x-exploded corpus through it. The window's
+        // (keys, day) exchange is the exact partitioning the final
+        // groupBy needs, so min-pick and both final picks ride ONE
+        // exchange of one exploded scan.
+        val w = Window.partitionBy(keys.map(col) :+ col("day"): _*)
+        val withMin = cand.withColumn("_m_min_time",
+          min(when(inMin, struct(col(valCol).as("v"), col(tsCol).as("t"))))
+            .over(w).getField("t"))
         agged(withMin,
           maxCond(coalesce(unix_micros(col("_m_min_time")), lit(Long.MinValue))))
       }
