@@ -909,6 +909,114 @@ object Mix {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
   }
 
+  /** The END-TO-END curation funnel as ONE declarative plan: quality
+    * gate → exact dedup keep-one → eval-set decontamination →
+    * reproducible Bernoulli sample → per-source token budget →
+    * offset packing, reported as per-source stage accounting
+    * (cumulative doc counts, surviving token mass, and the pack
+    * layout pinned by `sum_tok_offset`/`n_packs`). The stages are the
+    * AssemblySpec chain (each operator spec'd alone elsewhere); this
+    * operator exists to measure what a 100 TB pipeline actually pays
+    * — EXCHANGE REUSE across stages — rather than the sum of six
+    * standalone jobs.
+    *
+    * Scale shape — the corpus is scanned ONCE and exchanged exactly
+    * TWICE, with every stage restated as a row-local flag or a window
+    * riding one of those two exchanges (PlanSpec pins scan/exchange
+    * counts):
+    *   1. gate: row-local (token floor + digit-ratio cap);
+    *   2. decontamination: row-local `arrayCountInSet` against the
+    *      benchmark's driver-collected shingle-hash set (eval sets
+    *      are tiny by contract — the [[graft.dedup.Dedup.contaminationFraction]]
+    *      / stream-gate precedent; its bounded collect runs at
+    *      CONSTRUCTION time);
+    *   3. exact dedup: `min(id) over (partition by sha2(text))` among
+    *      gated rows — exchange #1, by content hash;
+    *   4. sample: row-local [[hashUniform]] < rate;
+    *   5. budget: the per-source rate is a whole-partition window sum
+    *     over exchange #2 (by source) — NOT a separate aggregate
+    *     joined back, which would recompute the whole upstream
+    *     lineage (the diurnal_predict_minfirst lesson);
+    *   6. pack offsets: an ordered window on the SAME source
+    *      exchange; the final per-source aggregation also rides it
+    *      (window partitioning == grouping key ⇒ no further
+    *      exchange).
+    *
+    * Budget note: the budget stage reuses the same id hash as the
+    * sample stage (the [[sampleToTokenBudget]] convention), so its
+    * effective keep is `u < min(sampleRate, rate)` — deterministic
+    * and engine-reproducible, stated here because the correlation is
+    * intentional (one hash = one consistent survival order per doc:
+    * tightening budgets only ever SHRINKS the kept set).
+    *
+    * Pack-stage granularity: offsets here ride the per-source ordered
+    * window because the output is per-source accounting anyway; for a
+    * low-cardinality source domain over a real 100 TB corpus the
+    * standalone pack step should use [[packSequencesScalable]]'s
+    * sub-shard layout instead (see its shard-granularity contract).
+    * `sum_tok_offset` = Σ over budgeted docs of their running token
+    * offset — a single number that pins the ENTIRE layout (any
+    * reorder, drop, or off-by-one shifts it); `n_packs` =
+    * max(pack_id)+1 at `packCapacity` tokens per pack.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, sourceCol: String,
+                       textCol: String, benchmark: DataFrame,
+                       benchTextCol: String, minTokens: Int = 5,
+                       maxDigitRatio: Double = 0.5, shingleN: Int = 5,
+                       minOverlap: Int = 3, sampleRate: Double = 0.5,
+                       budgetTokens: Long = 2000L,
+                       packCapacity: Int = 512): DataFrame = {
+    require(minTokens > 0 && shingleN > 0 && minOverlap > 0 &&
+      packCapacity > 0 && budgetTokens > 0, "pipeline knobs must be positive")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      "sampleRate must be in (0, 1]")
+    val benchSet = graft.dedup.Dedup
+      .benchShingleHashes(benchmark, benchTextCol, shingleN)
+      .collect().map(_.getLong(0)).toSet
+    val id = col(idCol)
+    val nToks = graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+    val gated = col(textCol).isNotNull && nToks >= minTokens &&
+      graft.text.TextAnalysis.digitRatio(col(textCol)) <= maxDigitRatio
+    val contam = org.apache.spark.sql.graft.TextExpressions
+      .arrayCountInSet(org.apache.spark.sql.graft.TextExpressions
+        .shingleHashes(col(textCol), shingleN), benchSet) >= minOverlap
+    val u = hashUniform(id)
+    val wContent = Window.partitionBy(sha2(col(textCol), 256))
+    val wSource = Window.partitionBy(col(sourceCol))
+    val wPack = Window.partitionBy(col(sourceCol)).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = docs
+      .select(id, col(sourceCol), col(textCol))
+      .withColumn("_n", nToks)
+      .withColumn("_g", gated)
+      // keep-one: smallest gated id per content (dedup_exact's sha2
+      // convention); the conditional min ignores ungated rows
+      .withColumn("_dedup", col("_g") &&
+        id === min(when(col("_g"), id)).over(wContent))
+      .withColumn("_clean", col("_dedup") && !contam)
+      .withColumn("_samp", col("_clean") && u < sampleRate)
+      .withColumn("_rate", least(lit(1.0), lit(budgetTokens.toDouble) /
+        sum(when(col("_samp"), col("_n"))).over(wSource)))
+      .withColumn("_bud", col("_samp") && u < col("_rate"))
+      .withColumn("_off",
+        coalesce(sum(when(col("_bud"), col("_n"))).over(wPack), lit(0L)))
+    flagged.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("_g"), lit(1))).as("n_gated"),
+        count(when(col("_dedup"), lit(1))).as("n_deduped"),
+        count(when(col("_clean"), lit(1))).as("n_clean"),
+        count(when(col("_samp"), lit(1))).as("n_sampled"),
+        count(when(col("_bud"), lit(1))).as("n_budgeted"),
+        coalesce(sum(when(col("_bud"), col("_n"))), lit(0L))
+          .as("toks_budgeted"),
+        coalesce(sum(when(col("_bud"), col("_off"))), lit(0L))
+          .as("sum_tok_offset"),
+        coalesce(max(when(col("_bud"),
+            floor(col("_off") / packCapacity).cast("long"))) + 1L, lit(0L))
+          .as("n_packs"))
+  }
+
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")

@@ -330,7 +330,28 @@ object MixQueries extends QueryPack {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("clipped"), col("clip_tag"))
 
+  /** L20 `ds_pipeline` — the END-TO-END curation funnel as one plan
+    * ([[Mix.curationPipeline]]): quality gate → exact dedup keep-one →
+    * eval-set decontamination (bench = the `doc_id % 97` slice, the
+    * dedup_decontam convention) → hash-Bernoulli 50% sample →
+    * 2000-token per-source budget → 512-token offset packing, reported
+    * as per-source funnel accounting with the pack layout pinned by
+    * `sum_tok_offset`/`n_packs`. Every stage is individually oracled
+    * elsewhere (ds_funnel, dedup_exact, dedup_decontam, ds_sample,
+    * ds_budget, ds_pack); THIS entry exists to measure exchange reuse
+    * across the chained stages — one scan, two exchanges — which is
+    * what a 100 TB pipeline pays for, not six standalone jobs. Fully
+    * oracled: the DuckDB restatement chains the same six stage
+    * formulations over one CTE pipeline.
+    */
+  def dsPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Mix.curationPipeline(d, "doc_id", "source", "text",
+      d.filter(col("doc_id") % 97 === 0), "text")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_pipeline" -> dsPipeline,
     "ds_winsorize" -> dsWinsorize,
     "ds_ppl_buckets" -> dsPplBuckets,
     "ds_dsir" -> dsDsir,
@@ -727,5 +748,69 @@ object MixQueries extends QueryPack {
          |SELECT lo.doc_id, lo.source,
          |  CAST(lo.local_off + bb.base AS BIGINT) AS tok_offset,
          |  CAST((lo.local_off + bb.base) // 512 AS BIGINT) AS pack_id
-         |FROM lo JOIN bb ON lo.source = bb.source AND lo.ss = bb.ss""".stripMargin)
+         |FROM lo JOIN bb ON lo.source = bb.source AND lo.ss = bb.ss""".stripMargin,
+    // ds_pipeline: the six stage formulations chained over one CTE
+    // pipeline — ds_funnel's gate arithmetic, dedup_exact's
+    // group-by-text keep-one (sha2 partitioning on the Spark side is
+    // the same equivalence classes absent SHA-256 collisions),
+    // dedup_decontam's string-shingle overlap count, ds_sample's /
+    // ds_budget's Knuth-hash uniforms (same hash, so budget keep
+    // implies sample keep by construction), ds_pack's exclusive
+    // prefix-sum. Flags compose with AND exactly as the Spark plan's
+    // `_g/_dedup/_clean/_samp/_bud` columns do.
+    "ds_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    COALESCE(text IS NOT NULL
+         |      AND len(string_split_regex(trim(text), '\\s+')) >= 5
+         |      AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |        / CAST(length(text) AS DOUBLE) <= 0.5, FALSE) AS g
+         |  FROM documents),
+         |b AS (SELECT DISTINCT
+         |    unnest(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+         |      i -> array_to_string(ws[i:i+4], ' '))) AS s
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+         |        WHERE doc_id % 97 = 0)),
+         |ov AS (SELECT d.doc_id, count(*) AS n_ov
+         |  FROM (SELECT doc_id,
+         |      unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+         |        i -> array_to_string(ws[i:i+4], ' ')))) AS s
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)) d
+         |  JOIN b ON d.s = b.s GROUP BY d.doc_id),
+         |f AS (SELECT t.*, ded.d,
+         |    ded.d AND COALESCE(ov.n_ov, 0) < 3 AS cl,
+         |    ded.d AND COALESCE(ov.n_ov, 0) < 3
+         |      AND ${hashUSql("t.doc_id")} < 0.5 AS samp
+         |  FROM t
+         |  JOIN (SELECT doc_id,
+         |      g AND doc_id = min(CASE WHEN g THEN doc_id END)
+         |        OVER (PARTITION BY text) AS d
+         |    FROM t) ded ON t.doc_id = ded.doc_id
+         |  LEFT JOIN ov ON t.doc_id = ov.doc_id),
+         |bud AS (SELECT f.*,
+         |    samp AND ${hashUSql("f.doc_id")} <
+         |      least(CAST(1.0 AS DOUBLE), CAST(2000 AS DOUBLE) /
+         |        sum(CASE WHEN samp THEN n_toks END) OVER (PARTITION BY source))
+         |      AS bd
+         |  FROM f),
+         |o AS (SELECT bud.*,
+         |    CAST(COALESCE(sum(CASE WHEN bd THEN n_toks END)
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM bud)
+         |SELECT source,
+         |  count(*) AS n_total,
+         |  count(CASE WHEN g THEN 1 END) AS n_gated,
+         |  count(CASE WHEN d THEN 1 END) AS n_deduped,
+         |  count(CASE WHEN cl THEN 1 END) AS n_clean,
+         |  count(CASE WHEN samp THEN 1 END) AS n_sampled,
+         |  count(CASE WHEN bd THEN 1 END) AS n_budgeted,
+         |  CAST(COALESCE(sum(CASE WHEN bd THEN n_toks END), 0) AS BIGINT)
+         |    AS toks_budgeted,
+         |  CAST(COALESCE(sum(CASE WHEN bd THEN off END), 0) AS BIGINT)
+         |    AS sum_tok_offset,
+         |  CAST(COALESCE(max(CASE WHEN bd THEN off // 512 END) + 1, 0) AS BIGINT)
+         |    AS n_packs
+         |FROM o GROUP BY source""".stripMargin)
 }

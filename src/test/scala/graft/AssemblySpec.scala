@@ -81,4 +81,62 @@ class AssemblySpec extends SparkSpec {
     assert(funnel("quality") === total - nGated)
     assert(funnel("kept") === nGated)
   }
+
+  test("curationPipeline matches the independently-run standalone stage chain") {
+    // The fused one-plan pipeline (ds_pipeline) must report EXACTLY
+    // the per-source counts the six standalone operators produce when
+    // chained by hand — same gate, keep-one, decontam set, hash
+    // sample, budget rate, and pack offsets (packSequences' id order).
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+
+    val gated = docs
+      .withColumn("n_toks", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+      .filter(col("text").isNotNull && col("n_toks") >= 5 &&
+        TextAnalysis.digitRatio(col("text")) <= 0.5)
+    val keepIds = Dedup.exact(gated, "doc_id", "text").select(col("keep_id"))
+    val deduped = gated.join(keepIds,
+      gated("doc_id") === keepIds("keep_id"), "left_semi")
+    val clean = deduped.join(
+      Dedup.contaminatedIds(deduped, "doc_id", "text", bench, "text",
+        shingleN = 5, minOverlap = 3).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val sampled = Mix.sampleByHash(clean, "doc_id", 0.5)
+    val budgeted = Mix.sampleToTokenBudget(sampled, "doc_id", "source",
+      "n_toks", 2000L)
+    val packed = Mix.packSequences(budgeted, "source", "doc_id", "n_toks", 512)
+
+    def bySource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expSampled = bySource(sampled)
+    val expBudgeted = bySource(budgeted)
+    val expPack = packed.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("toks"),
+        sum(col("tok_offset")).as("sum_off"),
+        (max(col("pack_id")) + 1L).as("n_packs"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val pipe = Mix.curationPipeline(docs, "doc_id", "source", "text",
+      bench, "text").collect()
+    assert(pipe.nonEmpty)
+    pipe.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_sampled") === expSampled.getOrElse(src, 0L),
+        s"$src n_sampled")
+      assert(r.getAs[Long]("n_budgeted") === expBudgeted.getOrElse(src, 0L),
+        s"$src n_budgeted")
+      val (toks, sumOff, nPacks) =
+        expPack.getOrElse(src, (0L, 0L, 0L))
+      assert(r.getAs[Long]("toks_budgeted") === toks, s"$src toks_budgeted")
+      assert(r.getAs[Long]("sum_tok_offset") === sumOff, s"$src sum_tok_offset")
+      assert(r.getAs[Long]("n_packs") === nPacks, s"$src n_packs")
+      // funnel monotonicity inside one report row
+      val chain = Seq("n_total", "n_gated", "n_deduped", "n_clean",
+        "n_sampled", "n_budgeted").map(r.getAs[Long])
+      assert(chain.sliding(2).forall(p => p(0) >= p(1)), s"$src not monotone")
+    }
+  }
 }

@@ -489,4 +489,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
       s"pq scoring shuffles the corpus:\n$plan")
   }
+
+  test("ds_pipeline chains six stages over one corpus scan and two exchanges") {
+    // gate/decontam/sample are row-local flags; dedup keep-one rides
+    // the content-hash exchange; budget rate, pack offsets AND the
+    // final per-source aggregation all ride the source exchange (the
+    // bench shingle set is collected at construction — its scan runs
+    // eagerly, not in this plan). A third exchange or second corpus
+    // scan means a stage recomputed the upstream lineage.
+    val plan = planOf(MixQueries.dsPipeline(spark, dir))
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size === 1,
+      s"pipeline scans the corpus more than once:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"pipeline should exchange exactly twice (content, source):\n$plan")
+  }
 }
