@@ -215,8 +215,11 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"total_ratio":${math.round(ratio * 1000) / 1000.0},"n_over_1_5x":${outliers.size},"worst":$outJson}"""
       }
+    // config provenance: a scale A/B (partitions, warmup depth) is
+    // unreadable from the numbers alone — record what this run used
+    val shufP = spark.conf.get("spark.sql.shuffle.partitions")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"queries":$qs,"artifact":"$outName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"shuffle_partitions":$shufP,"warmup":"$warmup","repeat":$repeat,"queries":$qs,"artifact":"$outName","sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (line + "\n").getBytes("UTF-8"))

@@ -131,6 +131,79 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
   }
 
+  /** Parquet data files currently holding the assignments. Every
+    * [[addVectors]] append lands a file per task per touched cid
+    * directory, so an append-heavy lifecycle fragments the bucket scans
+    * probes prune to — measured at the r13 IndexSoak: 8 appends took
+    * the sg100 index from 240 to 2,146 files and topKBatch from 0.8 s
+    * to ~3 s, and [[recenter]] (which rewrites only the k-row centroid
+    * table) cannot recover it. This count is the compaction signal.
+    */
+  def dataFileCount(): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$path/assignments"), true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Size-triggered maintenance: when accumulated appends exceed
+    * `maxFiles` data files, rewrite the assignments into right-sized
+    * files (content-preserving — same rows, same by-cid partition
+    * layout, so probes prune identically). Returns true when a
+    * compaction ran. Same single-writer contract as appends.
+    */
+  def compactIfFragmented(maxFiles: Int = 64,
+                          targetFileRows: Long = 4000000L): Boolean = {
+    val fragmented = dataFileCount() > maxFiles
+    if (fragmented) compact(targetFileRows)
+    fragmented
+  }
+
+  /** Rewrite assignments/ into right-sized files, keeping the BY-CID
+    * partition layout probes prune with: rows are hash-salted into
+    * `ceil(bucketRows / targetFileRows)` sub-files per bucket (one
+    * task per (cid, salt) ⇒ bounded, right-sized files at any corpus
+    * scale — a 100 TB index with k buckets of 25M vectors compacts to
+    * ~targetFileRows-row files, never one monolith per bucket). Stages
+    * fully to `assignments_next` BEFORE the live table is touched,
+    * then swaps by directory rename; a crash between delete and rename
+    * leaves the complete staged copy, and the next compact() finishes
+    * the swap first — the [[graft.dedup.LshIndex.compact]] contract.
+    */
+  def compact(targetFileRows: Long = 4000000L): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    // recovery: a previous compact crashed after deleting the live
+    // table but before renaming its staged replacement
+    if (!fs.exists(p("assignments")) && fs.exists(p("assignments_next"))) {
+      require(fs.rename(p("assignments_next"), p("assignments")),
+        "IvfIndex compact recovery: rename of assignments_next failed")
+    }
+    val n = assignments.count()
+    val nCids = math.max(1L, centroids.count())
+    // sub-files per bucket sized from the MEAN bucket (k-means buckets
+    // are ~n/k by construction; a pathologically skewed bucket writes
+    // proportionally more rows per file, which is the rebuild-k signal,
+    // not a compaction failure)
+    val filesPerCid = math.max(1L,
+      (n / nCids + targetFileRows - 1) / targetFileRows).toInt
+    assignments
+      .repartition((nCids * filesPerCid).toInt, col("cid"),
+        pmod(xxhash64(col(idCol)), lit(filesPerCid.toLong)))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assignments_next")
+    fs.delete(p("assignments"), true)
+    require(fs.rename(p("assignments_next"), p("assignments")),
+      "IvfIndex compact: rename of assignments_next into place failed")
+  }
+
   /** Drift-triggered maintenance policy (SURVEY §9 #4): re-center when
     * any non-empty bucket's stored centroid has drifted below
     * `minCosine` against its member mean. Returns true when a re-center

@@ -956,7 +956,8 @@ object Streaming {
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
                          event_id: Long, event_type: String)
   case class FunnelState(stepTimes: Seq[Option[Long]],
-                         pending: Seq[(Long, Long, String)])
+                         pending: Seq[(Long, Long, String)],
+                         lastSeen: Long = Long.MinValue)
   case class FunnelStepOut(user_id: Long, step: Int, event_type: String,
                            step_ts: java.sql.Timestamp)
 
@@ -975,12 +976,29 @@ object Streaming {
     * event-time timeout drains a user's buffer when no new events
     * arrive for them. State is the k step timestamps plus only the
     * not-yet-ripe events — bounded by the user's event rate times the
-    * watermark horizon, the same bound sessionization lives with.
+    * watermark horizon PER KEY, but the batch funnel has no horizon
+    * across keys (a purchase long after its view still converts), so
+    * by default a chain record persists per user EVER seen — measured
+    * at the r13 StreamSoak: peak_state_rows == distinct users,
+    * unbounded in users.
+    *
+    * `stateTtlMillis` is the production valve for that: a user whose
+    * chain has seen no event for the TTL (event time, judged at the
+    * watermark) has their state dropped. Two contracts, like
+    * [[gapReportStream]]'s TTL (spec-pinned both ways): WITHOUT a TTL
+    * every step is emitted exactly once per user; WITH a TTL a user
+    * re-appearing after expiry RESTARTS their funnel — earlier steps
+    * can re-emit, and conversions spanning a gap longer than the TTL
+    * are not counted. Choose a TTL ≥ the longest conversion window the
+    * analysis cares about; state then holds only users active inside
+    * it.
     */
   def funnelStream(spark: SparkSession, events: Dataset[FunnelEvent],
-                   steps: Seq[String], watermarkDelay: String = "1 hour")
+                   steps: Seq[String], watermarkDelay: String = "1 hour",
+                   stateTtlMillis: Option[Long] = None)
       : Dataset[FunnelStepOut] = {
     require(steps.nonEmpty, "steps must be non-empty")
+    require(stateTtlMillis.forall(_ > 0), "stateTtlMillis must be positive")
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     events
@@ -1008,11 +1026,22 @@ object Streaming {
                 new java.sql.Timestamp(t))
             }
           }
-          if (hold.isEmpty && times.forall(_.isEmpty)) state.remove()
+          val lastSeen = (prev.lastSeen +: incoming.map(_._1)).max
+          // TTL expiry is judged at the watermark (event time) and only
+          // once the buffer has drained — pending events always fold
+          // before a chain can expire
+          val expired = stateTtlMillis.exists(ttl =>
+            hold.isEmpty && lastSeen != Long.MinValue && wm - lastSeen >= ttl)
+          if ((hold.isEmpty && times.forall(_.isEmpty)) || expired) state.remove()
           else {
-            state.update(FunnelState(times.toSeq, hold))
+            state.update(FunnelState(times.toSeq, hold, lastSeen))
             if (hold.nonEmpty)
               state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+            else stateTtlMillis.foreach(ttl =>
+              // wake exactly at expiry; without this registration a
+              // quiet user's chain would hold its state-store row
+              // forever (timeouts do not persist across invocations)
+              state.setTimeoutTimestamp(math.max(lastSeen + ttl, wm + 1)))
           }
           emits.result().iterator
       }

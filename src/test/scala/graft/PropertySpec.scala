@@ -1019,4 +1019,107 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("curationPipeline equals the in-memory six-stage fold on random corpora") {
+    // random corpora with planted structure: a small text pool (so
+    // exact dups occur), digit-heavy words (so the gate binds), null
+    // texts, and a % 5 bench slice (so decontamination binds). The
+    // reference is a direct fold of the documented stage contracts —
+    // Knuth-hash uniforms, keep-one by min gated id, distinct-shingle
+    // overlap, windowed budget rate, id-ordered exclusive offsets.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta",
+      "42", "7", "x99", "blue")
+    val genCorpus: Gen[List[(Long, String, Option[String])]] = for {
+      n <- Gen.choose(5, 60)
+      nPool <- Gen.choose(2, 12)
+      pool <- Gen.listOfN(nPool, for {
+        len <- Gen.choose(0, 8)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      picks <- Gen.listOfN(n, for {
+        srcI <- Gen.choose(0, 2)
+        pi <- Gen.choose(0, nPool - 1)
+        isNull <- Gen.frequency((9, Gen.const(false)), (1, Gen.const(true)))
+      } yield (srcI, pi, isNull))
+    } yield picks.zipWithIndex.map { case ((s, p, nl), i) =>
+      (i.toLong, s"src$s", if (nl) None else Some(pool(p)))
+    }
+
+    val (minT, maxDR, shN, minOv) = (2, 0.3, 2, 2)
+    val (sampR, budT, packC) = (0.6, 20L, 8)
+    def knuthU(id: Long): Double = {
+      val idn = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      ((BigInt(idn) * BigInt(2654435761L)) % BigInt(4294967296L)).toDouble /
+        4294967296.0
+    }
+    def nToks(t: String): Int = t.trim.split("\\s+").length
+    def gOf(t: Option[String]): Boolean = t.exists { s =>
+      nToks(s) >= minT && s.nonEmpty &&
+        s.count(c => c >= '0' && c <= '9').toDouble / s.length <= maxDR
+    }
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= shN) Set(w.mkString(" "))
+      else w.sliding(shN).map(_.mkString(" ")).toSet
+    }
+
+    samples(genCorpus, 6, 9001L).zipWithIndex.foreach { case (corpus, ci) =>
+      val df = corpus.map { case (id, s, t) => (id, s, t.orNull) }
+        .toDF("doc_id", "source", "text")
+      val bench = df.filter($"doc_id" % 5 === 0)
+      val got = graft.mix.Mix.curationPipeline(df, "doc_id", "source",
+          "text", bench, "text", minTokens = minT, maxDigitRatio = maxDR,
+          shingleN = shN, minOverlap = minOv, sampleRate = sampR,
+          budgetTokens = budT, packCapacity = packC)
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+
+      // in-memory fold
+      val benchSh = corpus.filter(d => d._1 % 5 == 0)
+        .flatMap(_._3.map(shingleSet)).flatten.toSet
+      case class D(id: Long, src: String, t: Option[String]) {
+        val toks: Long = t.map(nToks(_).toLong).getOrElse(1L)
+        val g: Boolean = gOf(t)
+      }
+      val ds = corpus.map(d => D(d._1, d._2, d._3))
+      val keepId = ds.filter(_.g).groupBy(_.t.get)
+        .map { case (t, v) => t -> v.map(_.id).min }
+      val flags = ds.map { d =>
+        val ded = d.g && keepId(d.t.get) == d.id
+        val contam = d.t.exists(s => (shingleSet(s) & benchSh).size >= minOv)
+        val cl = ded && !contam
+        val samp = cl && knuthU(d.id) < sampR
+        (d, ded, cl, samp)
+      }
+      val bySrc = flags.groupBy(_._1.src)
+      bySrc.foreach { case (src, rows) =>
+        val sampToks = rows.filter(_._4).map(_._1.toks).sum
+        val rate =
+          if (sampToks == 0) -1.0 // null rate: nothing budgeted
+          else math.min(1.0, budT.toDouble / sampToks)
+        val bud = rows.filter(r => r._4 && knuthU(r._1.id) < rate)
+          .map(_._1).sortBy(_.id)
+        val offs = bud.scanLeft(0L)(_ + _.toks).init
+        val r = got(src)
+        assert(r.getAs[Long]("n_total") === rows.size.toLong, s"c$ci $src total")
+        assert(r.getAs[Long]("n_gated") === rows.count(_._1.g).toLong,
+          s"c$ci $src gated")
+        assert(r.getAs[Long]("n_deduped") === rows.count(_._2).toLong,
+          s"c$ci $src deduped")
+        assert(r.getAs[Long]("n_clean") === rows.count(_._3).toLong,
+          s"c$ci $src clean")
+        assert(r.getAs[Long]("n_sampled") === rows.count(_._4).toLong,
+          s"c$ci $src sampled")
+        assert(r.getAs[Long]("n_budgeted") === bud.size.toLong,
+          s"c$ci $src budgeted")
+        assert(r.getAs[Long]("toks_budgeted") === bud.map(_.toks).sum,
+          s"c$ci $src toks")
+        assert(r.getAs[Long]("sum_tok_offset") === offs.sum,
+          s"c$ci $src sum_off")
+        assert(r.getAs[Long]("n_packs") ===
+          (if (bud.isEmpty) 0L else offs.map(_ / packC).max + 1L),
+          s"c$ci $src packs")
+      }
+      assert(got.keySet === bySrc.keySet, s"c$ci sources")
+    }
+  }
 }

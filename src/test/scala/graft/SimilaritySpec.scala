@@ -379,6 +379,44 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.assignments.filter($"vec_id" === 99L).count() === 1)
   }
 
+  test("IvfIndex.compact rewrites fragmented assignments content-identically; crash window recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val idx = graft.similarity.IvfIndex.buildOrLoad(
+      corpus, "vec_id", "embedding", dir, k = 2, iterations = 2)
+    // fragment: several small appends, each landing its own files
+    (0 until 4).foreach { i =>
+      idx.addVectors(Seq((100L + i, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    }
+    val filesBefore = idx.dataFileCount()
+    val rowsBefore = idx.assignments
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("cid").longValue)).toSet
+    val topBefore = idx.topK(query, 3, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(idx.compactIfFragmented(maxFiles = filesBefore - 1))
+    assert(idx.dataFileCount() < filesBefore)
+    // content-preserving: same (id, cid) memberships, same probe answer
+    assert(idx.assignments.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("cid").longValue)).toSet
+      === rowsBefore)
+    assert(idx.topK(query, 3, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq === topBefore)
+    // under the threshold: no-op
+    assert(!idx.compactIfFragmented(maxFiles = 10000))
+    // crash recovery: simulate a crash between delete and rename (live
+    // dir gone, staged copy complete) — the next compact finishes the
+    // swap before recompacting
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    assert(fs.rename(p("assignments"), p("assignments_next")))
+    idx.compact()
+    assert(fs.exists(p("assignments")) && !fs.exists(p("assignments_next")))
+    assert(idx.assignments.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("cid").longValue)).toSet
+      === rowsBefore)
+  }
+
   test("IvfIndex.buildOrRefresh rebuilds when the corpus changed under the path") {
     val dir = java.nio.file.Files.createTempDirectory("ivfrefresh").toString
     graft.similarity.IvfIndex.buildOrRefresh(

@@ -491,6 +491,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream state TTL: idle chains expire (state drops), re-appearing users restart; no-TTL conversions across the gap still count") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "purchase")
+    // user 1: view at 00:00, purchase at 03:00 — a 3 h idle gap
+    val feed = Seq(
+      Streaming.FunnelEvent(1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      Streaming.FunnelEvent(99L, ts("2024-01-01 02:00:00"), 2L, "noop"),
+      Streaming.FunnelEvent(1L, ts("2024-01-01 03:00:00"), 3L, "purchase"),
+      Streaming.FunnelEvent(99L, ts("2024-01-01 06:00:00"), 4L, "noop"))
+
+    def run(ttl: Option[Long], name: String): (Seq[(Long, Int)], Long) = {
+      val input = MemoryStream[Streaming.FunnelEvent]
+      val out = Streaming.funnelStream(spark, input.toDS(), steps,
+        watermarkDelay = "1 second", stateTtlMillis = ttl)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        var stateRows = 0L
+        feed.foreach { e =>
+          input.addData(e); q.processAllAvailable()
+          val p = q.lastProgress
+          if (p != null && p.stateOperators.nonEmpty)
+            stateRows = p.stateOperators(0).numRowsTotal
+        }
+        (spark.table(name).collect().toSeq
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"))),
+          stateRows)
+      } finally q.stop()
+    }
+
+    // contract 1 (no TTL): the purchase 3 h after the view converts —
+    // exactly once per step — but user 1's chain row persists forever
+    val (noTtl, noTtlState) = run(None, "funnel_nottl")
+    assert(noTtl.count(_ == (1L, 1)) === 1 && noTtl.count(_ == (1L, 2)) === 1)
+    assert(noTtlState >= 1L, "no-TTL chain state should persist")
+
+    // contract 2 (1 h TTL): the chain expires during the idle gap, so
+    // the purchase finds no step-1 time (no conversion) — and the
+    // final state holds NO row for user 1 once the last watermark
+    // passes expiry
+    val (ttl, ttlState) = run(Some(3600L * 1000), "funnel_ttl")
+    assert(ttl.count(_ == (1L, 1)) === 1, "view still emits step 1")
+    assert(!ttl.contains((1L, 2)),
+      "conversion across an expired gap must NOT count under TTL")
+    assert(ttlState === 0L,
+      s"idle chains should have expired from the store, found $ttlState")
+  }
+
   test("asofJoinBackwardStream carries the latest right value at-or-before each left event") {
     import graft.streaming.Streaming.AsofEvent
     implicit val sqlCtx = spark.sqlContext
