@@ -54,6 +54,7 @@ object IndexSoak {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = s"/tmp/graft_index_soak_${System.nanoTime()}"
+    try {
 
     if (mode == "lsh" || mode == "both") {
       val docs = graft.tables.Tables.documents(spark, dir)
@@ -135,6 +136,13 @@ object IndexSoak {
         s""""probe_sec":${probe(idx)},"probe2_sec":${probe(idx)}}""")
     }
 
+    } finally {
+      // soak indexes are multi-GB throwaways — leaking one per run
+      // would fill /tmp across the repeated runs this main exists for
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+    }
     spark.stop()
   }
 }

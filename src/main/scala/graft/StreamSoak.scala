@@ -53,37 +53,50 @@ object StreamSoak {
   private def ts(ms: Long) = new java.sql.Timestamp(ms)
   private val T0 = 1704067200000L // 2024-01-01 00:00:00 UTC
 
+  private case class SoakMetrics(peakRows: Long, peakBytes: Long,
+                                 dropped: Long, finalRows: Long)
+
   /** Feed chunks in event-time order with deterministic intra-chunk
-    * disorder (sort by hash), collecting peak/final state metrics.
+    * disorder (sort by hash), collecting peak/final state metrics. A
+    * single processAllAvailable can run SEVERAL micro-batches (the
+    * data batch plus no-data timeout batches), and
+    * numRowsDroppedByWatermark is a per-batch counter — so every
+    * progress event is drained by batchId, not just lastProgress
+    * (sampling the last one under-counts drops and misses mid-chunk
+    * state peaks; review finding r13).
     */
   private def drive[A](q: StreamingQuery, stream: MemoryStream[A],
-                       chunks: Seq[Seq[A]]): (Long, Long, Long, Long, Long) = {
+                       chunks: Seq[Seq[A]]): SoakMetrics = {
     var peakRows = 0L; var peakBytes = 0L; var dropped = 0L
     var finalRows = 0L
+    var seenBatch = -1L
     chunks.foreach { c =>
       stream.addData(c)
       q.processAllAvailable()
-      val p = q.lastProgress
-      if (p != null && p.stateOperators.nonEmpty) {
-        val so = p.stateOperators(0)
-        peakRows = math.max(peakRows, so.numRowsTotal)
-        peakBytes = math.max(peakBytes, so.memoryUsedBytes)
-        dropped += so.numRowsDroppedByWatermark
-        finalRows = so.numRowsTotal
-      }
+      q.recentProgress.filter(_.batchId > seenBatch)
+        .sortBy(_.batchId).foreach { p =>
+          seenBatch = p.batchId
+          if (p.stateOperators.nonEmpty) {
+            val so = p.stateOperators(0)
+            peakRows = math.max(peakRows, so.numRowsTotal)
+            peakBytes = math.max(peakBytes, so.memoryUsedBytes)
+            dropped += so.numRowsDroppedByWatermark
+            finalRows = so.numRowsTotal
+          }
+        }
     }
-    (peakRows, peakBytes, dropped, finalRows, 0L)
+    SoakMetrics(peakRows, peakBytes, dropped, finalRows)
   }
 
   private def report(spark: SparkSession, twin: String, rowsIn: Long,
                      keys: Long, outTable: String,
-                     m: (Long, Long, Long, Long, Long), wall: Double): Unit = {
+                     m: SoakMetrics, wall: Double): Unit = {
     val out = spark.table(outTable).count()
     // scalastyle:off println
     println(s"""{"twin":"$twin","rows_in":$rowsIn,"keys":$keys,""" +
-      s""""out_rows":$out,"peak_state_rows":${m._1},""" +
-      s""""final_state_rows":${m._4},"peak_state_bytes":${m._2},""" +
-      s""""late_dropped":${m._3},"wall_sec":$wall}""")
+      s""""out_rows":$out,"peak_state_rows":${m.peakRows},""" +
+      s""""final_state_rows":${m.finalRows},"peak_state_bytes":${m.peakBytes},""" +
+      s""""late_dropped":${m.dropped},"wall_sec":$wall}""")
     // scalastyle:on println
   }
 

@@ -133,25 +133,29 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     * a year of small increments degrades the banded history scan into
     * thousands of tiny reads — this count is the fragmentation signal.
     */
-  def dataFileCount(): Int = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+  private def hadoopFs =
+    new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"$path/sigs", s"$path/banded").map { dir =>
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-      var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }.sum
-  }
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+
+  def dataFileCount(): Int =
+    graft.IndexMaintenance.parquetFileCount(hadoopFs,
+      Seq(hp("sigs"), hp("banded")))
 
   /** Size-triggered maintenance: when accumulated appends exceed
     * `maxFiles` data files, rewrite both tables into right-sized files
     * (content-preserving — same rows, same band partition layout, so
     * candidate joins and partition pruning behave identically). Returns
-    * true when a compaction ran.
+    * true when a compaction ran. Recovery of an interrupted prior
+    * compaction runs FIRST, before the file count reads the live
+    * directories (review finding r13: counting first crashed the
+    * maintenance entry point in exactly the window compact() documents
+    * as recoverable).
     */
   def compactIfFragmented(maxFiles: Int = 64,
                           targetFileRows: Long = 4000000L): Boolean = {
+    Seq("sigs", "banded").foreach(t =>
+      graft.IndexMaintenance.finishStagedSwap(hadoopFs, hp(t), hp(s"${t}_next")))
     val fragmented = dataFileCount() > maxFiles
     if (fragmented) compact(targetFileRows)
     fragmented
@@ -171,17 +175,12 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     */
   def compact(targetFileRows: Long = 4000000L): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    val fs = hadoopFs
+    def p(s: String) = hp(s)
     // recovery: a previous compact crashed after deleting a live table
     // but before renaming its staged replacement — finish that swap
-    Seq("sigs", "banded").foreach { t =>
-      if (!fs.exists(p(t)) && fs.exists(p(s"${t}_next"))) {
-        require(fs.rename(p(s"${t}_next"), p(t)),
-          s"LshIndex compact recovery: rename of ${t}_next failed")
-      }
-    }
+    Seq("sigs", "banded").foreach(t =>
+      graft.IndexMaintenance.finishStagedSwap(fs, p(t), p(s"${t}_next")))
     val nSigs = sigs.count()
     val sigFiles = math.max(1, (nSigs / targetFileRows).toInt)
     // stage both tables fully before swapping either
@@ -191,11 +190,8 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     banded
       .repartition(bands, col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/banded_next")
-    Seq("sigs", "banded").foreach { t =>
-      fs.delete(p(t), true)
-      require(fs.rename(p(s"${t}_next"), p(t)),
-        s"LshIndex compact: rename of ${t}_next into place failed")
-    }
+    Seq("sigs", "banded").foreach(t =>
+      graft.IndexMaintenance.swapStaged(fs, p(t), p(s"${t}_next")))
   }
 
   private def appendSigs(newSigs: DataFrame): Unit = {

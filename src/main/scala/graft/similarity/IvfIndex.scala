@@ -139,26 +139,26 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     * to ~3 s, and [[recenter]] (which rewrites only the k-row centroid
     * table) cannot recover it. This count is the compaction signal.
     */
-  def dataFileCount(): Int = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+  private def hadoopFs =
+    new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(
-      new org.apache.hadoop.fs.Path(s"$path/assignments"), true)
-    var n = 0
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
-  }
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+
+  def dataFileCount(): Int =
+    graft.IndexMaintenance.parquetFileCount(hadoopFs, Seq(hp("assignments")))
 
   /** Size-triggered maintenance: when accumulated appends exceed
     * `maxFiles` data files, rewrite the assignments into right-sized
     * files (content-preserving — same rows, same by-cid partition
     * layout, so probes prune identically). Returns true when a
-    * compaction ran. Same single-writer contract as appends.
+    * compaction ran. Same single-writer contract as appends. Recovery
+    * of an interrupted prior compaction runs FIRST, before the file
+    * count reads the live directory.
     */
   def compactIfFragmented(maxFiles: Int = 64,
                           targetFileRows: Long = 4000000L): Boolean = {
+    graft.IndexMaintenance.finishStagedSwap(hadoopFs,
+      hp("assignments"), hp("assignments_next"))
     val fragmented = dataFileCount() > maxFiles
     if (fragmented) compact(targetFileRows)
     fragmented
@@ -177,15 +177,12 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
     */
   def compact(targetFileRows: Long = 4000000L): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    val fs = hadoopFs
+    def p(s: String) = hp(s)
     // recovery: a previous compact crashed after deleting the live
     // table but before renaming its staged replacement
-    if (!fs.exists(p("assignments")) && fs.exists(p("assignments_next"))) {
-      require(fs.rename(p("assignments_next"), p("assignments")),
-        "IvfIndex compact recovery: rename of assignments_next failed")
-    }
+    graft.IndexMaintenance.finishStagedSwap(fs,
+      p("assignments"), p("assignments_next"))
     val n = assignments.count()
     val nCids = math.max(1L, centroids.count())
     // sub-files per bucket sized from the MEAN bucket (k-means buckets
@@ -199,9 +196,8 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
         pmod(xxhash64(col(idCol)), lit(filesPerCid.toLong)))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/assignments_next")
-    fs.delete(p("assignments"), true)
-    require(fs.rename(p("assignments_next"), p("assignments")),
-      "IvfIndex compact: rename of assignments_next into place failed")
+    graft.IndexMaintenance.swapStaged(fs, p("assignments"),
+      p("assignments_next"))
   }
 
   /** Drift-triggered maintenance policy (SURVEY §9 #4): re-center when

@@ -982,16 +982,27 @@ object Streaming {
     * at the r13 StreamSoak: peak_state_rows == distinct users,
     * unbounded in users.
     *
-    * `stateTtlMillis` is the production valve for that: a user whose
-    * chain has seen no event for the TTL (event time, judged at the
-    * watermark) has their state dropped. Two contracts, like
-    * [[gapReportStream]]'s TTL (spec-pinned both ways): WITHOUT a TTL
-    * every step is emitted exactly once per user; WITH a TTL a user
-    * re-appearing after expiry RESTARTS their funnel — earlier steps
-    * can re-emit, and conversions spanning a gap longer than the TTL
-    * are not counted. Choose a TTL ≥ the longest conversion window the
-    * analysis cares about; state then holds only users active inside
-    * it.
+    * `stateTtlMillis` is the production valve for that: a gap of at
+    * least the TTL between consecutive folded STEP events resets the
+    * user's chain, judged in EVENT time as events fold — so restarts
+    * are deterministic under any micro-batch chunking or arrival
+    * timing (spec-pinned: the same-batch and cross-batch deliveries of
+    * a cross-gap conversion agree) — and the state row of a dead chain
+    * is garbage-collected at the watermark. Idle means no STEP-type
+    * events: traffic outside `steps` never keeps a chain alive (the
+    * funnel's clock is its own events, not unrelated activity). Two
+    * contracts, like [[gapReportStream]]'s TTL (spec-pinned both
+    * ways): WITHOUT a TTL every step is emitted exactly once per user;
+    * WITH a TTL a user re-appearing after expiry RESTARTS their
+    * funnel — earlier steps can re-emit, and conversions spanning a
+    * gap longer than the TTL are not counted. Choose a TTL ≥ the
+    * longest conversion window the analysis cares about; state then
+    * holds only users active inside it.
+    *
+    * Checkpoint note: r13 widened [[FunnelState]] (the `lastSeen`
+    * field), so a query restarted from a pre-r13 checkpoint fails
+    * state-schema validation rather than silently misreading rows —
+    * restart such queries from a fresh checkpoint.
     */
   def funnelStream(spark: SparkSession, events: Dataset[FunnelEvent],
                    steps: Seq[String], watermarkDelay: String = "1 hour",
@@ -1017,7 +1028,22 @@ object Streaming {
           val (ripe, hold) = (prev.pending ++ incoming).partition(_._1 <= wm)
           val times = prev.stepTimes.toArray
           val emits = Seq.newBuilder[FunnelStepOut]
+          // lastSeen = ts of the last FOLDED step event. TTL restarts
+          // are decided HERE, in event time, as events fold — a gap
+          // >= ttl between consecutive folded step events resets the
+          // chain — so the restart semantics are deterministic under
+          // any micro-batch chunking (a review finding: judging expiry
+          // only at timeout invocations made a cross-gap conversion
+          // depend on whether the late step arrived before or after
+          // the timeout fired). The timeout/expiry path below merely
+          // GARBAGE-COLLECTS the state row of an already-dead chain.
+          var lastSeen = prev.lastSeen
           ripe.sortBy(e => (e._1, e._2)).foreach { case (t, _, typ) =>
+            stateTtlMillis.foreach { ttl =>
+              if (lastSeen != Long.MinValue && t - lastSeen >= ttl)
+                times.indices.foreach(times(_) = None)
+            }
+            lastSeen = t
             val i = stepIdx(typ)
             val qualifies = i == 0 || times(i - 1).exists(_ < t)
             if (qualifies && times(i).forall(t < _)) {
@@ -1026,10 +1052,10 @@ object Streaming {
                 new java.sql.Timestamp(t))
             }
           }
-          val lastSeen = (prev.lastSeen +: incoming.map(_._1)).max
-          // TTL expiry is judged at the watermark (event time) and only
-          // once the buffer has drained — pending events always fold
-          // before a chain can expire
+          // state-row GC: the chain is already unreachable (any future
+          // fold-able event has ts >= wm >= lastSeen + ttl and would
+          // reset before folding), so dropping the row cannot change
+          // output — it only bounds the store
           val expired = stateTtlMillis.exists(ttl =>
             hold.isEmpty && lastSeen != Long.MinValue && wm - lastSeen >= ttl)
           if ((hold.isEmpty && times.forall(_.isEmpty)) || expired) state.remove()

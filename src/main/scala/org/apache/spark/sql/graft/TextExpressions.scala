@@ -294,7 +294,38 @@ object ShingleHashes {
   * `arrays_overlap` against a literal array hashes the SMALLER side
   * but still iterates the bigger (the benchmark) per row.
   */
-case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
+/** Plan-friendly large-membership holder: a big set must NOT
+  * participate in TreeNode structural equality/hashing — Catalyst
+  * hashes and compares expression trees many times per rule batch
+  * (canonicalization, subexpression elimination, ExpressionSet), and a
+  * scala Set field makes every such call O(|set|). Measured r13:
+  * ds_pipeline at sg100 carried a ~1M-hash decontamination set in its
+  * tree and spent 40.6 s (vs 1.4 s at sg10, 28x for 10x data — the
+  * growth was the SET, not the rows); with this identity-hashed holder
+  * the same query runs in seconds. Membership probes are a binary
+  * search over a sorted primitive array — no boxing in the codegen hot
+  * loop either. Identity equality means two semantically identical
+  * predicates built from different holder instances won't dedupe in
+  * subexpression elimination — a planning pessimization at worst,
+  * never a correctness issue; callers build the holder once per
+  * operator call.
+  */
+final class LongMembership private (private val sorted: Array[Long])
+    extends Serializable {
+  def contains(x: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, x) >= 0
+  def size: Int = sorted.length
+  override def toString: String = s"long_membership(n=${sorted.length})"
+}
+object LongMembership {
+  def apply(xs: Set[Long]): LongMembership = {
+    val a = xs.toArray
+    java.util.Arrays.sort(a)
+    new LongMembership(a)
+  }
+}
+
+case class ArrayLongAnyInSet(child: Expression, hset: LongMembership)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -314,13 +345,13 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("set", hset, classOf[Set[Long]].getName)
+    val setRef = ctx.addReferenceObj("set", hset,
+      classOf[LongMembership].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""
          |${ev.value} = false;
          |for (int i = 0; i < $c.numElements(); i++) {
-         |  if (!$c.isNullAt(i) &&
-         |      $setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
+         |  if (!$c.isNullAt(i) && $setRef.contains($c.getLong(i))) {
          |    ${ev.value} = true; break;
          |  }
          |}
@@ -338,7 +369,7 @@ case class ArrayLongAnyInSet(child: Expression, hset: Set[Long])
   * is what contamination SCORING needs (`n_overlap / n_grams`), so a
   * whole-corpus fraction report stays a zero-exchange projection.
   */
-case class ArrayLongCountInSet(child: Expression, hset: Set[Long])
+case class ArrayLongCountInSet(child: Expression, hset: LongMembership)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -358,13 +389,13 @@ case class ArrayLongCountInSet(child: Expression, hset: Set[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setRef = ctx.addReferenceObj("set", hset, classOf[Set[Long]].getName)
+    val setRef = ctx.addReferenceObj("set", hset,
+      classOf[LongMembership].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""
          |${ev.value} = 0;
          |for (int i = 0; i < $c.numElements(); i++) {
-         |  if (!$c.isNullAt(i) &&
-         |      $setRef.contains((Object) java.lang.Long.valueOf($c.getLong(i)))) {
+         |  if (!$c.isNullAt(i) && $setRef.contains($c.getLong(i))) {
          |    ${ev.value}++;
          |  }
          |}
@@ -595,14 +626,14 @@ object TextExpressions {
     */
   def arrayAnyInSet(arr: Column, set: Set[Long]): Column =
     ExpressionUtils.column(ArrayLongAnyInSet(
-      ExpressionUtils.expression(arr), set))
+      ExpressionUtils.expression(arr), LongMembership(set)))
 
   /** Count of a long-array column's elements that are in the static
     * set (see [[ArrayLongCountInSet]]).
     */
   def arrayCountInSet(arr: Column, set: Set[Long]): Column =
     ExpressionUtils.column(ArrayLongCountInSet(
-      ExpressionUtils.expression(arr), set))
+      ExpressionUtils.expression(arr), LongMembership(set)))
 
   /** Row-local Shannon entropy (bits/char) of a string column. */
   def charEntropy(text: Column): Column =

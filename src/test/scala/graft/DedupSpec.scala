@@ -652,10 +652,12 @@ class DedupSpec extends SparkSpec {
     assert(nulled.isNullAt(0))
     // interpreted eval
     val hit = org.apache.spark.sql.graft.ArrayLongAnyInSet(
-      Literal.create(Seq(5L, 7L), ArrayType(LongType)), set)
+      Literal.create(Seq(5L, 7L), ArrayType(LongType)),
+      org.apache.spark.sql.graft.LongMembership(set))
     assert(hit.eval(null) === true)
     val miss = org.apache.spark.sql.graft.ArrayLongAnyInSet(
-      Literal.create(Seq(5L), ArrayType(LongType)), set)
+      Literal.create(Seq(5L), ArrayType(LongType)),
+      org.apache.spark.sql.graft.LongMembership(set))
     assert(miss.eval(null) === false)
   }
 
@@ -677,7 +679,8 @@ class DedupSpec extends SparkSpec {
       .arrayCountInSet(lit(null).cast(ArrayType(LongType)), set)).head
     assert(nulled.isNullAt(0))
     val three = org.apache.spark.sql.graft.ArrayLongCountInSet(
-      Literal.create(Seq(7L, 5L, 42L), ArrayType(LongType)), set)
+      Literal.create(Seq(7L, 5L, 42L), ArrayType(LongType)),
+      org.apache.spark.sql.graft.LongMembership(set))
     assert(three.eval(null) === 2)
   }
 
@@ -909,6 +912,17 @@ class DedupSpec extends SparkSpec {
     val pairs = idx.check(probe, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 99L)))
+    // crash window: a compact that died between delete and rename must
+    // be recovered by the MAINTENANCE entry point before it counts
+    // files (review finding r13), without recompacting under threshold
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    assert(fs.rename(p("sigs"), p("sigs_next")))
+    assert(!idx.compactIfFragmented(maxFiles = 10000))
+    assert(fs.exists(p("sigs")) && !fs.exists(p("sigs_next")))
+    assert(idx.sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq === sigsBefore)
   }
 
   test("contaminatedIds flags docs sharing >= minOverlap distinct shingles with the benchmark") {

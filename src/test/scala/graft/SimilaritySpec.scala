@@ -404,11 +404,21 @@ class SimilaritySpec extends SparkSpec {
     // under the threshold: no-op
     assert(!idx.compactIfFragmented(maxFiles = 10000))
     // crash recovery: simulate a crash between delete and rename (live
-    // dir gone, staged copy complete) — the next compact finishes the
-    // swap before recompacting
+    // dir gone, staged copy complete) — the MAINTENANCE entry point
+    // must finish the swap before its file count reads the live dir
+    // (review finding r13: counting first threw FileNotFoundException
+    // in exactly this window), and must NOT recompact when the
+    // recovered table is under the threshold
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    assert(fs.rename(p("assignments"), p("assignments_next")))
+    assert(!idx.compactIfFragmented(maxFiles = 10000))
+    assert(fs.exists(p("assignments")) && !fs.exists(p("assignments_next")))
+    assert(idx.assignments.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("cid").longValue)).toSet
+      === rowsBefore)
+    // and compact() itself also recovers (the direct-call path)
     assert(fs.rename(p("assignments"), p("assignments_next")))
     idx.compact()
     assert(fs.exists(p("assignments")) && !fs.exists(p("assignments_next")))

@@ -537,6 +537,26 @@ class StreamingSpec extends SparkSpec {
       "conversion across an expired gap must NOT count under TTL")
     assert(ttlState === 0L,
       s"idle chains should have expired from the store, found $ttlState")
+
+    // determinism under batching (review finding): delivering the WHOLE
+    // stream in one micro-batch must produce the same TTL decision —
+    // the restart is judged in event time at the fold, not by whether
+    // the late step arrived before or after the expiry timeout fired
+    val input = MemoryStream[Streaming.FunnelEvent]
+    val out = Streaming.funnelStream(spark, input.toDS(), steps,
+      watermarkDelay = "1 second", stateTtlMillis = Some(3600L * 1000))
+    val q = out.writeStream.format("memory").queryName("funnel_ttl_1b")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(feed); q.processAllAvailable()
+      input.addData(
+        Streaming.FunnelEvent(99L, ts("2024-01-01 07:00:00"), 5L, "noop"))
+      q.processAllAvailable()
+      val oneBatch = spark.table("funnel_ttl_1b").collect().toSeq
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step")))
+      assert(oneBatch.toSet === ttl.toSet,
+        s"one-batch delivery diverged: $oneBatch vs $ttl")
+    } finally q.stop()
   }
 
   test("asofJoinBackwardStream carries the latest right value at-or-before each left event") {
