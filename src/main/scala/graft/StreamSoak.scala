@@ -149,10 +149,14 @@ object StreamSoak {
     }
 
     // ---- funnelStream: 10k×mult users × (view, click, purchase) with
-    // 30% noise events; half the users never purchase. State here is
-    // SEMANTICALLY per-user-ever-seen — the printed number demonstrates
-    // the unbounded-in-users contract, not a leak.
-    locally {
+    // 30% noise events; half the users never purchase. Run TWICE: the
+    // default (state is SEMANTICALLY per-user-ever-seen — the printed
+    // number demonstrates the unbounded-in-users contract, not a leak)
+    // and with a 2 h TTL (chains idle past the TTL expire — the
+    // production-valve evidence: peak state bounded by users ACTIVE
+    // inside the TTL window, final state drained).
+    Seq(None -> "funnelStream", Some(2L * 3600 * 1000) -> "funnelStream_ttl")
+      .foreach { case (ttl, twin) =>
       val users = 10000L * mult
       val steps = Seq("view", "click", "purchase")
       val events = (0L until users).flatMap { u =>
@@ -171,13 +175,13 @@ object StreamSoak {
       val chunks = events.groupBy(e => e.ts.getTime / 43200000L).toSeq
         .sortBy(_._1).map(_._2.sortBy(e => mix(e.user_id * 13 + e.event_id)))
       val input = MemoryStream[Streaming.FunnelEvent]
-      val out = Streaming.funnelStream(spark, input.toDS(), steps, "1 hour")
-      val q = out.writeStream.format("memory").queryName("soak_funnel")
+      val out = Streaming.funnelStream(spark, input.toDS(), steps, "1 hour",
+        stateTtlMillis = ttl)
+      val q = out.writeStream.format("memory").queryName(s"soak_$twin")
         .outputMode("append").start()
       try {
         val (m, wall) = timed(drive(q, input, chunks))
-        report(spark, "funnelStream", events.size.toLong, users,
-          "soak_funnel", m, wall)
+        report(spark, twin, events.size.toLong, users, s"soak_$twin", m, wall)
       } finally q.stop()
     }
 
