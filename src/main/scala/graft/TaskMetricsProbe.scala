@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Deterministic plan-cost probe (r13): runs one registered query to
+  * the noop sink with a task-metrics listener and prints the numbers
+  * wall clocks can't fake — input records (scan count × table size),
+  * shuffle bytes written, peak execution memory. Scale-fixture wall
+  * clocks on this box ranged 33-101 s for IDENTICAL code across
+  * quiet/loaded runs (SCALING.md r13 ts_mad note); these metrics are
+  * repeatable to the byte, so a rework's claimed scan/exchange saving
+  * is verified HERE, and the wall clock is only corroboration.
+  *
+  * Usage: runMain graft.TaskMetricsProbe <sfDir> <queryKey>
+  */
+object TaskMetricsProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TaskMetricsProbe <sfDir> <queryKey>")
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var inputRecords = 0L
+    @volatile var inputBytes = 0L
+    @volatile var spillBytes = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        inputRecords += m.inputMetrics.recordsRead
+        inputBytes += m.inputMetrics.bytesRead
+        spillBytes += m.diskBytesSpilled
+      }
+    })
+    val t0 = System.nanoTime()
+    SparkEntry.queries(args(1))(spark, args(0))
+      .write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // listener events are queued on a bus thread; give it a beat to
+    // drain before reading the counters (the bus API is private)
+    Thread.sleep(2000)
+    // scalastyle:off println
+    println(s"""{"query":"${args(1)}","sf":"${args(0)}",""" +
+      s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
+      s""""shuffle_write_bytes":$shuffleWrite,""" +
+      s""""shuffle_read_bytes":$shuffleRead,""" +
+      s""""disk_spill_bytes":$spillBytes,"wall_sec":$wall}""")
+    // scalastyle:on println
+    spark.stop()
+  }
+}

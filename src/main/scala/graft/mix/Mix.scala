@@ -582,22 +582,38 @@ object Mix {
     */
   def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String,
                          qs: Seq[(Int, Int)]): DataFrame = {
-    require(qs.nonEmpty, "at least one quantile required")
-    qs.foreach { case (qNum, qDen) =>
-      require(qNum > 0 && qDen > 0 && qNum <= qDen,
-        s"quantile $qNum/$qDen must be in (0, 1]")
-    }
     // null values are EXCLUDED from the distribution (they have no
     // order position; engines also disagree on null placement in
     // window ORDER BY, which would poison the oracle)
     val hist = df.filter(col(valCol).isNotNull)
       .groupBy(col(keyCol), col(valCol))
       .agg(count(lit(1)).as("_n"))
+    histogramQuantilesFromHist(hist, keyCol, valCol, "_n", qs)
+  }
+
+  /** The reach-arithmetic half of [[histogramQuantiles]], starting from
+    * an ALREADY-AGGREGATED weighted histogram (keyCol, valCol,
+    * countCol). Exists so a caller that needs several quantile passes
+    * over DERIVED distributions (madOutliers: the |x − median|
+    * distribution is a re-grouping of the value histogram, weighted by
+    * its counts) can pay the corpus-sized groupBy ONCE and run every
+    * later pass over histogram-sized data. Same exact lower-quantile
+    * contract: smallest value whose cumulative count reaches
+    * ceil(tot·q), integer reach arithmetic, no floats in the decision.
+    */
+  def histogramQuantilesFromHist(hist: DataFrame, keyCol: String,
+                                 valCol: String, countCol: String,
+                                 qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach { case (qNum, qDen) =>
+      require(qNum > 0 && qDen > 0 && qNum <= qDen,
+        s"quantile $qNum/$qDen must be in (0, 1]")
+    }
     val byKey = Window.partitionBy(col(keyCol))
     val cumW = byKey.orderBy(col(valCol))
     val staged = hist
-      .withColumn("_cum", sum(col("_n")).over(cumW))
-      .withColumn("_tot", sum(col("_n")).over(byKey))
+      .withColumn("_cum", sum(col(countCol)).over(cumW))
+      .withColumn("_tot", sum(col(countCol)).over(byKey))
     val aggs = qs.map { case (qNum, qDen) =>
       min(when(col("_cum") * qDen >= col("_tot") * qNum, col(valCol)))
         .as(s"q_${qNum}_$qDen")
@@ -977,11 +993,11 @@ object Mix {
     val nToks = graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
     val gated = col(textCol).isNotNull && nToks >= minTokens &&
       graft.text.TextAnalysis.digitRatio(col(textCol)) <= maxDigitRatio
-    val contam = org.apache.spark.sql.graft.TextExpressions
+    val nOverlap = org.apache.spark.sql.graft.TextExpressions
       .arrayCountInSet(org.apache.spark.sql.graft.TextExpressions
-        .shingleHashes(col(textCol), shingleN), benchSet) >= minOverlap
+        .shingleHashes(col(textCol), shingleN), benchSet)
     val u = hashUniform(id)
-    val wContent = Window.partitionBy(sha2(col(textCol), 256))
+    val wContent = Window.partitionBy(col("_h"))
     val wSource = Window.partitionBy(col(sourceCol))
     val wPack = Window.partitionBy(col(sourceCol)).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -989,11 +1005,21 @@ object Mix {
       .select(id, col(sourceCol), col(textCol))
       .withColumn("_n", nToks)
       .withColumn("_g", gated)
+      // EVERYTHING that reads the text is computed here, BELOW the
+      // content exchange — the content hash and the decontam overlap
+      // count — so the shuffle carries ids and flag-width columns, not
+      // document bodies. With the overlap count above the window (the
+      // first wiring), column pruning could not drop `text` from the
+      // exchange payload: at mult=1000 that is ~GBs of text shuffled
+      // to move what one int per row states.
+      .withColumn("_h", sha2(col(textCol), 256))
+      .withColumn("_nov", nOverlap)
+      .drop(textCol)
       // keep-one: smallest gated id per content (dedup_exact's sha2
       // convention); the conditional min ignores ungated rows
       .withColumn("_dedup", col("_g") &&
         id === min(when(col("_g"), id)).over(wContent))
-      .withColumn("_clean", col("_dedup") && !contam)
+      .withColumn("_clean", col("_dedup") && !(col("_nov") >= minOverlap))
       .withColumn("_samp", col("_clean") && u < sampleRate)
       .withColumn("_rate", least(lit(1.0), lit(budgetTokens.toDouble) /
         sum(when(col("_samp"), col("_n"))).over(wSource)))

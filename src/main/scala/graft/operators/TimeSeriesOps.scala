@@ -576,9 +576,26 @@ object TimeSeriesOps {
     * integer reach arithmetic (exact lower medians over exact grid
     * histograms) and every downstream comparison is the same IEEE op
     * on identical doubles — the whole flag column is cross-engine
-    * deterministic with no rounding at the output edge. Scale shape:
-    * two histogram-sized aggregates coming back as broadcast dims +
-    * row-local arithmetic; the corpus never sorts.
+    * deterministic with no rounding at the output edge.
+    *
+    * Scale shape (reworked r13): the median comes out of the
+    * groupBy(key, value) histogram's reach arithmetic, and the MAD's
+    * |x − median| distribution is a RE-GROUPING of that histogram
+    * weighted by its counts
+    * ([[graft.mix.Mix.histogramQuantilesFromHist]]) — never the old
+    * wiring's corpus-scale groupBy over a corpus JOINED with the
+    * median dim, so every post-histogram pass is histogram-sized.
+    * Both quantile dims come back as broadcast joins; the flag
+    * arithmetic is row-local; the corpus never sorts. Measured with a
+    * task-metrics listener at mult=100 (deterministic, unlike sg1000
+    * wall clocks which ranged 33-101 s across quiet/loaded runs for
+    * IDENTICAL code): input records 30M → 20M — THREE corpus scans
+    * down to TWO (AQE reuses the histogram exchange across the
+    * broadcast subtrees at runtime even though the static plan prints
+    * both) — at equal shuffle volume. On a remote-storage corpus the
+    * scan is the dominant cost, which is what the rework removes; the
+    * alternatives that looked better on paper measured worse — see
+    * the in-body note.
     *
     * Output: input row + `snapped`, `med`, `mad`, `is_outlier` (null
     * value → null flag, never a silent pass).
@@ -587,18 +604,41 @@ object TimeSeriesOps {
                   k: Double = 3.5, gridScale: Int = 4): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val p = math.pow(10.0, gridScale)
-    val snapped = df.withColumn("_sv",
-      when(col(valCol).isNull, lit(null))
-        .otherwise(floor(col(valCol) * p + 0.5001) / p))
-    val med = graft.mix.Mix.histogramQuantile(snapped, keyCol, "_sv", 1, 2)
-      .select(col(keyCol), col("q_value").as("med"))
+    val snapExpr = when(col(valCol).isNull, lit(null))
+      .otherwise(floor(col(valCol) * p + 0.5001) / p)
+    val snapped = df.withColumn("_sv", snapExpr)
+    // the corpus-scale aggregate; the MAD's |x − median| distribution
+    // is then a RE-GROUPING of this histogram weighted by its counts
+    // (equal deviations merge with summed counts; abs() is the same
+    // IEEE op on the same grid doubles) — histogram-sized work, never
+    // a second corpus-wide groupBy over a joined corpus stream like
+    // the old wiring (task metrics: 3 corpus scans -> 2, equal shuffle
+    // bytes; AQE reuses the hist exchange across the med/mad broadcast
+    // subtrees at runtime). Two alternatives were MEASURED at
+    // mult=1000 and rejected: (a) eager localCheckpoint of the
+    // histogram — 89.7 s vs ~42 s, block-storage serialization of a
+    // ~100M-row histogram costs more than the reused exchange;
+    // (b) fusing med+mad into one window chain over the histogram
+    // (one exchange, zero recompute) — 53.0 s, two full re-sorts plus
+    // whole-partition window buffering of a histogram that is nearly
+    // corpus-sized at this fixture.
+    val hist = snapped.filter(col("_sv").isNotNull)
+      .groupBy(col(keyCol), col("_sv"))
+      .agg(count(lit(1)).as("_n"))
+    val med = graft.mix.Mix
+      .histogramQuantilesFromHist(hist, keyCol, "_sv", "_n", Seq((1, 2)))
+      .select(col(keyCol), col("q_1_2").as("med"))
+    val adHist = hist.join(broadcast(med), Seq(keyCol))
+      .groupBy(col(keyCol), abs(col("_sv") - col("med")).as("_ad"))
+      .agg(sum(col("_n")).as("_n"))
+    val mad = graft.mix.Mix
+      .histogramQuantilesFromHist(adHist, keyCol, "_ad", "_n", Seq((1, 2)))
+      .select(col(keyCol), col("q_1_2").as("mad"))
     // left joins: a key whose values are ALL null has no quantile row —
     // it must surface with null med/mad/flag, never silently drop
-    val withMed = snapped.join(broadcast(med), Seq(keyCol), "left")
+    snapped.join(broadcast(med), Seq(keyCol), "left")
+      .join(broadcast(mad), Seq(keyCol), "left")
       .withColumn("_ad", abs(col("_sv") - col("med")))
-    val mad = graft.mix.Mix.histogramQuantile(withMed, keyCol, "_ad", 1, 2)
-      .select(col(keyCol), col("q_value").as("mad"))
-    withMed.join(broadcast(mad), Seq(keyCol), "left")
       .withColumn("is_outlier",
         when(col("_ad").isNull, lit(null).cast("boolean"))
           .otherwise(col("_ad") > lit(k) * col("mad")))

@@ -502,5 +502,14 @@ class PlanSpec extends SparkSpec {
       s"pipeline scans the corpus more than once:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
       s"pipeline should exchange exactly twice (content, source):\n$plan")
+    // the exchanges carry ids + flag-width columns, never document
+    // bodies: every text-reading expression (hash, gate, overlap
+    // count) is computed below the FIRST exchange, so `text` must not
+    // appear anywhere above it (the plan prints top-down — the last
+    // "Exchange hashpartitioning" in the string is the lowest one)
+    val aboveFirstExchange =
+      plan.substring(0, plan.lastIndexOf("Exchange hashpartitioning"))
+    assert(!aboveFirstExchange.contains("text#"),
+      s"document text travels through an exchange:\n$plan")
   }
 }
