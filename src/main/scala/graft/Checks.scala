@@ -85,6 +85,24 @@ object Checks {
     checks += Check("dedup_minhash", "precision_vs_exact_jaccard_0.7",
       mhHit.toDouble / math.max(nMh, 1), 0.99, ">=")
 
+    // dedup_prune_lsh: the drop set vs the exact full-pair-graph chain
+    // at the same global 0.7 threshold — recall floor, plus the subset
+    // THEOREM (an LSH-subgraph drop has a smaller true-component
+    // member, so it is an exact-chain drop too): violations must be 0.
+    val exactDrops = Dedup.dropIdsFromPairs(
+        truth07.select(col("pa").as("doc_a"), col("pb").as("doc_b")))
+      .select(col("drop_id")).cache()
+    val nExactDrops = exactDrops.count()
+    val lshDrops = docsAll.select(col("doc_id"))
+      .join(DedupQueries.dedupPruneLsh(spark, sfDir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("drop_id")).cache()
+    val lshHit = lshDrops.join(exactDrops, Seq("drop_id"), "left_semi").count()
+    checks += Check("dedup_prune_lsh", "drop_recall_vs_exact_chain_0.7",
+      lshHit.toDouble / math.max(nExactDrops, 1), 0.9, ">=")
+    checks += Check("dedup_prune_lsh", "drops_outside_exact_chain",
+      (lshDrops.count() - lshHit).toDouble, 0.0, "<=")
+
     // dedup_incremental: odd-batch-vs-even-history slice of the same
     // truth set, plus the MinHash estimator's error on reported pairs
     val truthInc = truth07

@@ -785,10 +785,38 @@ object Dedup {
     * Jaccard >= threshold within blocks) → keep-one-per-cluster drop
     * list ([[dropIdsFromPairs]]) → one left_anti join of the corpus
     * against it. Survivor = each cluster's smallest id; documents in
-    * no pair pass through untouched. Scale shape: pairs and components
-    * are the already-bounded operators, and the prune itself anti-joins
-    * against a drop list no larger than the clustered-duplicate count
-    * (duplicates are a small corpus fraction — broadcastable).
+    * no pair pass through untouched.
+    *
+    * Class-collapse (r13): identical texts inside a block form
+    * jaccard-1.0 cliques, and the pair join's candidate mass counts
+    * every member (Σ df² over the class) — quadratic in class size —
+    * while the PRUNE output only needs each class's members minus one.
+    * So each (block, content) class collapses to its smallest-id
+    * REPRESENTATIVE before pair enumeration: jaccard is a function of
+    * the shingle SET, so a class scores against any third document
+    * exactly as its representative does, the component structure over
+    * representatives is the member structure collapsed, and the kept
+    * id per component is the SAME global minimum either way
+    * (representatives are class minima). Drop list = non-representative
+    * members ∪ members of dropped representatives. Null-text documents
+    * never pair and pass through as singletons, exactly as before.
+    *
+    * With `maxShingleDocFrac = None` the collapse is LOSSLESS (output
+    * identical to the uncollapsed chain on every input). With the cap
+    * it is a deliberate r13 contract refinement, restated identically
+    * in the DuckDB oracle: (a) exact-duplicate class members ALWAYS
+    * drop — under the old wiring a class whose every shingle was
+    * boilerplate-capped kept all its identical copies, which no
+    * curation pipeline wants (DedupSpec pins the new behavior); and
+    * (b) the boilerplate doc-frequency bar counts DISTINCT CONTENTS,
+    * not raw copies — a million identical spam pages are one content,
+    * so they no longer saturate their own shingles out of the Jaccard
+    * universe. Measured (graft.TaskMetricsProbe, sg100): wall
+    * 514 → 246 s with identical oracle output at both sfs — the
+    * remaining mass is true NEAR-dup (distinct-content) cluster df²,
+    * which is the exact operator's honest cost; the bounded-candidate
+    * production path is [[pruneNearDupsLsh]].
+    *
     * `maxShingleDocFrac` carries [[blockedJaccard]]'s vocab bound (see
     * its Scaladoc): plain `None` is the small-vocab variant; the
     * shipped `dedup_prune` entry passes `Some(0.5)` since r12.
@@ -796,11 +824,59 @@ object Dedup {
   def pruneNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, shingleN: Int = 3,
                     threshold: Double = 0.3,
-                    maxShingleDocFrac: Option[Double] = None): DataFrame =
+                    maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // class key = (block, sha2(text)): the dedup_exact content-identity
+    // convention — one exchange carrying the text once, instead of the
+    // class's full df² share through the shingle equi-join
+    val wClass = Window.partitionBy(col(blockCol), sha2(col(textCol), 256))
+    val withRep = docs.withColumn("_rep",
+      when(col(textCol).isNotNull, min(col(idCol)).over(wClass))
+        .otherwise(col(idCol)))
+    val reps = withRep.filter(col(idCol) === col("_rep")).drop("_rep")
+    val droppedReps = dropIdsFromPairs(
+      blockedJaccard(reps, idCol, textCol, blockCol, shingleN, threshold,
+        maxShingleDocFrac))
+      .withColumnRenamed("drop_id", "_rep")
+    val dropIds = withRep.filter(col(idCol) =!= col("_rep"))
+      .select(col(idCol))
+      .union(withRep.join(droppedReps, Seq("_rep"), "left_semi")
+        .select(col(idCol)))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** The SCALE-PATH near-dup prune: [[minhashLsh]] candidates (banded
+    * signatures, capped buckets) with exact-Jaccard verification →
+    * keep-one-per-cluster → anti-join. The exact [[pruneNearDups]] is
+    * candidate-mass-bound: its (block, shingle) equi-join mass is
+    * Σ df², quadratic in near-dup CLUSTER size, and on a fixture whose
+    * planted clusters grow linearly with the corpus the r13
+    * TaskMetricsProbe read 15 GB shuffle / 25 GB spill at mult=100 —
+    * true candidate mass, not a plan defect, but not a 100 TB shape.
+    * Here candidates are bounded per doc by the banding (buckets
+    * capped, [[cappedBucketPairs]]), so the join mass tracks the
+    * corpus, not the cluster structure.
+    *
+    * Contract: every DROP is exact (each edge is a verified
+    * jaccard ≥ threshold pair, and a doc dropped under the LSH
+    * subgraph is provably dropped under the full pair graph — its LSH
+    * component is a subset of its true component, so a smaller true
+    * member exists; DedupSpec pins drops ⊆ exact drops). Recall is
+    * LSH-bound: a pair no band catches can leave BOTH members kept —
+    * the CHECKS floor measures drop recall vs the exact chain (and the
+    * banding math says use this at high thresholds: 16 bands × 4 rows
+    * catches s=0.7 pairs w.p. ~0.99 but s=0.3 pairs w.p. ~0.12; for
+    * low-threshold pruning the exact operator on a pre-deduped corpus
+    * is the honest tool).
+    */
+  def pruneNearDupsLsh(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16, threshold: Double = 0.7,
+                       maxBucketSize: Int = 10000): DataFrame =
     docs.join(
       dropIdsFromPairs(
-        blockedJaccard(docs, idCol, textCol, blockCol, shingleN, threshold,
-          maxShingleDocFrac))
+        minhashLsh(docs, idCol, textCol, shingleN, numHashes, bands,
+          threshold, maxBucketSize))
         .withColumnRenamed("drop_id", idCol),
       Seq(idCol), "left_anti")
 

@@ -71,6 +71,18 @@ object DedupQueries extends QueryPack {
         shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** G+L `dedup_prune_lsh` — the SCALE-PATH prune
+    * ([[graft.dedup.Dedup.pruneNearDupsLsh]]): LSH-bounded candidates,
+    * exact-verified drops, keep-one per component. Rows-only by the
+    * minhash seed layout (like dedup_minhash); the CHECKS floors pin
+    * drop recall vs the exact chain at the same threshold and the
+    * drops ⊆ exact-drops theorem (precision 1.0).
+    */
+  def dedupPruneLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.pruneNearDupsLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.7)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   /** G+r `dedup_prune_robust` — [[dedupPrune]] with the boilerplate
     * guard: shingles present in more than half their block's documents
     * leave the Jaccard universe before pair enumeration (intersection
@@ -318,6 +330,7 @@ object DedupQueries extends QueryPack {
     "dedup_hamming" -> dedupHamming,
     "dedup_prune" -> dedupPrune,
     "dedup_prune_robust" -> dedupPruneRobust,
+    "dedup_prune_lsh" -> dedupPruneLsh,
     "dedup_cut" -> dedupCut,
     "dedup_embed" -> dedupEmbed,
     "dedup_semantic" -> dedupSemantic,
@@ -607,11 +620,16 @@ object DedupQueries extends QueryPack {
     // (since-r12 default-robust) prune chain in SQL — identical to
     // dedup_prune_robust's, which pins the same wiring explicitly
     "dedup_prune" ->
-      """WITH RECURSIVE s AS (SELECT doc_id, source,
+      """WITH RECURSIVE cls AS (SELECT doc_id, source, text,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN min(doc_id) OVER (PARTITION BY source, text)
+        |         ELSE doc_id END AS rep
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
-        |        FROM documents WHERE text IS NOT NULL)),
+        |        FROM cls WHERE doc_id = rep AND text IS NOT NULL)),
         |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
         |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
         |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
@@ -632,10 +650,15 @@ object DedupQueries extends QueryPack {
         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
         |  UNION
         |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
-        |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
+        |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+        |drops AS (SELECT doc_id FROM cls WHERE doc_id <> rep
+        |  UNION
+        |  SELECT c.doc_id FROM cls c
+        |  JOIN (SELECT node FROM comp WHERE node <> component) dr
+        |    ON c.rep = dr.node)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
     // the dedup_prune chain with the boilerplate guard restated: per-
     // (block, shingle) doc frequency over the distinct per-doc shingle
     // lists, universe capped at df <= 0.5 * block doc count, Jaccard
@@ -643,11 +666,16 @@ object DedupQueries extends QueryPack {
     // + anti-join. 0.5*nd is exact on both engines (0.5 is a power of
     // two), so the cap comparison has zero float headroom.
     "dedup_prune_robust" ->
-      """WITH RECURSIVE s AS (SELECT doc_id, source,
+      """WITH RECURSIVE cls AS (SELECT doc_id, source, text,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN min(doc_id) OVER (PARTITION BY source, text)
+        |         ELSE doc_id END AS rep
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
-        |        FROM documents WHERE text IS NOT NULL)),
+        |        FROM cls WHERE doc_id = rep AND text IS NOT NULL)),
         |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
         |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
         |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
@@ -668,10 +696,15 @@ object DedupQueries extends QueryPack {
         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
         |  UNION
         |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
-        |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node)
+        |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+        |drops AS (SELECT doc_id FROM cls WHERE doc_id <> rep
+        |  UNION
+        |  SELECT c.doc_id FROM cls c
+        |  JOIN (SELECT node FROM comp WHERE node <> component) dr
+        |    ON c.rep = dr.node)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
     "dedup_clusters" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),
         |nodes AS (

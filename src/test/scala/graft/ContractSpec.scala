@@ -82,6 +82,8 @@ class ContractSpec extends AnyFunSuite {
       "ann_pq",              // PQ codebooks are k-means-defined (r9)
       "ann_ivf_pq",          // coarse + PQ quantizers both k-means-defined (r9)
       "dedup_incremental",   // MinHash-estimator verify, hash-defined (r5)
+      "dedup_prune_lsh",     // minhash-seeded candidate graph (r13); drops
+                             // exact-verified, CHECKS floors vs exact chain
       "dedup_semantic",      // k-means assignment is float-sum-order-defined (r6)
       "dedup_bloom",         // Bloom bit layout is Spark-impl-defined (r7)
       "q_approx_sketch")     // raw HLL++/percentile-sketch estimates are

@@ -91,6 +91,34 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ("repeat me\nrepeat me", 0L))
   }
 
+  test("pruneNearDupsLsh: drops are a subset of the exact chain's (theorem), equal on an in-recall fixture") {
+    import org.apache.spark.sql.functions._
+    // 3 exact copies + a near-dup (one word changed in 60 → j >> 0.7)
+    // + two unrelated docs, one block
+    val nearDup99 = (1 to 60)
+      .map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s1"), (5L, base, "s1"), (9L, base, "s1"),
+      (2L, nearDup99, "s1"),
+      (3L, unrelated, "s1"), (7L, (1 to 60).map(i => s"zzz$i").mkString(" "), "s1")
+    ).toDF("doc_id", "text", "source")
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val keptExact = keptIds(Dedup.pruneNearDups(docs, "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.7))
+    val keptLsh = keptIds(Dedup.pruneNearDupsLsh(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.7))
+    // subset theorem: every LSH drop is an exact-chain drop
+    assert((all -- keptLsh).subsetOf(all -- keptExact),
+      s"LSH dropped outside the exact chain: ${(all -- keptLsh) -- (all -- keptExact)}")
+    // on this fixture every duplicate pair is in-recall (exact copies
+    // share all bands; the near-dup's jaccard is far above 0.7): the
+    // two prunes agree exactly — keep 1 (cluster min), 3, 7
+    assert(keptLsh === keptExact)
+    assert(keptLsh === Set(1L, 3L, 7L))
+  }
+
   test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
@@ -367,14 +395,19 @@ class DedupSpec extends SparkSpec {
     // removing shared-by-all shingles from both sets LOWERS jaccard
     // for this pair (the removed shingles were all shared)
     assert(j < jUncapped)
-    // a doc whose every shingle is boilerplate pairs with nothing and
-    // SURVIVES the robust prune (empty universe, not a dropped row)
+    // docs whose every shingle is boilerplate pair with nothing in the
+    // jaccard universe — but 11/12 are CONTENT-IDENTICAL, and since the
+    // r13 class-collapse the prune's contract is that exact-duplicate
+    // class members always drop (jaccard 1.0 by definition; the df-cap
+    // is a candidate-mass valve, not a shield for identical copies):
+    // 12 collapses into 11, and 11 (the representative, empty rare
+    // universe) survives unpaired
     val allBp = df.union(Seq((11L, boiler, "s"), (12L, boiler, "s"))
       .toDF("doc_id", "text", "source"))
     val pruned = Dedup.pruneNearDups(allBp, "doc_id", "text", "source",
       shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(pruned.contains(11L) && pruned.contains(12L)) // exact dedup's job, not jaccard's
+    assert(pruned.contains(11L) && !pruned.contains(12L))
     assert(!pruned.contains(2L)) // real near-dup still collapses to doc 1
     assert(pruned.contains(1L))
   }

@@ -786,6 +786,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnelStream with a TTL equals the event-time reset fold, independent of delivery order and chunking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streaming
+    import Streaming.FunnelEvent
+    val steps = Seq("a", "b", "c")
+    val ttlMs = 10L * 60000L // 10 min over a ~50 min event range
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 3)
+        mins <- Gen.choose(0, 50)
+        st <- Gen.oneOf("a", "b", "c", "x")
+      } yield (u.toLong, mins.toLong * 60000L, st))
+      shuffleSeed <- Gen.choose(0L, 1000L)
+    } yield (evs, shuffleSeed)
+    samples(gen, 3, 17017L).zipWithIndex.foreach { case ((evs0, shuffleSeed), i) =>
+      val base = ts("2024-01-01 00:00:00").getTime
+      val evs = evs0.zipWithIndex.map { case ((u, off, st), id) =>
+        FunnelEvent(u, new java.sql.Timestamp(base + off), id.toLong, st)
+      }
+      // reference: the documented TTL contract — fold step events in
+      // (ts, event_id) order, resetting the chain whenever the gap
+      // from the previously folded step event reaches the TTL
+      val stepIdx = steps.zipWithIndex.toMap
+      val exp = evs.filter(e => stepIdx.contains(e.event_type))
+        .groupBy(_.user_id).flatMap { case (u, es) =>
+          val times = Array.fill[Option[Long]](steps.size)(None)
+          var last = Long.MinValue
+          es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val t = e.ts.getTime
+            if (last != Long.MinValue && t - last >= ttlMs)
+              times.indices.foreach(times(_) = None)
+            last = t
+            val k = stepIdx(e.event_type)
+            val qual = k == 0 || times(k - 1).exists(_ < t)
+            if (qual && times(k).forall(t < _)) {
+              times(k) = Some(t); Some((u, k + 1, e.event_type, t))
+            } else None
+          }
+        }.toSet
+      val rnd = new scala.util.Random(shuffleSeed)
+      val shuffled = rnd.shuffle(evs)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[FunnelEvent]
+      val qn = s"funnel_ttl_prop_$i"
+      val q = Streaming.funnelStream(spark, input.toDS(), steps,
+          watermarkDelay = "2 hours", stateTtlMillis = Some(ttlMs))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (h1, h2) = shuffled.splitAt(shuffled.size / 2)
+        if (h1.nonEmpty) { input.addData(h1: _*); q.processAllAvailable() }
+        if (h2.nonEmpty) { input.addData(h2: _*); q.processAllAvailable() }
+        val far = base + 600L * 60000L * 100
+        (1L to 3L).foreach(u => input.addData(
+          FunnelEvent(u, new java.sql.Timestamp(far), 100000L + u, "x")))
+        q.processAllAvailable()
+        (1L to 3L).foreach(u => input.addData(
+          FunnelEvent(u, new java.sql.Timestamp(far * 2), 200000L + u, "x")))
+        q.processAllAvailable()
+        val got = spark.table(qn).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step"),
+            r.getAs[String]("event_type"),
+            r.getAs[java.sql.Timestamp]("step_ts").getTime)).toSet
+        assert(got === exp, s"case $i evs=$evs0 seed=$shuffleSeed")
+        // and every chain eventually leaves the store (the GC half)
+        val st = q.lastProgress.stateOperators
+        assert(st.isEmpty || st(0).numRowsTotal === 0L,
+          s"case $i: TTL'd chains still in the store")
+      } finally q.stop()
+    }
+  }
+
   test("gapReportStream's final per-key report equals the linear gap fold, independent of micro-batch chunking") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
