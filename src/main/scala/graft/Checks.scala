@@ -98,8 +98,11 @@ object Checks {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("drop_id")).cache()
     val lshHit = lshDrops.join(exactDrops, Seq("drop_id"), "left_semi").count()
+    // vacuous pass when the fixture has no exact-chain drop at all —
+    // 0/0 must not read as a recall failure (review finding r13)
     checks += Check("dedup_prune_lsh", "drop_recall_vs_exact_chain_0.7",
-      lshHit.toDouble / math.max(nExactDrops, 1), 0.9, ">=")
+      if (nExactDrops == 0) 1.0 else lshHit.toDouble / nExactDrops,
+      0.9, ">=")
     checks += Check("dedup_prune_lsh", "drops_outside_exact_chain",
       (lshDrops.count() - lshHit).toDouble, 0.0, "<=")
 

@@ -828,20 +828,26 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // class key = (block, sha2(text)): the dedup_exact content-identity
     // convention — one exchange carrying the text once, instead of the
-    // class's full df² share through the shingle equi-join
-    val wClass = Window.partitionBy(col(blockCol), sha2(col(textCol), 256))
-    val withRep = docs.withColumn("_rep",
-      when(col(textCol).isNotNull, min(col(idCol)).over(wClass))
-        .otherwise(col(idCol)))
+    // class's full df² share through the shingle equi-join. Null-text
+    // rows get a per-row synthetic key so they are singletons WITHOUT
+    // shuffling into one hot (block, NULL) window partition (review
+    // finding r13).
+    val wClass = Window.partitionBy(col(blockCol),
+      coalesce(sha2(col(textCol), 256), concat(lit("_null_"), col(idCol))))
+    val withRep = docs.withColumn("_rep", min(col(idCol)).over(wClass))
     val reps = withRep.filter(col(idCol) === col("_rep")).drop("_rep")
     val droppedReps = dropIdsFromPairs(
       blockedJaccard(reps, idCol, textCol, blockCol, shingleN, threshold,
         maxShingleDocFrac))
-      .withColumnRenamed("drop_id", "_rep")
+    // drop list = non-representative members ∪ dropped representatives
+    // directly: a dropped class's non-rep members are already in the
+    // first branch, so re-expanding members of dropped reps via a
+    // corpus semi-join would re-add only the reps themselves at the
+    // cost of a second traversal of the window lineage (review finding
+    // r13)
     val dropIds = withRep.filter(col(idCol) =!= col("_rep"))
       .select(col(idCol))
-      .union(withRep.join(droppedReps, Seq("_rep"), "left_semi")
-        .select(col(idCol)))
+      .union(droppedReps.select(col("drop_id").as(idCol)))
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
@@ -1141,13 +1147,21 @@ object Dedup {
   /** The over-frequency (block, shingle-hash) BOILERPLATE set of a
     * corpus: shingles present in more than `maxShingleDocFrac` of
     * their block's non-null documents. ONE definition shared by the
-    * batch df-cap ([[blockedJaccard]]'s rare-universe restriction,
-    * `dedup_prune_robust`) and the streaming gate
+    * batch df-cap ([[blockedJaccard]]'s rare-universe restriction)
+    * and the streaming gate
     * ([[graft.streaming.Streaming.dfCapStream]]'s prefit broadcast
     * dim) so the two cannot drift on what counts as boilerplate. The
     * output is small by construction — only near-universal features
     * clear the frequency bar — which is exactly the bound a broadcast
     * needs.
+    *
+    * Frequency-basis note (r13): [[pruneNearDups]] feeds blockedJaccard
+    * COLLAPSED representatives, so the prune's df bar counts DISTINCT
+    * CONTENTS while this audit over the raw corpus counts copies — on
+    * a duplicate-heavy corpus the two disagree by design (identical
+    * copies are one content, not evidence of boilerplate). To predict
+    * the prune's capped universe from this audit, run it over the
+    * exact-deduped corpus (one row per (block, content)).
     */
   def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, shingleN: Int = 3,
