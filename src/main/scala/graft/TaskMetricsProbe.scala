@@ -26,21 +26,38 @@ object TaskMetricsProbe {
     @volatile var spillBytes = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        shuffleRead += m.shuffleReadMetrics.totalBytesRead
-        inputRecords += m.inputMetrics.recordsRead
-        inputBytes += m.inputMetrics.bytesRead
-        spillBytes += m.diskBytesSpilled
+        // first attempt only: stage/task retries re-run the same work,
+        // and summing every attempt would double-count input/shuffle
+        // bytes — breaking the "repeatable to the byte" contract on a
+        // run that happened to hit a fetch failure
+        if (sc.stageInfo.attemptNumber == 0) {
+          val m = sc.stageInfo.taskMetrics
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          inputRecords += m.inputMetrics.recordsRead
+          inputBytes += m.inputMetrics.bytesRead
+          spillBytes += m.diskBytesSpilled
+        }
       }
     })
     val t0 = System.nanoTime()
     SparkEntry.queries(args(1))(spark, args(0))
       .write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener events are queued on a bus thread; give it a beat to
-    // drain before reading the counters (the bus API is private)
-    Thread.sleep(2000)
+    // listener events are queued on a bus thread (the bus API is
+    // private): poll until the counters are stable across two
+    // consecutive reads rather than trusting a fixed sleep, which can
+    // under-drain on a loaded machine
+    def snap() = (shuffleWrite, shuffleRead, inputRecords, inputBytes,
+      spillBytes)
+    var prev = snap()
+    var stable = 0
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (stable < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      val cur = snap()
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
     // scalastyle:off println
     println(s"""{"query":"${args(1)}","sf":"${args(0)}",""" +
       s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +

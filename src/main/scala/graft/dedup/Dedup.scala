@@ -825,6 +825,11 @@ object Dedup {
                     blockCol: String, shingleN: Int = 3,
                     threshold: Double = 0.3,
                     maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    // the class-collapse losslessness argument NEEDS threshold <= 1.0:
+    // jaccard-1.0 cliques must always pair, or dropping
+    // non-representative members would not be implied by the pair graph
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     // class key = (block, sha2(text)): the dedup_exact content-identity
     // convention — one exchange carrying the text once, instead of the
@@ -878,13 +883,16 @@ object Dedup {
   def pruneNearDupsLsh(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, numHashes: Int = 64,
                        bands: Int = 16, threshold: Double = 0.7,
-                       maxBucketSize: Int = 10000): DataFrame =
+                       maxBucketSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     docs.join(
       dropIdsFromPairs(
         minhashLsh(docs, idCol, textCol, shingleN, numHashes, bands,
           threshold, maxBucketSize))
         .withColumnRenamed("drop_id", idCol),
       Seq(idCol), "left_anti")
+  }
 
   /** Distinct xxhash64 values of a benchmark set's shingles (column
     * `_bh`) — the shared build side of batch [[contaminatedIds]] and

@@ -1012,7 +1012,12 @@ object Mix {
       // first wiring), column pruning could not drop `text` from the
       // exchange payload: at mult=1000 that is ~GBs of text shuffled
       // to move what one int per row states.
-      .withColumn("_h", sha2(col(textCol), 256))
+      // Null-text rows get a synthetic per-row key: sha2(null) is null
+      // and a null key would funnel every null-text doc into ONE
+      // wContent partition (the pruneNearDups hot-partition hazard).
+      // Correctness is unaffected — such rows are never gated.
+      .withColumn("_h", coalesce(sha2(col(textCol), 256),
+        concat(lit("_null_"), id.cast("string"))))
       .withColumn("_nov", nOverlap)
       .drop(textCol)
       // keep-one: smallest gated id per content (dedup_exact's sha2

@@ -1043,7 +1043,14 @@ object Streaming {
               if (lastSeen != Long.MinValue && t - lastSeen >= ttl)
                 times.indices.foreach(times(_) = None)
             }
-            lastSeen = t
+            // Clamp: a below-watermark arrival folded here (Spark's
+            // late-row drop is an engine behavior, not a contract we
+            // rely on) must not move lastSeen BACKWARDS — that would
+            // let the next on-time event measure its TTL gap against
+            // the stale late ts and spuriously reset a live chain,
+            // and it would break the GC argument below, which needs
+            // lastSeen == max folded ts.
+            lastSeen = math.max(lastSeen, t)
             val i = stepIdx(typ)
             val qualifies = i == 0 || times(i - 1).exists(_ < t)
             if (qualifies && times(i).forall(t < _)) {

@@ -907,6 +907,21 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 20L, 30L))
   }
 
+  test("pruneNearDups/pruneNearDupsLsh reject thresholds outside (0, 1]") {
+    // the class-collapse losslessness proof needs jaccard-1.0 cliques
+    // to always pair, i.e. threshold <= 1.0 — pinned as a precondition
+    val docs = Seq((1L, "a b c", "web")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      Dedup.pruneNearDups(docs, "doc_id", "text", "source", threshold = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.pruneNearDups(docs, "doc_id", "text", "source", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.pruneNearDupsLsh(docs, "doc_id", "text", threshold = 1.0001)
+    }
+  }
+
   test("LshIndex.compact rewrites accumulated appends without changing the band table") {
     val dir = java.nio.file.Files.createTempDirectory("lshcompact").toString
     val initial = Seq(
