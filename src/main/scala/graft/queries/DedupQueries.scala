@@ -40,9 +40,20 @@ object DedupQueries extends QueryPack {
     * corpora (the r11 10x-data sweep measured 13x growth for the
     * uncapped form). The cap is exact-by-definition — Jaccard over the
     * rare-shingle sets — and the oracle restates it, so the operator
-    * stays hash-verified. The uncapped small-vocab form remains
-    * available as [[graft.dedup.Dedup.blockedJaccard]] with
-    * `maxShingleDocFrac = None` (its Scaladoc states the vocab bound).
+    * stays hash-verified.
+    *
+    * Since r14 (verdict-r13 item 1) the entry takes the CLASS-COLLAPSED
+    * form [[graft.dedup.Dedup.blockedJaccardClassed]]: identical-text
+    * classes collapse to min-id representatives before the verify join
+    * (the dedup_prune r13 treatment) and pair output is reconstructed
+    * from class pairs + membership row-locally — the verify join's
+    * Σ df² mass tracks distinct contents, not copies. Like the prune,
+    * the df bar consequently counts DISTINCT CONTENTS, and the oracle
+    * restates that basis with the same `cls` CTE. The plain per-copy
+    * forms remain available as [[graft.dedup.Dedup.blockedJaccard]]
+    * (df over copies) with `maxShingleDocFrac = None` as the uncapped
+    * small-vocab variant.
+    *
     * SQL-oracled: the block join is an exact (not approximate) pruning
     * — a pair can only pass the threshold if it shares the block — so
     * DuckDB's capped within-source pair scan states the same set,
@@ -50,8 +61,8 @@ object DedupQueries extends QueryPack {
     * barring a 64-bit collision, the dedup_exact/decontam convention).
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.blockedJaccard(Tables.documents(s, dir), "doc_id", "text", "source",
-      shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
+    Dedup.blockedJaccardClassed(Tables.documents(s, dir), "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.3, maxShingleDocFrac = Some(0.5))
       .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
 
   /** G+ `dedup_prune` — the MATERIALIZED deduplicated corpus (what a
@@ -593,12 +604,25 @@ object DedupQueries extends QueryPack {
     // 2): per-(block, shingle) doc frequency over the distinct per-doc
     // shingle lists, universe capped at df <= 0.5 * block doc count,
     // Jaccard over the KEPT sets. 0.5*nd is exact on both engines.
+    // Since r14 the chain is CLASS-COLLAPSED (verdict-r13 item 1):
+    // identical-text classes reduce to min-id representatives (the
+    // dedup_prune cls CTE), the df bar and the pair scan run over reps
+    // only (df counts DISTINCT CONTENTS), and id-level pairs are
+    // reconstructed — cross-class via both memberships with
+    // least/greatest restoring doc_a < doc_b, intra-class as all
+    // member pairs of classes with a non-empty capped universe at
+    // jaccard exactly 1.0.
     "dedup_jaccard" ->
-      """WITH s AS (SELECT doc_id, source,
+      """WITH cls AS (SELECT doc_id, source, text,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN min(doc_id) OVER (PARTITION BY source, text)
+        |         ELSE doc_id END AS rep
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
-        |        FROM documents WHERE text IS NOT NULL)),
+        |        FROM cls WHERE doc_id = rep AND text IS NOT NULL)),
         |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
         |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
         |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
@@ -609,12 +633,20 @@ object DedupQueries extends QueryPack {
         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |  FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
         |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
-        |  JOIN sz sb ON sb.doc_id = iv.doc_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3""".stripMargin,
+        |  GROUP BY 1, 2),
+        |rp AS (SELECT doc_a, doc_b,
+        |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        |  FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+        |    JOIN sz sb ON sb.doc_id = iv.doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3)
+        |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |  greatest(ma.doc_id, mb.doc_id) AS doc_b, round(j, 4) AS jaccard
+        |FROM rp JOIN cls ma ON ma.rep = rp.doc_a
+        |  JOIN cls mb ON mb.rep = rp.doc_b
+        |UNION ALL
+        |SELECT a.doc_id, b.doc_id, 1.0 AS jaccard
+        |FROM cls a JOIN cls b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |JOIN sz ON sz.doc_id = a.rep""".stripMargin,
     // the df-capped dedup_jaccard pair chain + recursive min-label
     // components + keep-smallest-per-cluster anti-join: the full
     // (since-r12 default-robust) prune chain in SQL — identical to

@@ -556,6 +556,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("class-collapsed blockedJaccard is lossless vs the plain form (uncapped); capped form expands classes") {
+    // saturated vocab (quadratic candidate regime) + planted
+    // identical-text classes of size 2 and 3 + a null-text row: the
+    // exact shapes the collapse reroutes around the verify join
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    def txt(seed: Int, len: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val corpus = ((0 until 60).map { i =>
+      (i.toLong, txt(i, 12 + i % 25), s"src${i % 3}")
+    } ++ Seq(
+      (900L, txt(3, 12 + 3 % 25), "src0"),  // class {3, 900, 903}
+      (903L, txt(3, 12 + 3 % 25), "src0"),
+      (901L, txt(5, 12 + 5 % 25), "src2"),  // class {5, 901}
+      (902L, null.asInstanceOf[String], "src1")
+    )).toDF("doc_id", "text", "source")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))
+    }.toSet
+    for (t <- Seq(0.25, 0.5, 1.0)) {
+      val classed = canon(Dedup.blockedJaccardClassed(corpus, "doc_id",
+        "text", "source", shingleN = 3, threshold = t))
+      val naive = canon(Dedup.blockedJaccard(corpus, "doc_id", "text",
+        "source", shingleN = 3, threshold = t))
+      assert(classed === naive, s"class collapse lost/invented pairs at t=$t")
+      // the planted cliques are in (doc 3's class shares all shingles)
+      assert(classed.contains((3L, 900L, 1000000000L)) &&
+        classed.contains((3L, 903L, 1000000000L)) &&
+        classed.contains((900L, 903L, 1000000000L)))
+    }
+    // capped: intra-class pairs survive at jaccard exactly 1.0 (the
+    // distinct-contents df basis — identical copies are one content,
+    // so they cannot saturate their own shingles out of the universe),
+    // and rep-level pairs agree with blockedJaccard over the reps
+    val capped = canon(Dedup.blockedJaccardClassed(corpus, "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.25,
+      maxShingleDocFrac = Some(0.5)))
+    assert(capped.contains((3L, 900L, 1000000000L)) &&
+      capped.contains((900L, 903L, 1000000000L)) &&
+      capped.contains((5L, 901L, 1000000000L)))
+    val reps = corpus.filter("doc_id NOT IN (900, 901, 903)")
+    val repPairs = canon(Dedup.blockedJaccard(reps, "doc_id", "text",
+      "source", shingleN = 3, threshold = 0.25,
+      maxShingleDocFrac = Some(0.5)))
+    val cappedRepLevel = capped.filter { case (a, b, _) =>
+      a < 900L && b < 900L }
+    assert(cappedRepLevel === repPairs,
+      "rep-level pairs must match blockedJaccard over representatives")
+  }
+
   test("jaccard column computes exact set jaccard") {
     import org.apache.spark.sql.functions._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
