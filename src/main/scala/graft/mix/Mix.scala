@@ -981,27 +981,56 @@ object Mix {
                        maxDigitRatio: Double = 0.5, shingleN: Int = 5,
                        minOverlap: Int = 3, sampleRate: Double = 0.5,
                        budgetTokens: Long = 2000L,
-                       packCapacity: Int = 512): DataFrame = {
+                       packCapacity: Int = 512,
+                       maxMembershipHashes: Long = 2000000L): DataFrame = {
     require(minTokens > 0 && shingleN > 0 && minOverlap > 0 &&
       packCapacity > 0 && budgetTokens > 0, "pipeline knobs must be positive")
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       "sampleRate must be in (0, 1]")
-    val benchSet = graft.dedup.Dedup
+    require(maxMembershipHashes >= 0, "maxMembershipHashes must be >= 0")
+    // DECONTAM SIZE VALVE (r14, verdict-r13 item 2): the row-local
+    // membership path embeds the benchmark's distinct shingle hashes
+    // in the plan as a LongMembership literal — O(1) per-row and
+    // exchange-free, but the literal travels in every task binary and
+    // its driver-side mass is corpus-UNBOUNDED when the benchmark is
+    // derived from a corpus slice (r13's own sg1000 run put 10M hashes
+    // ≈ 80 MB into the tree). Above `maxMembershipHashes` distinct
+    // hashes the pipeline therefore falls back to the broadcast
+    // semi-join shape of [[graft.dedup.Dedup.contaminatedIds]]: the
+    // bench hashes ship ONCE per executor as a broadcast (never in the
+    // plan tree), the overlap count comes from an explode +
+    // broadcast-semi-join + per-id partial count, and it joins the
+    // main lineage by id — the price is a second corpus scan (the
+    // decontam side's own, text column only) and the id-join
+    // exchanges, which is the right trade once the literal stops
+    // being "tiny by contract". Both paths are row-identical
+    // (AssemblySpec pins it on one fixture). The default threshold
+    // (2M hashes ≈ 16 MB of LongMembership literal) is the ceiling
+    // where plan-tree mass stays negligible per task binary: every
+    // real eval suite (thousands of questions) sits orders of
+    // magnitude under it, while a corpus-derived set blows through it
+    // — sg1000's bench slice measures 2.48M distinct hashes and
+    // engages the valve by default (SCALING.md r14).
+    val benchHashes = graft.dedup.Dedup
       .benchShingleHashes(benchmark, benchTextCol, shingleN)
-      .collect().map(_.getLong(0)).toSet
+    // ONE construction job decides the valve AND feeds the membership
+    // path: collect up to threshold+1 hashes — if the limit did not
+    // truncate, the collected array IS the complete set (no second
+    // benchmark scan; a separate count() would re-run the whole
+    // derivation lineage — measured +15 s at sg100, r14)
+    val take = (maxMembershipHashes + 1).min(Int.MaxValue.toLong - 1).toInt
+    val collected = benchHashes.limit(take).collect()
+    val membershipFits = collected.length < take
     val id = col(idCol)
     val nToks = graft.text.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
     val gated = col(textCol).isNotNull && nToks >= minTokens &&
       graft.text.TextAnalysis.digitRatio(col(textCol)) <= maxDigitRatio
-    val nOverlap = org.apache.spark.sql.graft.TextExpressions
-      .arrayCountInSet(org.apache.spark.sql.graft.TextExpressions
-        .shingleHashes(col(textCol), shingleN), benchSet)
     val u = hashUniform(id)
     val wContent = Window.partitionBy(col("_h"))
     val wSource = Window.partitionBy(col(sourceCol))
     val wPack = Window.partitionBy(col(sourceCol)).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = docs
+    val base = docs
       .select(id, col(sourceCol), col(textCol))
       .withColumn("_n", nToks)
       .withColumn("_g", gated)
@@ -1018,8 +1047,24 @@ object Mix {
       // Correctness is unaffected — such rows are never gated.
       .withColumn("_h", coalesce(sha2(col(textCol), 256),
         concat(lit("_null_"), id.cast("string"))))
-      .withColumn("_nov", nOverlap)
-      .drop(textCol)
+    val withNov = if (membershipFits) {
+      val benchSet = collected.map(_.getLong(0)).toSet
+      base.withColumn("_nov", org.apache.spark.sql.graft.TextExpressions
+          .arrayCountInSet(org.apache.spark.sql.graft.TextExpressions
+            .shingleHashes(col(textCol), shingleN), benchSet).cast("long"))
+        .drop(textCol)
+    } else {
+      // contaminatedIds with minOverlap=1 = every doc with a non-zero
+      // overlap count; docs it misses have _nov = 0 by definition
+      val ov = graft.dedup.Dedup.contaminatedIds(docs, idCol, textCol,
+          benchmark, benchTextCol, shingleN, minOverlap = 1)
+        .withColumnRenamed("doc_id", "__ov_id")
+      base.drop(textCol)
+        .join(ov, id === col("__ov_id"), "left")
+        .withColumn("_nov", coalesce(col("n_overlap"), lit(0L)))
+        .drop("__ov_id", "n_overlap")
+    }
+    val flagged = withNov
       // keep-one: smallest gated id per content (dedup_exact's sha2
       // convention); the conditional min ignores ungated rows
       .withColumn("_dedup", col("_g") &&

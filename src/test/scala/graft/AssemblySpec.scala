@@ -139,4 +139,25 @@ class AssemblySpec extends SparkSpec {
       assert(chain.sliding(2).forall(p => p(0) >= p(1)), s"$src not monotone")
     }
   }
+
+  test("curationPipeline decontam size valve: join path row-identical to the membership path") {
+    // r14 (verdict-r13 item 2): above maxMembershipHashes distinct
+    // bench shingle hashes the pipeline swaps the row-local
+    // LongMembership literal for contaminatedIds' broadcast semi-join
+    // shape. The two paths must report IDENTICAL rows on the same
+    // fixture — forced here by threshold 0 (always-valve) vs the
+    // default (never-valve at this fixture size).
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % 53 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val membership = canon(Mix.curationPipeline(docs, "doc_id", "source",
+      "text", bench, "text"))
+    val joined = canon(Mix.curationPipeline(docs, "doc_id", "source",
+      "text", bench, "text", maxMembershipHashes = 0L))
+    assert(membership === joined,
+      "valve path diverged from the membership path")
+    assert(membership.nonEmpty)
+  }
 }

@@ -511,5 +511,32 @@ class PlanSpec extends SparkSpec {
       plan.substring(0, plan.lastIndexOf("Exchange hashpartitioning"))
     assert(!aboveFirstExchange.contains("text#"),
       s"document text travels through an exchange:\n$plan")
+    // the default path keeps the bench hashes as a LongMembership
+    // literal (tiny-by-contract eval set) — the valve must NOT have
+    // engaged at this fixture size
+    assert(plan.contains("array_count_in_set"),
+      s"default path lost the row-local membership shape:\n$plan")
+  }
+
+  test("ds_pipeline decontam valve: no membership literal, broadcast semi-join decontam side") {
+    // r14 valve engaged (threshold 0): the bench shingle hashes must
+    // ship as a BROADCAST (once per executor), never as a plan-tree
+    // literal (which travels in every task binary and has
+    // corpus-unbounded driver mass); the overlap count joins the main
+    // lineage by id. Price: a second corpus scan (the decontam side's
+    // own, text-pruned) — pinned at exactly 2, not more.
+    val d = graft.tables.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+    val bench = d.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+    val plan = planOf(graft.mix.Mix.curationPipeline(d, "doc_id", "source",
+      "text", bench, "text", maxMembershipHashes = 0L))
+    assert(!plan.contains("array_count_in_set"),
+      s"valve engaged but the membership literal is still in the plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"valve decontam side is not a broadcast join:\n$plan")
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size === 3,
+      s"valve path should scan documents twice + bench once:\n$plan")
   }
 }
