@@ -34,7 +34,13 @@ import graft.similarity.IvfIndex
   * Emits one JSON line per lifecycle stage:
   *   {"index":"lsh","stage":"append","i":3,"files":…,"wall_sec":…,…}
   *
-  * Usage: runMain graft.IndexSoak <sfDir> [lsh|ivf|both]
+  * `--auto` (r14, verdict-r13 item 5): run the same append protocol
+  * with `withAutoMaintenance(maxFiles=64)` installed at build and NO
+  * manual compact/recenter calls — the acceptance run for the
+  * append-time valve is probe latency staying flat across all 8
+  * appends because the policy fires inside the appends themselves.
+  *
+  * Usage: runMain graft.IndexSoak <sfDir> [lsh|ivf|both] [--auto]
   */
 object IndexSoak {
 
@@ -49,7 +55,9 @@ object IndexSoak {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val mode = args.lift(1).getOrElse("both")
+    val auto = args.contains("--auto")
+    val mode = args.drop(1).filterNot(_.startsWith("--"))
+      .headOption.getOrElse("both")
     val spark = GraftSession.builder(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,33 +73,43 @@ object IndexSoak {
       val path = s"$root/lsh"
       val (idx, buildWall) = timed(
         LshIndex.build(base, "doc_id", "text", path))
-      emit(s"""{"index":"lsh","stage":"build","rows":${idx.sigs.count()},""" +
+      if (auto) idx.withAutoMaintenance(maxFiles = 64)
+      emit(s"""{"index":"lsh","stage":"build","auto":$auto,""" +
+        s""""rows":${idx.sigs.count()},""" +
         s""""files":${idx.dataFileCount()},"wall_sec":$buildWall}""")
+      // probe batch with FRESH ids (every cohort is indexed by the end,
+      // and check() skips already-indexed ids — shifted ids make the
+      // candidate join against the full banded history do real work and
+      // emit real pairs: same texts ⇒ guaranteed near-dup hits)
+      val probeBatch = docs.filter(cohort === 19L)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
+      def checkProbe(): Double =
+        timed(idx.check(probeBatch, "doc_id", "text", threshold = 0.7)
+          .count())._2
       (0 until 8).foreach { i =>
         val batch = docs.filter(cohort === (12 + i % 8).toLong)
         val ((pairs, _), wall) = timed {
           val p = idx.checkAndAdd(batch, "doc_id", "text", threshold = 0.7)
           (p.count(), ())
         }
+        // --auto emits the steady-state probe after EVERY append —
+        // the flat-latency acceptance signal
+        val probeField = if (auto) s""","check_sec":${checkProbe()}""" else ""
         emit(s"""{"index":"lsh","stage":"append","i":$i,""" +
           s""""pairs":$pairs,"files":${idx.dataFileCount()},""" +
-          s""""wall_sec":$wall}""")
+          s""""wall_sec":$wall$probeField}""")
       }
-      // probe batch with FRESH ids (every cohort is indexed by now, and
-      // check() skips already-indexed ids — shifted ids make the
-      // candidate join against the full banded history do real work and
-      // emit real pairs: same texts ⇒ guaranteed near-dup hits)
-      val probeBatch = docs.filter(cohort === 19L)
-        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
-      val (preN, preWall) = timed(
-        idx.check(probeBatch, "doc_id", "text", threshold = 0.7).count())
-      val (compacted, compactWall) = timed(idx.compactIfFragmented(64))
-      val (postN, postWall) = timed(
-        idx.check(probeBatch, "doc_id", "text", threshold = 0.7).count())
-      emit(s"""{"index":"lsh","stage":"compact","ran":$compacted,""" +
-        s""""files":${idx.dataFileCount()},"compact_sec":$compactWall,""" +
-        s""""check_pre_sec":$preWall,"check_post_sec":$postWall,""" +
-        s""""check_pre_pairs":$preN,"check_post_pairs":$postN}""")
+      if (!auto) {
+        val (preN, preWall) = timed(
+          idx.check(probeBatch, "doc_id", "text", threshold = 0.7).count())
+        val (compacted, compactWall) = timed(idx.compactIfFragmented(64))
+        val (postN, postWall) = timed(
+          idx.check(probeBatch, "doc_id", "text", threshold = 0.7).count())
+        emit(s"""{"index":"lsh","stage":"compact","ran":$compacted,""" +
+          s""""files":${idx.dataFileCount()},"compact_sec":$compactWall,""" +
+          s""""check_pre_sec":$preWall,"check_post_sec":$postWall,""" +
+          s""""check_pre_pairs":$preN,"check_post_pairs":$postN}""")
+      }
     }
 
     if (mode == "ivf" || mode == "both") {
@@ -115,7 +133,9 @@ object IndexSoak {
       val (idx, buildWall) = timed(
         IvfIndex.build(base, "vec_id", "embedding", path, k = 16,
           iterations = 2))
-      emit(s"""{"index":"ivf","stage":"build","files":${idx.dataFileCount()},""" +
+      if (auto) idx.withAutoMaintenance(maxFiles = 64)
+      emit(s"""{"index":"ivf","stage":"build","auto":$auto,""" +
+        s""""files":${idx.dataFileCount()},""" +
         s""""wall_sec":$buildWall,"probe_sec":${probe(idx)},""" +
         s""""probe2_sec":${probe(idx)}}""")
       (0 until 8).foreach { i =>
@@ -126,14 +146,16 @@ object IndexSoak {
           s""""probe_sec":${probe(idx)},"probe2_sec":${probe(idx)},""" +
           s""""min_drift_cos":${minDrift(idx)}}""")
       }
-      val (ran, rcWall) = timed(idx.recenterIfDrifted(minCosine = 0.9999))
-      emit(s"""{"index":"ivf","stage":"recenter","ran":$ran,""" +
-        s""""wall_sec":$rcWall,"probe_sec":${probe(idx)},""" +
-        s""""probe2_sec":${probe(idx)},"min_drift_cos":${minDrift(idx)}}""")
-      val (cran, cWall) = timed(idx.compactIfFragmented(64))
-      emit(s"""{"index":"ivf","stage":"compact","ran":$cran,""" +
-        s""""files":${idx.dataFileCount()},"compact_sec":$cWall,""" +
-        s""""probe_sec":${probe(idx)},"probe2_sec":${probe(idx)}}""")
+      if (!auto) {
+        val (ran, rcWall) = timed(idx.recenterIfDrifted(minCosine = 0.9999))
+        emit(s"""{"index":"ivf","stage":"recenter","ran":$ran,""" +
+          s""""wall_sec":$rcWall,"probe_sec":${probe(idx)},""" +
+          s""""probe2_sec":${probe(idx)},"min_drift_cos":${minDrift(idx)}}""")
+        val (cran, cWall) = timed(idx.compactIfFragmented(64))
+        emit(s"""{"index":"ivf","stage":"compact","ran":$cran,""" +
+          s""""files":${idx.dataFileCount()},"compact_sec":$cWall,""" +
+          s""""probe_sec":${probe(idx)},"probe2_sec":${probe(idx)}}""")
+      }
     }
 
     } finally {

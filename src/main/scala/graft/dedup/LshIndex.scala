@@ -54,6 +54,26 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
                                      val bands: Int) {
   require(numHashes % bands == 0, "bands must divide numHashes")
 
+  /** Opt-in append-time maintenance (r14, verdict-r13 item 5): when
+    * set, every append ([[add]]/[[checkAndAdd]]) finishes by running
+    * [[compactIfFragmented]] with this policy — fragmentation can
+    * never outrun the valve. Off by default; the trigger runs on the
+    * same single-writer ingest owner as the append itself, so the
+    * class's concurrency contract is unchanged.
+    */
+  @volatile private var autoPolicy: Option[(Int, Long)] = None
+
+  def withAutoMaintenance(maxFiles: Int = 64,
+                          targetFileRows: Long = 4000000L): LshIndex = {
+    require(maxFiles > 0 && targetFileRows > 0,
+      "auto-maintenance thresholds must be positive")
+    autoPolicy = Some((maxFiles, targetFileRows))
+    this
+  }
+
+  private def maintainIfDue(): Unit =
+    autoPolicy.foreach { case (mf, tr) => compactIfFragmented(mf, tr) }
+
   // explicit schemas: an index built over an EMPTY corpus (a pipeline
   // bootstrapping from no history) writes zero parquet data files, and
   // a schema-inferring read of that directory throws
@@ -199,6 +219,7 @@ final class LshIndex private[dedup] (val spark: SparkSession, val path: String,
     bandRows(newSigs).write.mode("append")
       .partitionBy("band").parquet(s"$path/banded")
     newSigs.write.mode("append").parquet(s"$path/sigs")
+    maintainIfDue()
   }
 
   private def checkInternal(newDocs: DataFrame, idCol: String, textCol: String,

@@ -22,6 +22,30 @@ import graft.functions.cosineSimilarity
 final class IvfIndex private (val spark: SparkSession, val path: String,
                               val idCol: String, val vecCol: String) {
 
+  /** Opt-in append-time maintenance (r14, verdict-r13 item 5): when
+    * set, every [[addVectors]] finishes by running
+    * [[compactIfFragmented]] with this policy, so an append-heavy
+    * lifecycle can never fragment probes into the r13 IndexSoak
+    * degradation (240→2,146 files, 0.68→3.2 s probes) without the
+    * valve firing. Off by default — compaction belongs to the
+    * single-writer ingest owner, and opting in here keeps it on that
+    * same writer thread (no new concurrency). IndexSoak --auto
+    * measures the policy: probe latency stays flat across 8 appends
+    * with NO manual compact call.
+    */
+  @volatile private var autoPolicy: Option[(Int, Long)] = None
+
+  def withAutoMaintenance(maxFiles: Int = 64,
+                          targetFileRows: Long = 4000000L): IvfIndex = {
+    require(maxFiles > 0 && targetFileRows > 0,
+      "auto-maintenance thresholds must be positive")
+    autoPolicy = Some((maxFiles, targetFileRows))
+    this
+  }
+
+  private def maintainIfDue(): Unit =
+    autoPolicy.foreach { case (mf, tr) => compactIfFragmented(mf, tr) }
+
   def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
 
   /** Corpus vectors partitioned by their nearest centroid. */
@@ -75,6 +99,7 @@ final class IvfIndex private (val spark: SparkSession, val path: String,
       .write.mode("append").partitionBy("cid").parquet(s"$path/assignments")
     assignments.agg(count(lit(1)).as("n_vectors"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    maintainIfDue()
   }
 
   /** Centroid drift after incremental [[addVectors]] appends: per
