@@ -33,8 +33,16 @@ import graft.streaming.Streaming
   *    "final_state_rows":…,"peak_state_bytes":…,"late_dropped":…,
   *    "wall_sec":…}
   *
-  * Usage: runMain graft.StreamSoak [usersMult]   (default 1 → ~1M-row
-  * sessionize feed; the r13 SCALING.md numbers used the default)
+  * Usage: runMain graft.StreamSoak [usersMult] [--backend=hdfs|rocksdb]
+  *        [--twins=sessionize,funnel,step,diurnal]
+  * (default mult 1 → ~1M-row sessionize feed; the r13 SCALING.md
+  * numbers used the default). `--backend=rocksdb` (r14, verdict-r13
+  * item 8) swaps the state store provider to
+  * RocksDBStateStoreProvider before any query starts — the off-heap
+  * store whose state lives on local disk with a block-cache, the
+  * backend that survives state sizes the in-memory HDFS-backed map
+  * cannot hold; the soak prints the same peak-state/throughput line
+  * per twin so the two backends compare row-for-row at any mult.
   */
 object StreamSoak {
 
@@ -88,15 +96,28 @@ object StreamSoak {
     SoakMetrics(peakRows, peakBytes, dropped, finalRows)
   }
 
+  @volatile private var backend: String = "hdfs"
+
   private def report(spark: SparkSession, twin: String, rowsIn: Long,
                      keys: Long, outTable: String,
                      m: SoakMetrics, wall: Double): Unit = {
     val out = spark.table(outTable).count()
+    // JVM heap peak across the run (max over post-GC snapshots of all
+    // pools) — the number that separates the backends: HDFS-backed
+    // state lives ON this heap, RocksDB state lives off-heap/on-disk
+    val heapPeak = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.stream()
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .mapToLong(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum()
     // scalastyle:off println
-    println(s"""{"twin":"$twin","rows_in":$rowsIn,"keys":$keys,""" +
+    println(s"""{"twin":"$twin","backend":"$backend","rows_in":$rowsIn,""" +
+      s""""keys":$keys,""" +
       s""""out_rows":$out,"peak_state_rows":${m.peakRows},""" +
       s""""final_state_rows":${m.finalRows},"peak_state_bytes":${m.peakBytes},""" +
-      s""""late_dropped":${m.dropped},"wall_sec":$wall}""")
+      s""""late_dropped":${m.dropped},"heap_peak_bytes":$heapPeak,""" +
+      s""""rows_per_sec":${math.round(rowsIn / math.max(wall, 1e-9))},""" +
+      s""""wall_sec":$wall}""")
     // scalastyle:on println
   }
 
@@ -106,10 +127,24 @@ object StreamSoak {
   }
 
   def main(args: Array[String]): Unit = {
-    val mult = args.lift(0).map(_.toInt).getOrElse(1)
+    val mult = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(1)
+    backend = args.collectFirst {
+      case a if a.startsWith("--backend=") => a.stripPrefix("--backend=")
+    }.getOrElse("hdfs")
+    val twinFilter = args.collectFirst {
+      case a if a.startsWith("--twins=") =>
+        a.stripPrefix("--twins=").split(",").toSet
+    }
+    def enabled(t: String): Boolean = twinFilter.forall(_.contains(t))
     val spark = GraftSession.builder(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (backend == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    else require(backend == "hdfs", s"unknown backend $backend")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -119,7 +154,7 @@ object StreamSoak {
     // ~5-event bursts 10 s apart; bursts separated by ≥ 2× the 30 min
     // gap. Chunks are half-days; intra-chunk order is hash-shuffled
     // (disorder within the 1 h watermark).
-    locally {
+    if (enabled("sessionize")) {
       val users = 20000L * mult
       val gapMs = 30L * 60 * 1000
       val events = (0L until users).flatMap { u =>
@@ -155,6 +190,7 @@ object StreamSoak {
     // and with a 2 h TTL (chains idle past the TTL expire — the
     // production-valve evidence: peak state bounded by users ACTIVE
     // inside the TTL window, final state drained).
+    if (enabled("funnel"))
     Seq(None -> "funnelStream", Some(2L * 3600 * 1000) -> "funnelStream_ttl")
       .foreach { case (ttl, twin) =>
       val users = 10000L * mult
@@ -189,7 +225,7 @@ object StreamSoak {
     // (window 1 h ⇒ ~40 events per key inside the 2w horizon); 25% of
     // keys go quiet after a quarter of the stream — their buffers must
     // prune via the always-registered timeout.
-    locally {
+    if (enabled("step")) {
       val keys = 2000L * mult
       val events = (0L until keys).flatMap { k =>
         val n = if (k < keys / 4) 50 else 200
@@ -216,7 +252,7 @@ object StreamSoak {
     // 15-minute observations; calibration prefit constants (06h min /
     // 18h max). Open-day state must stay ~3 records/key regardless of
     // stream length.
-    locally {
+    if (enabled("diurnal")) {
       val keys = 500L * mult
       val occ = (0L until keys).map(k => k -> (6.0, 18.0)).toMap
       val events = (0L until keys).flatMap { k =>
