@@ -74,8 +74,19 @@ object MeltQueries extends QueryPack {
     * sentinel null tokens — loader AND pipeline are hash-verified
     * together.
     */
+  /** Repo-relative fixture resolution (verdict-r13 item 7): CWD first
+    * (sbt forked runs set user.dir to the checkout root), then
+    * `GRAFT_REPO_ROOT` for callers running from elsewhere — never a
+    * hard-coded absolute path, so a relocated checkout keeps working.
+    */
+  private def fixturePath(rel: String): String = {
+    val cands = Seq(new java.io.File(rel),
+      new java.io.File(sys.env.getOrElse("GRAFT_REPO_ROOT", "."), rel))
+    cands.find(_.exists()).getOrElse(cands.head).getAbsolutePath
+  }
+
   def meltFromHobo(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File("fixtures/hobo_aws.csv").getAbsolutePath
+    val path = fixturePath("fixtures/hobo_aws.csv")
     val base = graft.sources.Sources.readHobo(s, path)
       .select(col("Date Time - GMT").as("ts"), col("Temp").as("temp"),
         col("Solar1").as("incoming"), col("Solar2").as("reflected"))
@@ -197,7 +208,7 @@ object MeltQueries extends QueryPack {
          |    "Date Time - GMT" AS ts, "Temp  C" AS temp,
          |    "Solar Radiation  W/m2" AS incoming,
          |    "Solar Radiation 2  W/m2" AS reflected
-         |  FROM read_csv('${new java.io.File("fixtures/hobo_aws.csv").getAbsolutePath}', skip = 1, header = true,
+         |  FROM read_csv('${fixturePath("fixtures/hobo_aws.csv")}', skip = 1, header = true,
          |    nullstr = ['-888.88', '-888.9'])),
          |$albCte,
          |wi AS (SELECT *, avg(incoming) OVER (

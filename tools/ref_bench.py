@@ -1408,6 +1408,98 @@ def _():
 def _():
     ev.groupby("event_type")["value"].agg(["count", "sum", "min", "max"])
 
+# G+L: the LSH-banded prune end product (dedup_prune_lsh twin, r14):
+# minhash signatures, 16 bands x 4 rows, banded candidates, exact
+# jaccard >= 0.7 verification, union-find keep-one, anti-join
+@timed("dedup_prune_lsh")
+def _():
+    import zlib, itertools
+    P = (1 << 61) - 1
+    rng = np.random.RandomState(7)
+    A = rng.randint(1, P, size=64, dtype=np.int64)
+    B = rng.randint(0, P, size=64, dtype=np.int64)
+    d = docs_pd[docs_pd["text"].notna()][["doc_id", "source", "text"]]
+    shingle_sets, sigs = {}, {}
+    for did, text in zip(d["doc_id"], d["text"]):
+        ws = text.split(" ")
+        sh = {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+        shingle_sets[did] = sh
+        h = np.fromiter((zlib.crc32(s.encode()) for s in sh),
+                        dtype=np.int64, count=len(sh))
+        sigs[did] = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+    buckets = {}
+    for did, sig in sigs.items():
+        for b in range(16):
+            buckets.setdefault((b, tuple(sig[b * 4:(b + 1) * 4])), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 10000:
+            continue
+        for a, bb in itertools.combinations(sorted(members), 2):
+            cand.add((a, bb))
+    parent = {}
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+    for a, bb in cand:
+        sa, sb = shingle_sets[a], shingle_sets[bb]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.7:
+            ra, rb = find(a), find(bb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    docs_pd[~docs_pd["doc_id"].isin(drop)]
+
+# L20: the six-stage curation funnel (ds_pipeline twin, r14): gate ->
+# exact dedup keep-one -> decontam vs bench shingles -> hash sample ->
+# per-source token budget -> pack offsets, reported per source
+@timed("ds_pipeline")
+def _():
+    import hashlib
+    d = docs_pd[["doc_id", "source", "text"]].copy()
+    bench = d[d["doc_id"] % 97 == 0]
+    bench_sh = set()
+    for t in bench["text"].dropna():
+        ws = t.split(" ")
+        bench_sh.update(" ".join(ws[i:i + 5])
+                        for i in range(max(len(ws) - 4, 1)))
+    def u01(did):
+        hx = hashlib.md5(str(did).encode()).hexdigest()
+        return (int(hx[:8], 16) + 0.5) / 2 ** 32
+    rows = []
+    for src, g in d.groupby("source"):
+        g = g.sort_values("doc_id")
+        n_total = len(g)
+        toks = g["text"].fillna("").str.split(" ").str.len()
+        digits = g["text"].fillna("").str.count(r"\d")
+        chars = g["text"].fillna("").str.len().clip(lower=1)
+        gated = g["text"].notna() & (toks >= 5) & (digits / chars <= 0.5)
+        gg = g[gated].copy()
+        gg["toks"] = toks[gated]
+        first = ~gg["text"].duplicated()  # sorted by id: keep-one = min id
+        dd = gg[first]
+        def nov(t):
+            ws = t.split(" ")
+            return sum(1 for i in range(max(len(ws) - 4, 1))
+                       if " ".join(ws[i:i + 5]) in bench_sh)
+        clean = dd[dd["text"].map(nov) < 3]
+        samp = clean[clean["doc_id"].map(u01) < 0.5]
+        rate = min(1.0, 2000.0 / max(samp["toks"].sum(), 1))
+        bud = samp[samp["doc_id"].map(u01) < rate]
+        off = bud["toks"].cumsum().shift(fill_value=0)
+        rows.append((src, n_total, int(gated.sum()), len(dd), len(clean),
+                     len(samp), len(bud), int(bud["toks"].sum()),
+                     int(off.sum()),
+                     int(off.max() // 512 + 1) if len(bud) else 0))
+    pd.DataFrame(rows, columns=["source", "n_total", "n_gated", "n_deduped",
+                                "n_clean", "n_sampled", "n_budgeted",
+                                "toks_budgeted", "sum_tok_offset", "n_packs"])
+
 timings = {k: v for k, v in results.items() if not k.startswith(
     ("diurnal_extrema_series", "diurnal_minfirst_series"))}
 print(json.dumps({"engine": "reference-pandas", "sf": sf, "queries": results,
