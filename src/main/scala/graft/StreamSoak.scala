@@ -102,14 +102,20 @@ object StreamSoak {
                      keys: Long, outTable: String,
                      m: SoakMetrics, wall: Double): Unit = {
     val out = spark.table(outTable).count()
-    // JVM heap peak across the run (max over post-GC snapshots of all
-    // pools) — the number that separates the backends: HDFS-backed
-    // state lives ON this heap, RocksDB state lives off-heap/on-disk
-    val heapPeak = java.lang.management.ManagementFactory
+    // JVM heap peak SINCE THE LAST REPORT (peaks are reset below after
+    // reading, so each twin's line carries its own window rather than
+    // the run-wide monotone max — without the reset every twin after
+    // the first reports the earlier twin's peak; review finding r14).
+    // Still an upper bound built from per-pool maxima at different
+    // instants; the cross-backend comparison it feeds only needs the
+    // order of magnitude (state-on-heap vs state-off-heap).
+    val pools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.stream()
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .mapToLong(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
-      .sum()
+      .toArray.map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
+    val heapPeak = pools
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+    pools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
     // scalastyle:off println
     println(s"""{"twin":"$twin","backend":"$backend","rows_in":$rowsIn,""" +
       s""""keys":$keys,""" +

@@ -1018,7 +1018,9 @@ object Mix {
     // truncate, the collected array IS the complete set (no second
     // benchmark scan; a separate count() would re-run the whole
     // derivation lineage — measured +15 s at sg100, r14)
-    val take = (maxMembershipHashes + 1).min(Int.MaxValue.toLong - 1).toInt
+    // clamp BEFORE the +1: a caller passing Long.MaxValue to mean
+    // "never valve" must not overflow into a negative limit
+    val take = (math.min(maxMembershipHashes, Int.MaxValue - 2L) + 1).toInt
     val collected = benchHashes.limit(take).collect()
     val membershipFits = collected.length < take
     val id = col(idCol)

@@ -507,8 +507,11 @@ def _():
     import zlib, itertools
     P = (1 << 61) - 1
     rng = np.random.RandomState(7)
-    A = rng.randint(1, P, size=64, dtype=np.int64)
-    B = rng.randint(0, P, size=64, dtype=np.int64)
+    # coefficients < 2^30 so A*h (h = crc32 < 2^32) stays under 2^62:
+    # the naive draw from [1, P) overflowed int64 in (A*h + B) % P,
+    # silently computing a different (still deterministic) hash family
+    A = rng.randint(1, 1 << 30, size=64, dtype=np.int64)
+    B = rng.randint(0, 1 << 30, size=64, dtype=np.int64)
     shingle_sets, sigs = {}, {}
     for did, text in zip(docs_pd["doc_id"], docs_pd["text"]):
         ws = text.split(" ")
@@ -1416,8 +1419,11 @@ def _():
     import zlib, itertools
     P = (1 << 61) - 1
     rng = np.random.RandomState(7)
-    A = rng.randint(1, P, size=64, dtype=np.int64)
-    B = rng.randint(0, P, size=64, dtype=np.int64)
+    # coefficients < 2^30 so A*h (h = crc32 < 2^32) stays under 2^62:
+    # the naive draw from [1, P) overflowed int64 in (A*h + B) % P,
+    # silently computing a different (still deterministic) hash family
+    A = rng.randint(1, 1 << 30, size=64, dtype=np.int64)
+    B = rng.randint(0, 1 << 30, size=64, dtype=np.int64)
     d = docs_pd[docs_pd["text"].notna()][["doc_id", "source", "text"]]
     shingle_sets, sigs = {}, {}
     for did, text in zip(d["doc_id"], d["text"]):
@@ -1456,11 +1462,12 @@ def _():
     docs_pd[~docs_pd["doc_id"].isin(drop)]
 
 # L20: the six-stage curation funnel (ds_pipeline twin, r14): gate ->
-# exact dedup keep-one -> decontam vs bench shingles -> hash sample ->
-# per-source token budget -> pack offsets, reported per source
+# exact dedup keep-one (GLOBAL by content, matching the Spark window
+# partitioned by sha2(text) alone) -> decontam vs DISTINCT bench
+# shingles -> Knuth-hash sample (the hashUniform formula, same as the
+# ds_sample twin) -> per-source token budget -> pack offsets
 @timed("ds_pipeline")
 def _():
-    import hashlib
     d = docs_pd[["doc_id", "source", "text"]].copy()
     bench = d[d["doc_id"] % 97 == 0]
     bench_sh = set()
@@ -1469,30 +1476,30 @@ def _():
         bench_sh.update(" ".join(ws[i:i + 5])
                         for i in range(max(len(ws) - 4, 1)))
     def u01(did):
-        hx = hashlib.md5(str(did).encode()).hexdigest()
-        return (int(hx[:8], 16) + 0.5) / 2 ** 32
+        return ((int(did) * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    toks = d["text"].fillna("").str.split(" ").str.len()
+    digits = d["text"].fillna("").str.count(r"\d")
+    chars = d["text"].fillna("").str.len().clip(lower=1)
+    d["toks"] = toks
+    d["gated"] = d["text"].notna() & (toks >= 5) & (digits / chars <= 0.5)
+    # keep-one = min gated id per content, across ALL sources
+    gkeep = d[d["gated"]].sort_values("doc_id")
+    keep_ids = set(gkeep[~gkeep["text"].duplicated()]["doc_id"])
+    d["dedup"] = d["gated"] & d["doc_id"].isin(keep_ids)
+    def nov(t):
+        ws = t.split(" ")
+        return len({" ".join(ws[i:i + 5])
+                    for i in range(max(len(ws) - 4, 1))} & bench_sh)
     rows = []
     for src, g in d.groupby("source"):
         g = g.sort_values("doc_id")
-        n_total = len(g)
-        toks = g["text"].fillna("").str.split(" ").str.len()
-        digits = g["text"].fillna("").str.count(r"\d")
-        chars = g["text"].fillna("").str.len().clip(lower=1)
-        gated = g["text"].notna() & (toks >= 5) & (digits / chars <= 0.5)
-        gg = g[gated].copy()
-        gg["toks"] = toks[gated]
-        first = ~gg["text"].duplicated()  # sorted by id: keep-one = min id
-        dd = gg[first]
-        def nov(t):
-            ws = t.split(" ")
-            return sum(1 for i in range(max(len(ws) - 4, 1))
-                       if " ".join(ws[i:i + 5]) in bench_sh)
+        dd = g[g["dedup"]]
         clean = dd[dd["text"].map(nov) < 3]
         samp = clean[clean["doc_id"].map(u01) < 0.5]
         rate = min(1.0, 2000.0 / max(samp["toks"].sum(), 1))
         bud = samp[samp["doc_id"].map(u01) < rate]
         off = bud["toks"].cumsum().shift(fill_value=0)
-        rows.append((src, n_total, int(gated.sum()), len(dd), len(clean),
+        rows.append((src, len(g), int(g["gated"].sum()), len(dd), len(clean),
                      len(samp), len(bud), int(bud["toks"].sum()),
                      int(off.sum()),
                      int(off.max() // 512 + 1) if len(bud) else 0))
