@@ -633,13 +633,66 @@ object Dedup {
     * practice (and `maxIter` caps pathological chains). Per iteration:
     * one join + one aggregate, all label state stays distributed; the
     * driver only sees the changed-row count.
+    *
+    * Small-graph cutoff (r14): at or under `driverEdgeBound`
+    * symmetrized edge rows (default 1M = 16 MB of long pairs, the
+    * bounded-driver-materialization class) with long-typed ids, labels
+    * come from one collect + min-label union-find — identical output
+    * (spec-pinned against the distributed loop), without the fixed
+    * per-round checkpoint/convergence-job cost that dominates tiny
+    * pair graphs (dedup_prune_lsh sf0.1: 3.2 s mostly CC overhead for
+    * ~24 pairs). Pass `driverEdgeBound = 0` to force the distributed
+    * loop.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverEdgeBound: Long = 1000000L): DataFrame = {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint(true) // edge list scanned every iteration
+    // SMALL-GRAPH CUTOFF (r14): each distributed round pays a fixed
+    // ~0.3-0.5 s of checkpoint + convergence-count jobs, which
+    // DOMINATES when the pair graph is tiny (dedup_prune_lsh at sf0.1:
+    // ~24 pairs, 3.2 s mostly CC overhead). Below `driverEdgeBound`
+    // symmetrized rows (default 1M edges = 16 MB of long pairs — the
+    // bounded-driver-materialization class collectCentroids set) the
+    // labels come from one collect + union-find with min-label roots:
+    // same output contract, exact, and the bound is checked on the
+    // already-materialized checkpoint so the decision costs one count.
+    // Long ids only (every dedup caller); other id types always take
+    // the distributed loop. At corpus scale (billions of pairs) the
+    // bound trips and the distributed pointer-doubling loop runs —
+    // this is the same hybrid big-graph engines ship.
+    val longIds = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && sym.count() <= driverEdgeBound) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val nxt = parent(x); parent(x) = r; x = nxt
+        }
+        r
+      }
+      val collected = sym.collect()
+      collected.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val nodeSet = scala.collection.mutable.LongMap.empty[Long]
+      collected.foreach { row =>
+        if (!row.isNullAt(0)) nodeSet(row.getLong(0)) = 0L
+      }
+      val out = nodeSet.keys.toSeq.map(n => (n, find(n)))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toDF("node", "component")
+    }
     val nodes = sym.select(col("a").as("node")).distinct()
     // localCheckpoint (eager) each iteration: it materializes the labels
     // AND truncates the logical plan — without it the plan references

@@ -262,9 +262,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents fails loudly instead of returning partial labels") {
+    // force the distributed loop (the driver cutoff has no iteration
+    // budget to exhaust — union-find always completes)
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(edges, maxIter = 0)
+      Dedup.connectedComponents(edges, maxIter = 0, driverEdgeBound = 0)
     }
   }
 
@@ -606,6 +608,24 @@ class DedupSpec extends SparkSpec {
       a < 900L && b < 900L }
     assert(cappedRepLevel === repPairs,
       "rep-level pairs must match blockedJaccard over representatives")
+  }
+
+  test("connectedComponents driver cutoff matches the distributed loop") {
+    // random multigraphs incl. self-loops and singleton-inducing loops:
+    // the cutoff (default bound, tiny graph -> driver union-find) must
+    // label identically to the forced distributed pointer-doubling loop
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 400).map(_ =>
+        (rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
+        .toDF("src", "dst")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val driver = canon(Dedup.connectedComponents(edges))
+      val dist = canon(Dedup.connectedComponents(edges, driverEdgeBound = 0))
+      assert(driver === dist, s"cutoff diverged at seed $seed")
+      assert(driver.nonEmpty)
+    }
   }
 
   test("jaccard column computes exact set jaccard") {
