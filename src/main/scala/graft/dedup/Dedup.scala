@@ -226,7 +226,16 @@ object Dedup {
     // too heavy to carry or join back per pair, while this shape's one
     // window exchange is reused by every downstream branch.
     val banded = minhashBanded(docs, idCol, textCol, shingleN, numHashes, bands)
+    // materialize the candidate pairs ONCE (eager localCheckpoint):
+    // three consumers (candDocs' two branches + the verify join) would
+    // otherwise each recompute the banded window + self-join lineage —
+    // measured as shuffle READ 8x shuffle write at sg1000 (r14 probe).
+    // Bounded by the operator's own contract: banding + the bucket cap
+    // keep candidates O(corpus) rows of two ids, which is exactly what
+    // a checkpoint may hold; downstream also gains exact stats (AQE
+    // can broadcast candDocs into the semi-join).
     val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
+      .localCheckpoint(true)
     // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with
     // signatures row-local, shingle rows are needed solely here, so
     // explode just the docs that appear in a candidate pair (a
@@ -244,7 +253,17 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(org.apache.spark.sql.graft
         .TextExpressions.shingleHashes(col(textCol), shingleN)).as("s"))
-    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // set sizes row-locally: |shingle set| = size of the distinct
+    // codegen hash array, exactly the exploded row count per doc (the
+    // verify jaccard here is over FULL shingle sets — unlike the
+    // df-capped blockedJaccard, where sizes must count the kept
+    // universe). Saves a third consumption of the exploded lineage
+    // plus its aggregation exchange (r14 read-amplification pass).
+    val sizes = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(org.apache.spark.sql.graft
+        .TextExpressions.shingleHashes(col(textCol), shingleN))
+        .cast("long").as("n"))
     val exB = exploded.select(col("doc_id").as("_doc_b"), col("s").as("_s_b"))
     val inter = cand
       .join(exploded.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -648,8 +667,16 @@ object Dedup {
                           dstCol: String = "dst",
                           maxIter: Int = 50,
                           driverEdgeBound: Long = 1000000L): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // symmetrize with ONE pass over the edge lineage: a union of the
+    // edge frame with its own swap computes the (often expensive —
+    // banded join + verify) upstream TWICE before the checkpoint can
+    // help; the row-local explode reads it once (r14: dedup_prune_lsh
+    // at sg1000 showed shuffle READ 8x its write from exactly this
+    // double consumption)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("a"), col(dstCol).as("b")),
+        struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("_e"))
+      .select(col("_e.a").as("a"), col("_e.b").as("b"))
       .localCheckpoint(true) // edge list scanned every iteration
     // SMALL-GRAPH CUTOFF (r14): each distributed round pays a fixed
     // ~0.3-0.5 s of checkpoint + convergence-count jobs, which
