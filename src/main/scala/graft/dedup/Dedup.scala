@@ -218,24 +218,48 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7,
-                 maxBucketSize: Int = 10000): DataFrame = {
-    // Deliberately NOT the r11 carried-band shape the rest of the
-    // near-dup family uses: an r11 A/B (SCALING.md "carried-payload
-    // minhashLsh REJECTED") measured every carried variant 1.4-13x
-    // slower at sg_uni/sg10 — the variable ~1-2 KB shingle sets are
-    // too heavy to carry or join back per pair, while this shape's one
-    // window exchange is reused by every downstream branch.
-    val banded = minhashBanded(docs, idCol, textCol, shingleN, numHashes, bands)
-    // materialize the candidate pairs ONCE (eager localCheckpoint):
-    // three consumers (candDocs' two branches + the verify join) would
-    // otherwise each recompute the banded window + self-join lineage —
-    // measured as shuffle READ 8x shuffle write at sg1000 (r14 probe).
-    // Bounded by the operator's own contract: banding + the bucket cap
-    // keep candidates O(corpus) rows of two ids, which is exactly what
-    // a checkpoint may hold; downstream also gains exact stats (AQE
-    // can broadcast candDocs into the semi-join).
-    val cand = cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
+                 maxBucketSize: Int = 10000): DataFrame =
+    lshVerifiedPairs(docs, idCol, textCol, shingleN, threshold,
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+        maxBucketSize))
+
+  /** Candidate-pair stage of [[minhashLsh]], exposed for stage-level
+    * probing (r15, verdict-r14 item 1): banded signatures →
+    * capped-bucket pairs, eagerly checkpointed.
+    *
+    * Deliberately NOT the r11 carried-band shape the rest of the
+    * near-dup family uses: an r11 A/B (SCALING.md "carried-payload
+    * minhashLsh REJECTED") measured every carried variant 1.4-13x
+    * slower at sg_uni/sg10 — the variable ~1-2 KB shingle sets are
+    * too heavy to carry or join back per pair, while this shape's one
+    * window exchange is reused by every downstream branch.
+    *
+    * The candidate pairs materialize ONCE (eager localCheckpoint):
+    * three consumers (candDocs' two branches + the verify join) would
+    * otherwise each recompute the banded window + self-join lineage —
+    * measured as shuffle READ 8x shuffle write at sg1000 (r14 probe).
+    * Bounded by the operator's own contract: banding + the bucket cap
+    * keep candidates O(corpus) rows of two ids, which is exactly what
+    * a checkpoint may hold; downstream also gains exact stats (AQE
+    * can broadcast candDocs into the semi-join).
+    */
+  private[graft] def lshCandidates(docs: DataFrame, idCol: String,
+                                   textCol: String, shingleN: Int,
+                                   numHashes: Int, bands: Int,
+                                   maxBucketSize: Int): DataFrame = {
+    val banded = minhashBanded(docs, idCol, textCol, shingleN, numHashes,
+      bands)
+    cappedBucketPairs(banded, Seq("band", "bh"), maxBucketSize)
       .localCheckpoint(true)
+  }
+
+  /** Exact-Jaccard verify stage of [[minhashLsh]] over a candidate
+    * pair list, exposed for stage-level probing (r15).
+    */
+  private[graft] def lshVerifiedPairs(docs: DataFrame, idCol: String,
+                                      textCol: String, shingleN: Int,
+                                      threshold: Double,
+                                      cand: DataFrame): DataFrame = {
     // exact-Jaccard verify over CANDIDATE DOCUMENTS ONLY: with
     // signatures row-local, shingle rows are needed solely here, so
     // explode just the docs that appear in a candidate pair (a
@@ -654,26 +678,38 @@ object Dedup {
     * driver only sees the changed-row count.
     *
     * Small-graph cutoff (r14): at or under `driverEdgeBound`
-    * symmetrized edge rows (default 1M = 16 MB of long pairs, the
-    * bounded-driver-materialization class) with long-typed ids, labels
-    * come from one collect + min-label union-find — identical output
-    * (spec-pinned against the distributed loop), without the fixed
-    * per-round checkpoint/convergence-job cost that dominates tiny
-    * pair graphs (dedup_prune_lsh sf0.1: 3.2 s mostly CC overhead for
-    * ~24 pairs). Pass `driverEdgeBound = 0` to force the distributed
-    * loop.
+    * symmetrized edge rows with long-typed ids, labels come from one
+    * collect + min-label union-find — identical output (spec-pinned
+    * against the distributed loop), without the fixed per-round
+    * checkpoint/convergence-job cost that dominates tiny pair graphs
+    * (dedup_prune_lsh sf0.1: 3.2 s mostly CC overhead for ~24 pairs).
+    * Driver heap at the 1M default (r15, ADVICE r14 — edges land as
+    * PRIMITIVE per-partition long arrays, not boxed Rows): 16 MB of
+    * edge longs plus the two LongMaps' boxed values, ~50–100 MB worst
+    * case at ~2M distinct nodes; lower the bound on smaller drivers,
+    * or pass `driverEdgeBound = 0` to force the distributed loop.
+    *
+    * Null contract (r15, ADVICE r14): edges with a NULL endpoint are
+    * dropped before symmetrization — a null id is not a node — so the
+    * driver and distributed paths agree on nullable-id edge lists
+    * (pre-r15 the driver path silently dropped the null node while
+    * the distributed loop emitted a label row for it).
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 50,
-                          driverEdgeBound: Long = 1000000L): DataFrame = {
+                          driverEdgeBound: Long = 1000000L,
+                          roundCounter: Option[java.util.concurrent.atomic
+                            .AtomicInteger] = None): DataFrame = {
     // symmetrize with ONE pass over the edge lineage: a union of the
     // edge frame with its own swap computes the (often expensive —
     // banded join + verify) upstream TWICE before the checkpoint can
     // help; the row-local explode reads it once (r14: dedup_prune_lsh
     // at sg1000 showed shuffle READ 8x its write from exactly this
     // double consumption)
-    val sym = edges.select(explode(array(
+    val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(explode(array(
         struct(col(srcCol).as("a"), col(dstCol).as("b")),
         struct(col(dstCol).as("a"), col(srcCol).as("b")))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
@@ -704,16 +740,28 @@ object Dedup {
         }
         r
       }
-      val collected = sym.collect()
-      collected.foreach { row =>
-        if (!row.isNullAt(0) && !row.isNullAt(1)) {
-          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      // collect as PRIMITIVE per-partition long arrays (r15, ADVICE
+      // r14): a Row collect boxes ~100 B/edge (~100 MB at the 1M
+      // default); flat [a0,b0,a1,b1,…] arrays are the Scaladoc's
+      // stated 16 B/edge. Null endpoints were filtered in sym.
+      val chunks: Array[Array[Long]] = sym.rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+      chunks.foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val ra = find(arr(i)); val rb = find(arr(i + 1))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          i += 2
         }
       }
+      // sym carries both directions, so even indices cover every node
       val nodeSet = scala.collection.mutable.LongMap.empty[Long]
-      collected.foreach { row =>
-        if (!row.isNullAt(0)) nodeSet(row.getLong(0)) = 0L
+      chunks.foreach { arr =>
+        var i = 0
+        while (i < arr.length) { nodeSet(arr(i)) = 0L; i += 2 }
       }
       val out = nodeSet.keys.toSeq.map(n => (n, find(n)))
       val spark = edges.sparkSession
@@ -756,6 +804,7 @@ object Dedup {
       labels = updated.drop("_prev")
       converged = changes == 0
       iter += 1
+      roundCounter.foreach(_.set(iter))
     }
     // With pointer doubling, 50 rounds covers diameter ~2^50 — hitting
     // maxIter is practically unreachable. But returning non-converged
@@ -797,7 +846,10 @@ object Dedup {
   def connectedComponentsLargeSmallStar(edges: DataFrame,
                                         srcCol: String = "src",
                                         dstCol: String = "dst",
-                                        maxIter: Int = 50): DataFrame = {
+                                        maxIter: Int = 50,
+                                        roundCounter: Option[java.util
+                                          .concurrent.atomic.AtomicInteger] =
+                                          None): DataFrame = {
     val all = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // nodes come from the UNFILTERED edge list: a self-loop (u, u)
     // contributes no star work but its node is still "in the edge
@@ -839,6 +891,7 @@ object Dedup {
         next.except(e).isEmpty
       e = next
       iter += 1
+      roundCounter.foreach(_.set(iter))
     }
     if (!converged)
       throw new IllegalStateException(
@@ -910,65 +963,78 @@ object Dedup {
     // non-representative members would not be implied by the pair graph
     require(threshold > 0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    // TRIVIAL-CLASS SKIP (r14, verdict-r13 item 6): see
-    // [[hasDuplicateClasses]] — on a corpus with zero identical-text
-    // classes the collapse is an identity (reps == docs, and the
-    // capped df bar over "distinct contents" equals the bar over
-    // copies), so the window exchange+sort it pays (full rows, text
-    // included, +21% at sf0.1 where nothing collapses) buys nothing.
-    val classKey = coalesce(sha2(col(textCol), 256),
-      concat(lit("_null_"), col(idCol)))
-    if (!hasDuplicateClasses(docs, idCol, textCol, blockCol))
-      return docs.join(
-        dropIdsFromPairs(blockedJaccard(docs, idCol, textCol, blockCol,
-          shingleN, threshold, maxShingleDocFrac))
-          .select(col("drop_id").as(idCol)),
-        Seq(idCol), "left_anti")
-    // class key = (block, sha2(text)): the dedup_exact content-identity
-    // convention — one exchange carrying the text once, instead of the
-    // class's full df² share through the shingle equi-join. Null-text
-    // rows get a per-row synthetic key so they are singletons WITHOUT
-    // shuffling into one hot (block, NULL) window partition (review
-    // finding r13).
-    val wClass = Window.partitionBy(col(blockCol), classKey)
-    val withRep = docs.withColumn("_rep", min(col(idCol)).over(wClass))
-    val reps = withRep.filter(col(idCol) === col("_rep")).drop("_rep")
+    // LAZY FUSED COLLAPSE (r15, verdict-r14 item 3): the r14 design ran
+    // an EAGER hasDuplicateClasses probe job at DataFrame-construction
+    // time to decide window-collapse vs plain — a surprise job for lazy
+    // library composition (ADVICE r14) and +0.46 s at sf0.1 where it
+    // then took the plain path anyway. [[dupClassMembers]] replaces
+    // both probe and window: on a zero-duplicate corpus its dup-class
+    // table is EMPTY, AQE turns every join against it into a broadcast
+    // of nothing, and the plan degenerates to the plain chain plus one
+    // narrow map-side-combined agg — no eager job, no window sort.
+    val dup = dupClassMembers(docs, idCol, textCol, blockCol)
+    val nonRep = dup.filter(col("_mid") =!= col("_rep"))
+      .select(col("_mid").as(idCol))
+    // reps = singletons (not in any dup class) + each dup class's
+    // smallest id; anti-join beats a rep-equality filter because the
+    // non-rep side is the (usually tiny, often empty) one
+    val reps = docs.join(nonRep, Seq(idCol), "left_anti")
     val droppedReps = dropIdsFromPairs(
       blockedJaccard(reps, idCol, textCol, blockCol, shingleN, threshold,
         maxShingleDocFrac))
     // drop list = non-representative members ∪ dropped representatives
     // directly: a dropped class's non-rep members are already in the
     // first branch, so re-expanding members of dropped reps via a
-    // corpus semi-join would re-add only the reps themselves at the
-    // cost of a second traversal of the window lineage (review finding
-    // r13)
-    val dropIds = withRep.filter(col(idCol) =!= col("_rep"))
-      .select(col(idCol))
+    // corpus semi-join would re-add only the reps themselves (review
+    // finding r13)
+    val dropIds = nonRep
       .union(droppedReps.select(col("drop_id").as(idCol)))
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
-  /** EXACT duplicate-class presence probe (r14, verdict-r13 item 6),
-    * shared by [[pruneNearDups]] and [[blockedJaccardClassed]]: does
-    * the corpus contain ANY (block, content) class of size > 1? Group
-    * by (block, sha2(text)) with map-side partial counts — the
-    * exchange carries (block, hash, count) triples, never text — and
-    * ask for any count > 1. sha2 equality is the operators' own
-    * content-identity convention, so the probe cannot false-negative;
-    * any class found means the class-collapse is worth its window and
-    * it runs. Price on duplicate-heavy corpora: one extra narrow probe
-    * scan at construction time (the contaminationFraction
-    * eager-collect precedent). Null-text rows get per-row synthetic
-    * keys (always singletons).
+  /** Members of size->1 identical-content classes — the LAZY core of
+    * the class-collapse shared by [[pruneNearDups]] and
+    * [[blockedJaccardClassed]] (r15; replaces r14's eager
+    * hasDuplicateClasses probe). One narrow aggregate over
+    * (block, sha2(text)) with map-side partial min/count — the
+    * exchange carries (block, hash, partial-agg) triples, never text —
+    * keeps only classes with count > 1, then one equi-join back
+    * against the corpus's row-local (block, sha2) projection to
+    * recover member ids. Output: (_mid, _rep) for every member of
+    * every duplicate class (_rep = the class's smallest id; _rep
+    * itself appears as a member).
+    *
+    * Scale shape: the dup-class table is sized by DUPLICATED CONTENTS,
+    * not the corpus — empty on a zero-duplicate corpus, thousands of
+    * rows on typical crawl shards — so AQE converts the member join
+    * (and every downstream join the callers do against this frame)
+    * into a broadcast at runtime, and the corpus is never shuffled for
+    * the collapse. On an adversarial corpus where duplicate classes
+    * are a constant fraction of all documents the join falls back to a
+    * shuffle on (block, hash) — still bounded by the corpus, and that
+    * is exactly the regime where the collapse pays for itself
+    * downstream (graft.AbClassed measures it). sha2-256 equality is
+    * the dedup_exact content-identity convention (no collision risk at
+    * corpus scale, unlike a 64-bit hash); null-text rows get per-row
+    * synthetic keys so they are always singletons and never surface
+    * here. Everything is lazy: composing callers pay zero jobs at
+    * construction time.
     */
-  private def hasDuplicateClasses(docs: DataFrame, idCol: String,
-                                  textCol: String,
-                                  blockCol: String): Boolean =
-    !docs.groupBy(col(blockCol),
-        coalesce(sha2(col(textCol), 256),
-          concat(lit("_null_"), col(idCol))).as("_ck"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1).isEmpty
+  private def dupClassMembers(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              blockCol: String): DataFrame = {
+    val classKey = coalesce(sha2(col(textCol), 256),
+      concat(lit("_null_"), col(idCol)))
+    val dupClasses = docs
+      .groupBy(col(blockCol).as("_blk"), classKey.as("_ck"))
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_csize"))
+      .filter(col("_csize") > 1)
+      .select(col("_blk"), col("_ck"), col("_rep"))
+    docs.select(col(blockCol).as("_blk"), classKey.as("_ck"),
+        col(idCol).as("_mid"))
+      .join(dupClasses, Seq("_blk", "_ck"))
+      .select(col("_mid"), col("_rep"))
+  }
 
   /** The SCALE-PATH near-dup prune: [[minhashLsh]] candidates (banded
     * signatures, capped buckets) with exact-Jaccard verification →
@@ -1449,9 +1515,12 @@ object Dedup {
     * distinct-content near-dup Σ df² plus the id-level pair OUTPUT,
     * which is inherently quadratic in cluster size for a pair-emitting
     * operator; [[pruneNearDupsLsh]] is the shape that never
-    * materializes it). On zero-duplicate corpora the
-    * [[hasDuplicateClasses]] probe skips the collapse and both
-    * expansion joins entirely (exactness: they are identities there).
+    * materializes it). Collapse wiring is the LAZY [[dupClassMembers]]
+    * design (r15): the dup-class member table is sized by duplicated
+    * contents — EMPTY on a zero-duplicate corpus, where AQE broadcasts
+    * it and the plan degenerates to the plain form plus one narrow agg
+    * and row-local expansion coalesces; no eager probe job, no window
+    * sort (verdict-r14 item 3 / ADVICE r14).
     */
   def blockedJaccardClassed(docs: DataFrame, idCol: String,
                             textCol: String, blockCol: String,
@@ -1460,38 +1529,37 @@ object Dedup {
                             maxShingleDocFrac: Option[Double] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    // trivial-class skip (r14, the pruneNearDups valve): with zero
-    // identical-text classes the collapse and both expansion joins are
-    // identities — take the plain form's plan and skip their cost
-    if (!hasDuplicateClasses(docs, idCol, textCol, blockCol))
-      return blockedJaccard(docs, idCol, textCol, blockCol, shingleN,
-        threshold, maxShingleDocFrac)
-    // class key = (block, sha2(text)) with a per-row synthetic key for
-    // null texts (singletons, no hot null partition) — the
-    // pruneNearDups convention, verbatim
-    val wClass = Window.partitionBy(col(blockCol),
-      coalesce(sha2(col(textCol), 256), concat(lit("_null_"), col(idCol))))
-    val withRep = docs.withColumn("_rep", min(col(idCol)).over(wClass))
-    val members = withRep.select(col(idCol).as("_mid"), col("_rep"))
-    val reps = withRep.filter(col(idCol) === col("_rep")).drop("_rep")
+    // (_mid, _rep) for members of size->1 classes only — singletons are
+    // their own reps implicitly (coalesce below), so the expansion
+    // joins carry the tiny dup table, never a corpus-wide member map
+    val dup = dupClassMembers(docs, idCol, textCol, blockCol)
+    val nonRep = dup.filter(col("_mid") =!= col("_rep"))
+      .select(col("_mid").as(idCol))
+    val reps = docs.join(nonRep, Seq(idCol), "left_anti")
     val ex = cappedUniverse(reps, idCol, textCol, blockCol, shingleN,
       maxShingleDocFrac)
-    // cross-class pairs: expand rep pairs through both memberships;
-    // least/greatest restores the doc_a < doc_b output order (members
-    // of two classes interleave arbitrarily)
-    val cross = jaccardPairsFromUniverse(ex, threshold)
-      .join(members.select(col("_rep").as("doc_a"), col("_mid").as("_ma")),
-        Seq("doc_a"))
-      .join(members.select(col("_rep").as("doc_b"), col("_mid").as("_mb")),
-        Seq("doc_b"))
-      .select(least(col("_ma"), col("_mb")).as("doc_a"),
-        greatest(col("_ma"), col("_mb")).as("doc_b"), col("jaccard"))
-    // intra-class pairs: C(n,2) per class with a non-empty universe —
-    // a per-class membership self-join, output-mass-bound
+    // cross-class pairs: expand each side through its dup-class
+    // membership when one exists (left join + coalesce = identity for
+    // singleton reps); least/greatest restores the doc_a < doc_b output
+    // order (members of two classes interleave arbitrarily)
+    val expandA = jaccardPairsFromUniverse(ex, threshold)
+      .join(dup.select(col("_rep").as("doc_a"), col("_mid").as("_ma")),
+        Seq("doc_a"), "left")
+      .select(coalesce(col("_ma"), col("doc_a")).as("_ea"), col("doc_b"),
+        col("jaccard"))
+    val cross = expandA
+      .join(dup.select(col("_rep").as("doc_b"), col("_mid").as("_mb")),
+        Seq("doc_b"), "left")
+      .select(least(col("_ea"), coalesce(col("_mb"), col("doc_b")))
+          .as("doc_a"),
+        greatest(col("_ea"), coalesce(col("_mb"), col("doc_b")))
+          .as("doc_b"), col("jaccard"))
+    // intra-class pairs: C(n,2) per dup class with a non-empty universe
+    // — a dup-table self-join, output-mass-bound (singleton classes
+    // contribute no member pair by definition)
     val nonEmptyReps = ex.select(col("doc_id")).distinct()
-    val intra = members.as("ma")
-      .join(members.as("mb"), col("ma._rep") === col("mb._rep") &&
+    val intra = dup.as("ma")
+      .join(dup.as("mb"), col("ma._rep") === col("mb._rep") &&
         col("ma._mid") < col("mb._mid"))
       .join(nonEmptyReps, col("ma._rep") === col("doc_id"), "left_semi")
       .select(col("ma._mid").as("doc_a"), col("mb._mid").as("doc_b"),

@@ -15,6 +15,64 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Fully-qualified class name of Spark's RocksDB state store provider. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Measured steady-state HDFS-backed state bytes per key row from the
+    * r14 StreamSoak at mult=10 (SCALING.md "state-store backend at 10x
+    * soak volume"): sessionize 40.6 MB / 126k rows, funnel 55.4 MB /
+    * 100k rows, TTL'd funnel 6.3 MB / 12.7k rows. The estimator uses
+    * the worst measured family for unknown operators.
+    */
+  val MeasuredStateBytesPerRow: Map[String, Long] = Map(
+    "sessionize" -> 322L,
+    "funnel" -> 554L,
+    "funnel_ttl" -> 496L)
+
+  /** Projected state-store bytes for `stateRows` concurrent keys of an
+    * operator `family` (a [[MeasuredStateBytesPerRow]] key; anything
+    * else projects at the worst measured family + 25% headroom).
+    */
+  def projectedStateBytes(stateRows: Long, family: String = ""): Long = {
+    val perRow = MeasuredStateBytesPerRow.getOrElse(family,
+      (MeasuredStateBytesPerRow.values.max * 1.25).toLong)
+    stateRows * perRow
+  }
+
+  /** Pick and SET the state-store provider for streams started from
+    * this session — the one-call form of the r14 soak's documented
+    * switch condition (SCALING.md): stay on Spark's default in-memory
+    * HDFS-backed provider while projected state fits comfortably in
+    * executor heap (it is 1.3x faster on the state-heaviest twin and
+    * 2.1x on TTL churn, output-identical), and switch to RocksDB's
+    * disk-resident store when `projectedStateBytes(stateRows, family)`
+    * exceeds `heapFraction` (default 0.3) of per-executor heap — the
+    * regime where the in-memory map's state-on-heap becomes the OOM.
+    *
+    * The provider class is read from session conf at QUERY START, so
+    * call this before `writeStream.start()`; queries already running
+    * are unaffected. Returns the chosen provider class name ("" = the
+    * Spark default) so callers can log the decision.
+    */
+  def configureStateBackend(spark: SparkSession, stateRows: Long,
+                            family: String = "",
+                            executorHeapBytes: Long =
+                              Runtime.getRuntime.maxMemory(),
+                            heapFraction: Double = 0.3): String = {
+    require(heapFraction > 0 && heapFraction <= 1,
+      s"heapFraction must be in (0, 1], got $heapFraction")
+    val projected = projectedStateBytes(stateRows, family)
+    if (projected > (executorHeapBytes * heapFraction).toLong) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+      RocksDbProvider
+    } else {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      ""
+    }
+  }
+
   /** Watermarked tumbling-window aggregate of a value column. */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
                   valCol: String, windowDuration: String,

@@ -536,7 +536,13 @@ class PlanSpec extends SparkSpec {
       s"valve engaged but the membership literal is still in the plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"valve decontam side is not a broadcast join:\n$plan")
-    assert("Scan parquet|FileScan".r.findAllIn(plan).size === 3,
+    // >= 3 rather than === 3 (ADVICE r14): the real contract is "the
+    // decontam side reads the corpus itself instead of a driver
+    // literal" — pinned above by the no-literal + broadcast asserts;
+    // exact scan-node counts are plan-string formatting (AQE exchange
+    // reuse, InMemory scans, Spark version drift) and must not fail
+    // this test without a behavioral regression
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size >= 3,
       s"valve path should scan documents twice + bench once:\n$plan")
   }
 }

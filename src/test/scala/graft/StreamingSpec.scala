@@ -1261,4 +1261,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((2L, 30.0, 293.81, 30.0 * 0.05 + 293.81)))
     } finally q.stop()
   }
+
+  test("configureStateBackend: picks RocksDB past the heap-fraction bound, default below, and round-trips the conf") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val heap = 1L << 30 // pretend 1 GiB executor heap
+    try {
+      // sessionize at 322 B/row (r14 soak): 100k rows = 32 MB << 0.3 GiB
+      val small = Streaming.configureStateBackend(spark, 100000L,
+        "sessionize", executorHeapBytes = heap)
+      assert(small === "")
+      // getOption surfaces Spark's built-in default when unset — the
+      // contract is only that it is NOT RocksDB
+      assert(spark.conf.get(key) !== Streaming.RocksDbProvider,
+        "default path must leave Spark's provider at the default")
+      // 2B rows = ~600 GB projected >> bound -> RocksDB, conf set
+      val big = Streaming.configureStateBackend(spark, 2000000000L,
+        "sessionize", executorHeapBytes = heap)
+      assert(big === Streaming.RocksDbProvider)
+      assert(spark.conf.get(key) === Streaming.RocksDbProvider)
+      // unknown family projects at worst measured + headroom (>= any
+      // known family), so the switch point is never optimistic
+      assert(Streaming.projectedStateBytes(1000L) >=
+        Streaming.MeasuredStateBytesPerRow.values.max * 1000L)
+      // calling back with a small projection restores the default
+      val back = Streaming.configureStateBackend(spark, 1000L,
+        "funnel", executorHeapBytes = heap)
+      assert(back === "")
+      assert(spark.conf.get(key) !== Streaming.RocksDbProvider)
+    } finally spark.conf.unset(key)
+  }
 }
