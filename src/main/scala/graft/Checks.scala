@@ -238,10 +238,19 @@ object Checks {
       checks += Check(name, "recall_at_10_vs_brute",
         ids.intersect(bruteIds).size / 10.0, recallFloor, ">=")
     }
-    annChecks("ann_lsh", SimilarityQueries.annLsh(spark, sfDir), 0.1, 0.5)
-    annChecks("ann_ivf", SimilarityQueries.annIvf(spark, sfDir), 0.4, 0.8)
-    annChecks("ann_pq", SimilarityQueries.annPq(spark, sfDir), 0.2, 0.7)
-    annChecks("ann_ivf_pq", SimilarityQueries.annIvfPq(spark, sfDir), 0.2, 0.6)
+    // Floors pinned at 80% of the values the r15 AnnSweep measured on
+    // THIS gate fixture at the shipped defaults (SCALING.md r15 curve
+    // tables): lsh (48,6) measured recall 0.2 / quality 0.75; ivf
+    // nProbe=4 measured 0.6 / 0.955 (quality floor stays at the
+    // pre-existing tighter 0.8); pq kSub=64 measured 0.6 / 0.923;
+    // ivf_pq nProbe=4,kSub=64 measured 0.4 / 0.795. A mistuned index
+    // now fails: lsh at bitsPerBand=8 measures recall 0.0 / quality
+    // 0.25, pq at kSub=16 measures quality 0.75 < 0.74 floor margin.
+    annChecks("ann_lsh", SimilarityQueries.annLsh(spark, sfDir), 0.16, 0.6)
+    annChecks("ann_ivf", SimilarityQueries.annIvf(spark, sfDir), 0.48, 0.8)
+    annChecks("ann_pq", SimilarityQueries.annPq(spark, sfDir), 0.48, 0.74)
+    annChecks("ann_ivf_pq", SimilarityQueries.annIvfPq(spark, sfDir), 0.32,
+      0.63)
 
     // ann_knn_join: mean recall@5 + quality ratio vs the brute kNN
     // self-join (all-pairs cosine, window top-5 — the measuring stick)
@@ -259,8 +268,9 @@ object Checks {
     val knn = SimilarityQueries.annKnnJoin(spark, sfDir)
       .select(col("query_id"), col("vec_id")).cache()
     val knnHit = knn.join(bruteKnn, Seq("query_id", "vec_id")).count()
+    // 80% of the r15 AnnSweep's measured 0.569 at the default nProbe=4
     checks += Check("ann_knn_join", "mean_recall_at_5_vs_brute",
-      knnHit.toDouble / math.max(5 * nQueries, 1), 0.45, ">=")
+      knnHit.toDouble / math.max(5 * nQueries, 1), 0.455, ">=")
     val knnMass = knn
       .join(directed, Seq("query_id", "vec_id"))
       .agg(sum(col("cos"))).head().getDouble(0)

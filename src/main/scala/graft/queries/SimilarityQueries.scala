@@ -70,7 +70,9 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** H6 `ann_pq` — product-quantization ANN ([[Similarity.pqTopK]]):
-    * 8 subspaces × 16-codeword spherical codebooks, asymmetric
+    * 8 subspaces × 64-codeword spherical codebooks (the r15 AnnSweep
+    * knee — kSub=16 measured quality@10 0.75 at the gate fixture,
+    * 64 measures 0.92, flat through 256), asymmetric
     * inner-product ADC top-10 against the vec_id-0 query. Encode +
     * score is ONE fused codegen projection over the scan (the
     * codebooks and the query LUTs ride as literals); codebooks are
@@ -80,7 +82,7 @@ object SimilarityQueries extends QueryPack {
     */
   def annPq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(corpus(s, dir), "vec_id", "embedding", 64,
-        query(s, dir), 10, m = 8, kSub = 16, iterations = 2)
+        query(s, dir), 10, m = 8, kSub = 64, iterations = 2)
       .select(col("vec_id"), r6(col("adc_score")).as("adc_score"))
 
   /** H7 `ann_ivf_pq` — the IVF×PQ composition ([[Similarity.ivfPqTopK]]):
@@ -93,7 +95,7 @@ object SimilarityQueries extends QueryPack {
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(corpus(s, dir), "vec_id", "embedding", 64,
         query(s, dir), 10, kIvf = 16, ivfIterations = 2, nProbe = 4,
-        m = 8, kSub = 16, pqIterations = 2)
+        m = 8, kSub = 64, pqIterations = 2)
       .select(col("vec_id"), col("cid"), r6(col("adc_score")).as("adc_score"))
 
   /** H3+ `ann_knn_join` — batch kNN SELF-join: EVERY corpus vector's

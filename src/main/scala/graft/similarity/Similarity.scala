@@ -590,9 +590,16 @@ object Similarity {
     *
     * Output: (idCol, `adc_score` = estimated <q, x>), top `k` by
     * (score desc, id).
+    *
+    * `kSub = 64` default (r15, AnnSweep curve): kSub=16 sat at the
+    * bottom of the measured quality@10 curve (0.75 at the sf0.01 gate
+    * fixture, 0.945 at sg10); 64 is the knee (0.92 / 0.973, identical
+    * to kSub=256 on both fixtures) and the codebook literal stays
+    * m x kSub x subDim doubles — 4 KB at dim 64. Production 8-bit-code
+    * PQ (kSub=256) is one knob away when corpus structure earns it.
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-             query: DataFrame, k: Int, m: Int = 8, kSub: Int = 16,
+             query: DataFrame, k: Int, m: Int = 8, kSub: Int = 64,
              iterations: Int = 2, fitSampleRate: Double = 1.0): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val books = pqCodebooks(df, idCol, vecCol, dim, m, kSub, iterations,
@@ -658,7 +665,7 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 query: DataFrame, k: Int, kIvf: Int = 16,
                 ivfIterations: Int = 2, nProbe: Int = 4, m: Int = 8,
-                kSub: Int = 16, pqIterations: Int = 2,
+                kSub: Int = 64, pqIterations: Int = 2,
                 fitSampleRate: Double = 1.0): DataFrame = {
     require(nProbe >= 1 && nProbe <= kIvf, s"nProbe $nProbe out of [1, $kIvf]")
     val cents = kmeansCentroidArray(df, idCol, vecCol, kIvf, ivfIterations,
