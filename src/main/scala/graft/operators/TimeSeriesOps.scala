@@ -124,6 +124,101 @@ object TimeSeriesOps {
       when(enough, sa / na - sb / nb).as("step"): _*)
   }
 
+  /** SKEW-ROBUST [[cRolling]] for the subtractable-and-monoid aggregate
+    * set (min/max/sum/count/mean) — the r15 answer to the measured
+    * hot-key hazard (StragglerProbe, sg10_skew, SCALING.md r15): a
+    * direct sliding RANGE frame is recomputed per row for
+    * non-subtractable aggregates, so per-key work is QUADRATIC in
+    * per-key density — one 30%-hot key turned ts_rolling_multi's
+    * largest stage into a 55.9 s straggler against a 0.46 s median
+    * task (ratio 120).
+    *
+    * Decomposition: the trailing frame (t-w, t] spans at most two
+    * width-w time buckets, so every frame aggregate is the monoid
+    * combine of (a) a PREFIX aggregate within the row's own bucket
+    * (ascending growing frame — Spark evaluates it incrementally) and
+    * (b) a SUFFIX aggregate of the previous bucket from s = t-w+1µs,
+    * read off a DESCENDING-order growing frame at a probe row injected
+    * at time s (probes carry null values, so they are invisible to the
+    * aggregates). Every window is a growing frame — O(n log n) per
+    * key — and the bucket column joins the partition key, so ONE hot
+    * key spreads over (time-range / w) tasks instead of one.
+    *
+    * Exactness: min/max/count are bit-identical to [[cRolling]]'s
+    * frame form on every input; sum/mean associate the additions
+    * differently (two partials vs one frame scan), which the
+    * query-level r6 grid absorbs — the ts_step convention, and the
+    * shipped oracle keeps the direct sliding-window statement. Exact
+    * rolling MEDIANS are not monoid-decomposable: the frame form (or
+    * [[cRollingQuantileApprox]]'s bounded sketch) remains the honest
+    * tool there.
+    *
+    * Output: keys, `ts_c` (centered timestamp, the [[cRolling]]
+    * contract), `roll_min`, `roll_max`, `roll_sum`, `roll_n`,
+    * `roll_mean`; aggregates null when the frame has fewer than
+    * `minPeriods` observations.
+    */
+  def cRollingScalable(df: DataFrame, keys: Seq[String], tsCol: String,
+                       valCol: String, windowSec: Long,
+                       minPeriods: Int = 1): DataFrame = {
+    val wUs = windowSec * UsPerSec
+    val k = keys.map(col)
+    val base = df.select(k :+ unix_micros(col(tsCol)).as("_us") :+
+      col(valCol).cast("double").as("_v"): _*)
+      .withColumn("_b", floor(col("_us") / wUs))
+    // probe rows: one per distinct (keys, t) whose frame start
+    // s = t-w+1 lands in the PREVIOUS bucket (s at the own-bucket
+    // boundary means the prefix alone IS the frame — no probe)
+    val probes = base.select(k :+ col("_us"): _*).distinct()
+      .withColumn("_orig_us", col("_us"))
+      .withColumn("_us", col("_us") - wUs + 1)
+      .withColumn("_b", floor(col("_us") / wUs))
+      .filter(col("_b") < floor(col("_orig_us") / wUs))
+      .withColumn("_v", lit(null).cast("double"))
+    // suffix aggregates via a DESCENDING growing frame: at a probe row
+    // of time s the frame covers every real row with _us >= s in the
+    // probe's bucket — exactly the frame's previous-bucket part
+    val wDesc = Window.partitionBy(k :+ col("_b"): _*)
+      .orderBy(col("_us").desc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val left = base.withColumn("_orig_us", lit(null).cast("long"))
+      .unionByName(probes)
+      .select(k ++ Seq(col("_b"), col("_us"), col("_v"),
+        col("_orig_us")): _*)
+      .withColumn("_lmin", min(col("_v")).over(wDesc))
+      .withColumn("_lmax", max(col("_v")).over(wDesc))
+      .withColumn("_lsum", sum(col("_v")).over(wDesc))
+      .withColumn("_ln", count(col("_v")).over(wDesc))
+      .filter(col("_orig_us").isNotNull)
+      .select(k :+ col("_orig_us").as("_us") :+ col("_lmin") :+
+        col("_lmax") :+ col("_lsum") :+ col("_ln"): _*)
+    // prefix aggregates: ascending growing frame within the own bucket
+    val wAsc = Window.partitionBy(k :+ col("_b"): _*)
+      .orderBy(col("_us"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val withPrefix = base
+      .withColumn("_pmin", min(col("_v")).over(wAsc))
+      .withColumn("_pmax", max(col("_v")).over(wAsc))
+      .withColumn("_psum", sum(col("_v")).over(wAsc))
+      .withColumn("_pn", count(col("_v")).over(wAsc))
+    val joined = withPrefix.join(left, keys :+ "_us", "left")
+    val n = coalesce(col("_ln"), lit(0L)) + col("_pn")
+    val enough = n >= math.max(minPeriods, 1)
+    def agg(c: Column): Column = when(enough && n > 0, c)
+    joined.select(k ++ Seq(
+      timestamp_micros(col("_us") - wUs / 2).as(tsCol + "_c"),
+      agg(least(col("_lmin"), col("_pmin"))).as("roll_min"),
+      agg(greatest(col("_lmax"), col("_pmax"))).as("roll_max"),
+      agg(coalesce(col("_lsum"), lit(0.0)) +
+        coalesce(col("_psum"), lit(0.0))).as("roll_sum"),
+      // the frame form wraps EVERY agg (count included) in the
+      // minPeriods gate; with the default minPeriods=1 the count is
+      // unconditional (n=0 prints 0, not null) — mirror both
+      (if (minPeriods <= 1) n else when(enough, n)).as("roll_n"),
+      agg((coalesce(col("_lsum"), lit(0.0)) +
+        coalesce(col("_psum"), lit(0.0))) / n).as("roll_mean")): _*)
+  }
+
   /** A13 `ts_gaps` — per-key sampling-gap audit, the QC read that
     * precedes any field-data analysis (the reference's users eyeball
     * this from plots; at a million series nobody can): per key, the

@@ -14,11 +14,21 @@ object TimeSeriesQueries extends QueryPack {
   private def e(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
-  /** A1 `ts_rolling_center` — centered 2 h rolling mean (utils.py:32). */
+  /** A1 `ts_rolling_center` — centered 2 h rolling mean (utils.py:32).
+    * Frame form: the uniform-density-optimal shape (one exchange, one
+    * WindowExec; 0.22 s at sf0.1 vs the decomposed twin's ~0.7 s).
+    * On SKEWED/dense series the frame is recomputed per row and one
+    * hot key owns the stage (StragglerProbe sg10_skew: ratio 27, a
+    * 5.9 s straggler) — `ts_rolling_scalable`
+    * ([[TimeSeriesOps.cRollingScalable]]) is the routed shape there
+    * (ratio ~1.01 on the same fixture), the dedup_prune /
+    * dedup_prune_lsh dual-path convention.
+    */
   def tsRollingCenter(s: SparkSession, dir: String): DataFrame =
     TimeSeriesOps.cRolling(e(s, dir), Seq("user_id"), "ts", "value", 7200,
         Seq("mean_2h" -> (c => avg(c))))
-      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"), r6(col("mean_2h")).as("mean_2h"))
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
+        r6(col("mean_2h")).as("mean_2h"))
 
   /** A2 `ts_rolling_multi` — min/max/sum/mean/count/median over the
     * same frame (median via sorted collect_list: Spark's median
@@ -34,6 +44,25 @@ object TimeSeriesQueries extends QueryPack {
         col("roll_min"), col("roll_max"), r6(col("roll_sum")).as("roll_sum"),
         col("roll_n"), r6(col("roll_mean")).as("roll_mean"),
         r6(TimeSeriesOps.medianOfArray(col("_frame"))).as("roll_med"))
+
+  /** A2s `ts_rolling_scalable` — the SKEW-ROBUST rolling aggregate
+    * ([[TimeSeriesOps.cRollingScalable]]): min/max/sum/n/mean over the
+    * same (t-2h, t] frame as ts_rolling_multi, decomposed into
+    * bucketed growing-frame prefix/suffix monoid combines so one hot
+    * key spreads across (time-range / window) tasks instead of one
+    * quadratic frame partition (StragglerProbe sg10_skew: the frame
+    * form's 120x straggler vs this shape — SCALING.md r15). min/max/n
+    * are bit-identical to the frame form; sum/mean ride the r6 grid
+    * (two-partial association, the ts_step convention). Exact rolling
+    * median stays with ts_rolling_multi by design (not
+    * monoid-decomposable).
+    */
+  def tsRollingScalable(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cRollingScalable(e(s, dir), Seq("user_id"), "ts",
+        "value", 7200)
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
+        col("roll_min"), col("roll_max"), r6(col("roll_sum")).as("roll_sum"),
+        col("roll_n"), r6(col("roll_mean")).as("roll_mean"))
 
   /** A12 `ts_step` — two-sample step detection: mean over [t, t+72h)
     * minus mean over [t-72h, t) per user, null when either side has
@@ -227,6 +256,7 @@ object TimeSeriesQueries extends QueryPack {
     "ts_upsample_nearest" -> tsUpsampleNearest,
     "ts_rolling_center" -> tsRollingCenter,
     "ts_rolling_multi" -> tsRollingMulti,
+    "ts_rolling_scalable" -> tsRollingScalable,
     "ts_rolling_std" -> tsRollingStd,
     "ts_resample_1d" -> tsResample1d,
     "ts_asof_join" -> tsAsofJoin,
@@ -378,6 +408,20 @@ object TimeSeriesQueries extends QueryPack {
          |  count(value) OVER w AS roll_n,
          |  floor((avg(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_mean,
          |  floor((median(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_med
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the scalable twin states the DIRECT sliding window (the
+    // decomposition must be invisible to the oracle)
+    "ts_rolling_scalable" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT user_id,
+         |  strftime(ts - INTERVAL 3600 SECOND, '$fmt') AS ts_c,
+         |  min(value) OVER w AS roll_min,
+         |  max(value) OVER w AS roll_max,
+         |  floor((sum(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_sum,
+         |  count(value) OVER w AS roll_n,
+         |  floor((avg(value) OVER w) * 1000000 + 0.5001) / 1000000 AS roll_mean
          |FROM e
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)""".stripMargin,

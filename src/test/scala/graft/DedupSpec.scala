@@ -628,6 +628,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents drops null-endpoint edges identically on both paths") {
+    // r15 null contract (ADVICE r14): an edge with a NULL endpoint is
+    // ignored entirely — a null id is not a node — and the driver
+    // cutoff and the distributed loop must agree on that
+    val rows: Seq[(java.lang.Long, java.lang.Long)] = Seq(
+      (1L: java.lang.Long, 2L: java.lang.Long),
+      (2L: java.lang.Long, 3L: java.lang.Long),
+      (4L: java.lang.Long, null),
+      (null, 5L: java.lang.Long),
+      (6L: java.lang.Long, 6L: java.lang.Long))
+    val edges = rows.toDF("src", "dst")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (6L, 6L))
+    assert(canon(Dedup.connectedComponents(edges)) === expected)
+    assert(canon(Dedup.connectedComponents(edges, driverEdgeBound = 0)) ===
+      expected)
+  }
+
   test("jaccard column computes exact set jaccard") {
     import org.apache.spark.sql.functions._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

@@ -363,4 +363,53 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(o2("2024-01-01 02:00:00.0").map(v =>
       math.abs(v.asInstanceOf[Double] - (5.0 + 0.5 * 3.0) / 1.5) < 1e-12) === Some(true))
   }
+
+  test("cRollingScalable equals the frame form on hot keys, bucket boundaries, ties, nulls, minPeriods") {
+    // adversarial fixture: a hot key with ~70% of rows at dense
+    // irregular spacing (incl. rows exactly w apart, exactly w-1µs
+    // apart, duplicate timestamps), a sparse key with frame-empty
+    // stretches, and null values
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 700).map { i =>
+      val sec = i * 37 + rnd.nextInt(17)
+      ("hot", f"2024-01-01 ${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02d",
+        if (i % 19 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i * 13 % 97).toDouble))
+    }
+    val boundary = Seq(
+      ("b", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      ("b", "2024-01-01 02:00:00", java.lang.Double.valueOf(2.0)), // exactly w later: frame (00:00, 02:00] drops the first
+      ("b", "2024-01-01 02:00:00", java.lang.Double.valueOf(3.0)), // duplicate ts
+      ("b", "2024-01-01 03:59:59", java.lang.Double.valueOf(4.0)),
+      ("b", "2024-01-01 09:00:00", java.lang.Double.valueOf(5.0))) // isolated
+    val df = series(hot ++ boundary: _*)
+    for (minPeriods <- Seq(1, 3)) {
+      val frame = TimeSeriesOps.cRolling(df, Seq("k"), "t", "v", 7200,
+          Seq("roll_min" -> (c => min(c)), "roll_max" -> (c => max(c)),
+            "roll_sum" -> (c => sum(c)), "roll_n" -> (c => count(c)),
+            "roll_mean" -> (c => avg(c))), minPeriods)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          Option(r.getAs[Any]("roll_min")),
+          Option(r.getAs[Any]("roll_max")),
+          Option(r.getAs[Any]("roll_sum")).map(v =>
+            math.round(v.asInstanceOf[Double] * 1e6)),
+          Option(r.getAs[Any]("roll_n")),
+          Option(r.getAs[Any]("roll_mean")).map(v =>
+            math.round(v.asInstanceOf[Double] * 1e6))))
+        .toSet
+      val scalable = TimeSeriesOps.cRollingScalable(df, Seq("k"), "t", "v",
+          7200, minPeriods)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          Option(r.getAs[Any]("roll_min")),
+          Option(r.getAs[Any]("roll_max")),
+          Option(r.getAs[Any]("roll_sum")).map(v =>
+            math.round(v.asInstanceOf[Double] * 1e6)),
+          Option(r.getAs[Any]("roll_n")),
+          Option(r.getAs[Any]("roll_mean")).map(v =>
+            math.round(v.asInstanceOf[Double] * 1e6))))
+        .toSet
+      assert(scalable === frame,
+        s"scalable decomposition diverged at minPeriods=$minPeriods")
+    }
+  }
 }
