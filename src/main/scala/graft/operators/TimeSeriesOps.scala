@@ -219,6 +219,72 @@ object TimeSeriesOps {
         coalesce(col("_psum"), lit(0.0))) / n).as("roll_mean")): _*)
   }
 
+  /** SKEW-ROBUST gap-based session labeling — the bucketed
+    * boundary-stitch twin of the q_sessionize window form (r15, the
+    * [[cRollingScalable]] treatment applied to sessions). The window
+    * form sorts each key's ENTIRE history in one task (lag + running
+    * sum over (key, ts)); that is linear, so the sg10_skew fixture
+    * absorbs a 30%-hot key (StragglerProbe: ratio 1.02) — but at true
+    * scale one key with 10⁹ events is a single-task sort that spills
+    * or OOMs, the unbounded-partition hazard, and this form is the
+    * routed shape there.
+    *
+    * Decomposition: events bucket by floor(us / bucketUs); within each
+    * (key, bucket) a local lag + running-sum labels PROVISIONAL
+    * sessions (the bucket's first event provisionally opens one); the
+    * per-bucket summary table (first/last timestamp, local session
+    * count — one row per non-empty bucket, thousands of rows per key
+    * where the events were billions) is stitched per key in bucket
+    * order: a bucket CONTINUES the previous non-empty bucket's last
+    * session when the boundary gap is within `gapSec`, and the global
+    * session id is base(b) + local_id − cont(b), where base is the
+    * running sum of each prior bucket's (local count − its own cont).
+    * Works for ANY bucketSec (sessions chain across many buckets and
+    * skip empty ones — the stitch reads the previous NON-EMPTY
+    * summary); default 4× the gap. Integer arithmetic end to end:
+    * session ids are IDENTICAL to the window form's 1-based per-key
+    * numbering on every input (spec-pinned), so the two forms share
+    * an oracle.
+    *
+    * Output: the input columns plus `session_id`. Non-null timestamps
+    * required (the q_sessionize contract).
+    */
+  def sessionLabelsScalable(df: DataFrame, keys: Seq[String], tsCol: String,
+                            gapSec: Long, bucketSec: Long = 0L): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    val gUs = gapSec * UsPerSec
+    val bUs = (if (bucketSec > 0) bucketSec else 4 * gapSec) * UsPerSec
+    val k = keys.map(col)
+    val base = df.withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_b", floor(col("_us") / bUs))
+    val w1 = Window.partitionBy(k :+ col("_b"): _*).orderBy(col("_us"))
+    val run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = base
+      .withColumn("_prev", lag(col("_us"), 1).over(w1))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gUs, 1L)
+          .otherwise(0L))
+      .withColumn("_lsid", sum(col("_new")).over(run1))
+    val summary = withLocal.groupBy(k :+ col("_b"): _*)
+      .agg(min(col("_us")).as("_first"), max(col("_us")).as("_last"),
+        sum(col("_new")).as("_nloc"))
+    val w2 = Window.partitionBy(k: _*).orderBy(col("_b"))
+    val w2run = w2.rowsBetween(Window.unboundedPreceding, -1)
+    val stitched = summary
+      .withColumn("_prevLast", lag(col("_last"), 1).over(w2))
+      .withColumn("_cont",
+        when(col("_prevLast").isNotNull &&
+          col("_first") - col("_prevLast") <= gUs, 1L).otherwise(0L))
+      .withColumn("_contrib", col("_nloc") - col("_cont"))
+      .withColumn("_base",
+        coalesce(sum(col("_contrib")).over(w2run), lit(0L)))
+      .select(k ++ Seq(col("_b"), col("_cont"), col("_base")): _*)
+    withLocal.join(stitched, keys :+ "_b")
+      .withColumn("session_id",
+        col("_base") + col("_lsid") - col("_cont"))
+      .drop("_us", "_b", "_prev", "_new", "_lsid", "_cont", "_base")
+  }
+
   /** A13 `ts_gaps` — per-key sampling-gap audit, the QC read that
     * precedes any field-data analysis (the reference's users eyeball
     * this from plots; at a million series nobody can): per key, the

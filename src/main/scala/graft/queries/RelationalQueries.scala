@@ -134,6 +134,29 @@ object RelationalQueries extends QueryPack {
       .filter(col("rn") <= 5)
   }
 
+  /** F6s `q_sessionize_scalable` — gap-based sessions through the
+    * bucketed boundary-stitch labeler
+    * ([[graft.operators.TimeSeriesOps.sessionLabelsScalable]]): the
+    * window form sorts each user's entire history in ONE task, which
+    * the sg fixtures absorb (linear work) but a 10⁹-event key at true
+    * scale cannot — here the hot key spreads over (time-range /
+    * bucket) tasks and the per-bucket summaries stitch in a
+    * rows-per-key = bucket-count window. Session ids are integer-
+    * identical to the window form on every input (spec-pinned), so
+    * this entry reuses q_sessionize's oracle verbatim.
+    */
+  def qSessionizeScalable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeriesOps.sessionLabelsScalable(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", gapSec = 12L * 3600)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(10000) + lit(0.5001))) / lit(10000.0))
+          .as("total_value"))
+
   /** F6 `q_sessionize` — gap-based sessions (12 h) per user. */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -337,7 +360,8 @@ object RelationalQueries extends QueryPack {
     "q_salted" -> qSalted,
     "q_semijoin" -> qSemijoin,
     "q_topk" -> qTopk,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_sessionize_scalable" -> qSessionizeScalable)
 
   val oracles: Map[String, String] = Map(
     // exact distinct counts plus literal-TRUE accuracy certificates:
@@ -490,6 +514,30 @@ object RelationalQueries extends QueryPack {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1""".stripMargin,
     "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value * 10000 + 0.5001) AS BIGINT)) / 10000.0 AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // the scalable twin's session ids are integer-identical to the
+    // window form's, so the oracle is the SAME direct statement (the
+    // bucket decomposition must be invisible to it)
+    "q_sessionize_scalable" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |flagged AS (

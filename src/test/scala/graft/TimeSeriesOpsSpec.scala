@@ -412,4 +412,54 @@ class TimeSeriesOpsSpec extends SparkSpec {
         s"scalable decomposition diverged at minPeriods=$minPeriods")
     }
   }
+
+  test("sessionLabelsScalable matches the window-form session numbering across bucket widths") {
+    // adversarial fixture: a hot key whose sessions CHAIN across many
+    // buckets (events every 2h, gap 3h -> one long session), exact-gap
+    // boundaries (diff == gap continues), empty-bucket skips (a 9h
+    // silence within one bucket width), duplicate timestamps, and a
+    // sparse key of singletons
+    val rows =
+      (0 until 60).map(i => ("hot",
+        f"2024-01-01 ${i * 2 % 24}%02d:00:00".replaceFirst("^2024-01-01",
+          f"2024-01-${1 + i * 2 / 24}%02d"),
+        java.lang.Double.valueOf(i.toDouble))) ++ Seq(
+        ("hot", "2024-01-10 00:00:00", java.lang.Double.valueOf(1.0)),
+        ("hot", "2024-01-10 03:00:00", java.lang.Double.valueOf(2.0)), // == gap: continues
+        ("hot", "2024-01-10 06:00:01", java.lang.Double.valueOf(3.0)), // > gap: new
+        ("hot", "2024-01-10 06:00:01", java.lang.Double.valueOf(4.0)), // dup ts
+        ("sparse", "2024-01-01 00:00:00", java.lang.Double.valueOf(9.0)),
+        ("sparse", "2024-02-01 00:00:00", java.lang.Double.valueOf(8.0)))
+    val df = series(rows: _*)
+    val gapSec = 3L * 3600
+    // the window form, inline (the q_sessionize shape)
+    val byTs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val windowForm = df
+      .withColumn("_p", lag(col("t"), 1).over(byTs))
+      .withColumn("_n", when(col("_p").isNull ||
+        unix_micros(col("t")) - unix_micros(col("_p")) >
+          gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_n")).over(run))
+      .groupBy(col("k"), col("session_id"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // bucket widths: smaller than, equal to, and larger than the gap —
+    // the stitch must be width-independent
+    for (bucketSec <- Seq(gapSec / 2, gapSec, gapSec * 4, gapSec * 100)) {
+      val scalable = TimeSeriesOps.sessionLabelsScalable(df, Seq("k"), "t",
+          gapSec, bucketSec)
+        .groupBy(col("k"), col("session_id"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(scalable === windowForm,
+        s"session stitch diverged at bucketSec=$bucketSec")
+    }
+  }
 }
