@@ -325,7 +325,25 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("maybe_dup"))
   }
 
+  /** G+m `dedup_pair_mass` — the pre-flight candidate-mass audit of
+    * the exact Jaccard chain ([[graft.dedup.Dedup.pairMassAudit]]):
+    * per block, the Σ df·(df−1)/2 row count the verify equi-join
+    * would materialize, the hottest shingle df, and the linear
+    * universe size, over the SAME basis as the shipped
+    * `dedup_jaccard` entry (class-collapsed reps, df-cap 0.5). This
+    * is the number a 100 TB operator reads BEFORE launching the only
+    * non-linear operator in the library — and the same scalar the
+    * opt-in `maxCandidatePairs` fail-fast guard asserts inside the
+    * exact chain's plan. Fully SQL-oracled: DuckDB restates the cls
+    * collapse, the df-cap, and the per-block rollup with shingle
+    * strings standing in for the xxhash64 values.
+    */
+  def dedupPairMass(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairMassAudit(Tables.documents(s, dir), "doc_id", "text",
+      "source", shingleN = 3, maxShingleDocFrac = Some(0.5))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pair_mass" -> dedupPairMass,
     "dedup_bloom" -> dedupBloom,
     "dedup_substring" -> dedupSubstring,
     "text_lines_dedup" -> textLinesDedup,
@@ -612,6 +630,34 @@ object DedupQueries extends QueryPack {
     // least/greatest restoring doc_a < doc_b, intra-class as all
     // member pairs of classes with a non-empty capped universe at
     // jaccard exactly 1.0.
+    // dedup_pair_mass: the same cls collapse + df-cap as dedup_jaccard,
+    // then the per-block rollup over the kept (source, shingle) df
+    // groups — Σ df, distinct shingles, max df, Σ df·(df−1)/2.
+    // Integer arithmetic stated exactly on both engines: df·(df−1) is
+    // even, DuckDB's // and Spark's DIV both truncate, and the casts
+    // pin BIGINT against DuckDB's HUGEINT sum default.
+    "dedup_pair_mass" ->
+      """WITH cls AS (SELECT doc_id, source, text,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN min(doc_id) OVER (PARTITION BY source, text)
+        |         ELSE doc_id END AS rep
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM cls WHERE doc_id = rep AND text IS NOT NULL)),
+        |bc AS (SELECT source, count(*) AS nd FROM s GROUP BY source),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |df AS (SELECT source, g, count(*) AS c FROM ex GROUP BY source, g),
+        |kept AS (SELECT df.source, df.g, df.c
+        |  FROM df JOIN bc USING (source)
+        |  WHERE df.c <= CAST(0.5 AS DOUBLE) * bc.nd)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_postings,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(max(c) AS BIGINT) AS max_df,
+        |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+        |FROM kept GROUP BY source""".stripMargin,
     "dedup_jaccard" ->
       """WITH cls AS (SELECT doc_id, source, text,
         |    CASE WHEN text IS NOT NULL

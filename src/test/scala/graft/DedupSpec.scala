@@ -1121,4 +1121,88 @@ class DedupSpec extends SparkSpec {
     // docs 3 (unique), 7 (too short), 8 (self-repeat only) contribute nothing
     assert(!out.exists(s => Set(3L, 7L, 8L).contains(s._1)))
   }
+
+  test("pairMassAudit: hand-computed per-block mass, collapse and copy bases") {
+    import org.apache.spark.sql.functions._
+    // block s trigram universe: "a b c" in d1,d2; the other four
+    // shingles are singletons. d4 is an identical copy of d1.
+    val docs = Seq(
+      (1L, "a b c d", "s"), (2L, "a b c e", "s"),
+      (3L, "x y z w", "s"), (4L, "a b c d", "s"))
+      .toDF("doc_id", "text", "source")
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("n_postings"), r(0).getAs[Long]("n_shingles"),
+        r(0).getAs[Long]("max_df"), r(0).getAs[Long]("candidate_pairs"))
+    }
+    // collapsed (the shipped dedup_jaccard basis): d4 folds into d1 ->
+    // df("a b c")=2, four singletons -> mass = 1
+    assert(row(Dedup.pairMassAudit(docs, "doc_id", "text", "source")) ===
+      ((6L, 5L, 2L, 1L)))
+    // per-copy basis: df("a b c")=3, df("b c d")=2 -> mass = 3 + 1 = 4
+    assert(row(Dedup.pairMassAudit(docs, "doc_id", "text", "source",
+      collapseClasses = false)) === ((8L, 5L, 3L, 4L)))
+    // df-cap: with frac such that "a b c" (df 2 of nd 3 reps = 0.67)
+    // is boilerplate, the mass drops to zero and singletons remain
+    assert(row(Dedup.pairMassAudit(docs, "doc_id", "text", "source",
+      maxShingleDocFrac = Some(0.5))) === ((4L, 4L, 1L, 0L)))
+  }
+
+  test("maxCandidatePairs guard: identical output under budget, measured fail-fast over it") {
+    val expected = Dedup.blockedJaccardClassed(docs, "doc_id", "text",
+        "source", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.blockedJaccardClassed(docs, "doc_id", "text",
+        "source", threshold = 0.3, maxCandidatePairs = Some(1000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === expected && guarded.nonEmpty)
+    // over budget: the job dies with the MEASURED mass in the message,
+    // not an OOM — walk the cause chain (assert_true surfaces wrapped
+    // in SparkException from the failed stage)
+    val ex = intercept[Throwable] {
+      Dedup.blockedJaccardClassed(docs, "doc_id", "text", "source",
+        threshold = 0.3, maxCandidatePairs = Some(0L)).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exceeds maxCandidatePairs"),
+      s"guard did not fire with the routed message: $msgs")
+    // pruneNearDups threads the same budget: under-budget run unchanged
+    val pruned = Dedup.pruneNearDups(docs, "doc_id", "text", "source",
+        threshold = 0.3, maxCandidatePairs = Some(1000000L))
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val prunedPlain = Dedup.pruneNearDups(docs, "doc_id", "text", "source",
+        threshold = 0.3)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned === prunedPlain)
+  }
+
+  test("pairMassAudit total equals the guard's asserted scalar: audit predicts the chain") {
+    import org.apache.spark.sql.functions._
+    // The guard asserts the GLOBAL Σ df·(df−1)/2 over the same
+    // collapsed, capped universe the audit reports per block — so the
+    // audit's sum must be exactly the largest bound that still fails
+    // (bound = total − 1 dies, bound = total passes).
+    // 6 distinct contents in s1 so the 0.5 df-cap (df <= 3) keeps the
+    // base/nearDup shared trigrams (df = 2) in the universe
+    val corpus = (Seq((1L, base, "s1"), (2L, nearDup, "s1")) ++
+      (3L to 6L).map(i => (i, (1 to 40).map(j => s"v${i}w$j").mkString(" "), "s1")) ++
+      Seq((7L, base, "s2")))
+      .toDF("doc_id", "text", "source")
+    val total = Dedup.pairMassAudit(corpus, "doc_id", "text", "source",
+        maxShingleDocFrac = Some(0.5))
+      .agg(sum(col("candidate_pairs"))).collect()(0).getLong(0)
+    assert(total > 0)
+    intercept[Throwable] {
+      Dedup.blockedJaccardClassed(corpus, "doc_id", "text", "source",
+        threshold = 0.3, maxShingleDocFrac = Some(0.5),
+        maxCandidatePairs = Some(total - 1)).collect()
+    }
+    Dedup.blockedJaccardClassed(corpus, "doc_id", "text", "source",
+      threshold = 0.3, maxShingleDocFrac = Some(0.5),
+      maxCandidatePairs = Some(total)).collect()
+  }
 }
