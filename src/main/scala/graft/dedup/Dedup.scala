@@ -1080,6 +1080,56 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** MEASURED ROUTER over the two prune shapes (r15): run the linear
+    * [[pairMassAudit]], then take the exact chain
+    * ([[pruneNearDups]], every true near-dup pair verified) when the
+    * measured Σ df·(df−1)/2 candidate mass fits `maxCandidatePairs`,
+    * else the LSH chain ([[pruneNearDupsLsh]], banded candidates,
+    * exact-verified drops — precision 1.0 against the exact chain,
+    * recall bounded by the banding). This is the decision a 100 TB
+    * operator otherwise makes by hand from the audit number; the
+    * contract difference between the branches is recall on the
+    * NEAR-dup tail only (exact-duplicate classes collapse identically
+    * on both paths).
+    *
+    * EAGER BY DESIGN, unlike every other constructor in this object:
+    * routing requires the measurement, so calling this runs the
+    * audit's one linear Spark job (exploded scan + two narrow aggs)
+    * before returning the routed plan. Lazily-composing callers who
+    * cannot afford a construction-time job should run the audit
+    * themselves and call the branch they choose. The routed exact run
+    * does NOT re-engage the per-row guard — the audit just measured
+    * the same scalar on the same input; callers whose `docs` lineage
+    * is non-deterministic between jobs should pass the budget to
+    * [[pruneNearDups]] directly instead.
+    *
+    * Default budget 1e9: at the measured 24.1 bytes of verify-join
+    * shuffle write per candidate row (GuardProbe, sg100, SCALING.md
+    * r15 guard section — plus ~30 B/candidate of sort spill when the
+    * stage exceeds executor memory), 1e9 candidates ≈ 24 GB of
+    * quadratic-stage shuffle — comfortably single-node; raise it
+    * proportionally to cluster shuffle capacity.
+    */
+  def pruneNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.3,
+                        maxShingleDocFrac: Option[Double] = Some(0.5),
+                        maxCandidatePairs: Long = 1000000000L,
+                        lshNumHashes: Int = 64,
+                        lshBands: Int = 16,
+                        lshMaxBucketSize: Int = 10000): DataFrame = {
+    val mass = pairMassAudit(docs, idCol, textCol, blockCol, shingleN,
+        maxShingleDocFrac)
+      .agg(coalesce(sum(col("candidate_pairs")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (mass <= maxCandidatePairs)
+      pruneNearDups(docs, idCol, textCol, blockCol, shingleN, threshold,
+        maxShingleDocFrac)
+    else
+      pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
+        lshBands, threshold, lshMaxBucketSize)
+  }
+
   /** Distinct xxhash64 values of a benchmark set's shingles (column
     * `_bh`) — the shared build side of batch [[contaminatedIds]] and
     * [[graft.streaming.Streaming.decontaminateStream]]: one definition,

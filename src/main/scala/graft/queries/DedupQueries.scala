@@ -342,8 +342,26 @@ object DedupQueries extends QueryPack {
     Dedup.pairMassAudit(Tables.documents(s, dir), "doc_id", "text",
       "source", shingleN = 3, maxShingleDocFrac = Some(0.5))
 
+  /** G+a `dedup_prune_auto` — the measured router
+    * ([[graft.dedup.Dedup.pruneNearDupsAuto]]): one linear
+    * pairMassAudit job, then the exact chain when the measured
+    * candidate mass fits the budget, else the LSH chain. On the
+    * driver fixtures the mass is far under the default budget, so the
+    * route is the exact chain and the entry is HASH-ORACLED by the
+    * same SQL as `dedup_prune` — the oracle pins both the routed
+    * output and the fact that the router picks exact here (an LSH
+    * route at threshold 0.3 would hash-differ). The spec pins the
+    * other branch.
+    */
+  def dedupPruneAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.pruneNearDupsAuto(Tables.documents(s, dir), "doc_id", "text",
+        "source", shingleN = 3, threshold = 0.3,
+        maxShingleDocFrac = Some(0.5))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pair_mass" -> dedupPairMass,
+    "dedup_prune_auto" -> dedupPruneAuto,
     "dedup_bloom" -> dedupBloom,
     "dedup_substring" -> dedupSubstring,
     "text_lines_dedup" -> textLinesDedup,
@@ -366,7 +384,7 @@ object DedupQueries extends QueryPack {
     "dedup_semantic_det" -> dedupSemanticDet,
     "dedup_clusters" -> dedupClusters)
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // dedup_semantic_det: assignment argmax over the SAME literal
     // centroid table as ann_ivf_det (cosine DESC, cid tie-break),
     // in-cluster pairs under the cap (cannot trigger at oracle scale),
@@ -794,4 +812,11 @@ object DedupQueries extends QueryPack {
         |SELECT node,
         |  node >> (3 * (bit_count((node & -node) - 1) // 3)) AS component
         |FROM nodes""".stripMargin)
+
+  // dedup_prune_auto routes to the exact chain on the driver fixtures
+  // (measured mass ≪ default budget), so its oracle IS dedup_prune's —
+  // one definition, and a hash mismatch would mean the router switched
+  // branches on data where it must not.
+  val oracles: Map[String, String] =
+    oracles0 + ("dedup_prune_auto" -> oracles0("dedup_prune"))
 }

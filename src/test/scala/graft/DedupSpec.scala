@@ -1205,4 +1205,23 @@ class DedupSpec extends SparkSpec {
       threshold = 0.3, maxShingleDocFrac = Some(0.5),
       maxCandidatePairs = Some(total)).collect()
   }
+
+  test("pruneNearDupsAuto routes exact under budget, LSH over it — each branch bit-equal to its chain") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // under budget: routed output == the exact chain's
+    val auto = Dedup.pruneNearDupsAuto(docs, "doc_id", "text", "source",
+      threshold = 0.3, maxShingleDocFrac = None)
+    assert(ids(auto) === ids(Dedup.pruneNearDups(docs, "doc_id", "text",
+      "source", threshold = 0.3)))
+    // budget 0 forces the LSH branch: routed output == the LSH chain's
+    // at the SAME banding params (seeded minhash -> deterministic)
+    val autoLsh = Dedup.pruneNearDupsAuto(docs, "doc_id", "text", "source",
+      threshold = 0.7, maxShingleDocFrac = None, maxCandidatePairs = 0L)
+    assert(ids(autoLsh) === ids(Dedup.pruneNearDupsLsh(docs, "doc_id",
+      "text", threshold = 0.7)))
+    // and the LSH route still drops the base/nearDup twin (recall on
+    // this 0.95-jaccard pair survives the banding)
+    assert(ids(autoLsh).size < 4)
+  }
 }

@@ -545,4 +545,59 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet|FileScan".r.findAllIn(plan).size >= 3,
       s"valve path should scan documents twice + bench once:\n$plan")
   }
+
+  test("dedup_pair_mass is linear: no exchange carries text, no quadratic node, map-side combine kept") {
+    val df = DedupQueries.dedupPairMass(spark, dir)
+    val plan = planOf(df)
+    // the audit must never pay the quadratic stage it predicts
+    assert(!plan.contains("CartesianProduct"))
+    // STRUCTURAL no-text-through-exchange (the plan is multi-branch —
+    // dup-class collapse + universe — so the ds_pipeline string slice
+    // doesn't apply): every shuffle's output is (blk, hash,
+    // partial-agg) width, never document bodies. Exchanges are
+    // inserted by EnsureRequirements and AQE wraps the executed tree,
+    // so collect with AQE off for this one plan.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        DedupQueries.dedupPairMass(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text travels through an audit exchange:\n$plan")
+    }
+    // aggregates keep map-side combine before their exchange — the
+    // (blk,s) df agg and the per-block rollup
+    assert(plan.contains("partial_"),
+      s"audit aggregates lost map-side combine:\n$plan")
+  }
+
+  test("maxCandidatePairs guard adds the mass scalar as a broadcast, not a shuffle or driver literal") {
+    val plan = planOf(graft.dedup.Dedup.blockedJaccard(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text",
+      "source", maxCandidatePairs = Some(1000000L)))
+    // the 1-row scalar rides a broadcast nested-loop (the bounded
+    // 1-row class PlanSpec already excepts), never a CartesianProduct
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"guard scalar is not broadcast:\n$plan")
+    // and the default None path is plan-identical to no guard at all
+    val guarded = planOf(graft.dedup.Dedup.blockedJaccard(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text",
+      "source", maxCandidatePairs = None))
+    val plain = planOf(graft.dedup.Dedup.blockedJaccard(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text",
+      "source"))
+    def norm(p: String) =
+      p.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("cv=\\[id=#\\]", "")
+    assert(norm(guarded) === norm(plain),
+      "None budget must be a zero-cost default")
+  }
 }
