@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
   *   4. guard_refusal    — maxCandidatePairs = mass − 1: wall to the
   *                          routed error, bytes done before dying.
   *
-  * Usage: runMain graft.GuardProbe <sfDir>
+  * Usage: runMain graft.GuardProbe <sfDir> [audit-only]
+  * `audit-only` skips the full exact chain and its pass-through twin —
+  * the mode for decades where the exact chain is deliberately
+  * unaffordable (sg1000: the audit + refusal numbers ARE the story;
+  * running the 1.5 TB-shuffle chain to compare would be the mistake
+  * the guard exists to prevent).
   * (96g heap for sg100+ — the SCALING.md memory protocol.)
   */
 object GuardProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: GuardProbe <sfDir>")
+    require(args.length >= 1, "usage: GuardProbe <sfDir> [audit-only]")
+    val auditOnly = args.length > 1 && args(1) == "audit-only"
     val spark = GraftSession.builder(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,22 +85,24 @@ object GuardProbe {
     }
 
     var exactWrite = 0L
-    phase("exact_chain") {
-      graft.dedup.Dedup.blockedJaccardClassed(docs, "doc_id", "text",
-          "source", shingleN = 3, threshold = 0.3,
-          maxShingleDocFrac = Some(0.5))
-        .write.format("noop").mode("overwrite").save()
-      exactWrite = shuffleWrite
-      ""
-    }
+    if (!auditOnly) {
+      phase("exact_chain") {
+        graft.dedup.Dedup.blockedJaccardClassed(docs, "doc_id", "text",
+            "source", shingleN = 3, threshold = 0.3,
+            maxShingleDocFrac = Some(0.5))
+          .write.format("noop").mode("overwrite").save()
+        exactWrite = shuffleWrite
+        ""
+      }
 
-    phase("guard_passthrough") {
-      graft.dedup.Dedup.blockedJaccardClassed(docs, "doc_id", "text",
-          "source", shingleN = 3, threshold = 0.3,
-          maxShingleDocFrac = Some(0.5),
-          maxCandidatePairs = Some(mass))
-        .write.format("noop").mode("overwrite").save()
-      ""
+      phase("guard_passthrough") {
+        graft.dedup.Dedup.blockedJaccardClassed(docs, "doc_id", "text",
+            "source", shingleN = 3, threshold = 0.3,
+            maxShingleDocFrac = Some(0.5),
+            maxCandidatePairs = Some(mass))
+          .write.format("noop").mode("overwrite").save()
+        ""
+      }
     }
 
     phase("guard_refusal") {
@@ -110,9 +118,11 @@ object GuardProbe {
       s""","refused":$died"""
     }
 
-    val bpc = if (mass > 0) exactWrite.toDouble / mass else 0.0
-    println(f"""{"derived":"bytes_per_candidate","value":$bpc%.1f,""" +
-      s""""exact_shuffle_write":$exactWrite,"candidate_mass":$mass}""")
+    if (!auditOnly) {
+      val bpc = if (mass > 0) exactWrite.toDouble / mass else 0.0
+      println(f"""{"derived":"bytes_per_candidate","value":$bpc%.1f,""" +
+        s""""exact_shuffle_write":$exactWrite,"candidate_mass":$mass}""")
+    }
     // scalastyle:on println
     spark.stop()
   }

@@ -1109,6 +1109,12 @@ object Dedup {
     * stage exceeds executor memory), 1e9 candidates ≈ 24 GB of
     * quadratic-stage shuffle — comfortably single-node; raise it
     * proportionally to cluster shuffle capacity.
+    *
+    * `lshBands = None` (default) sizes the LSH branch's banding FROM
+    * THE CALLER'S THRESHOLD via [[lshBandingForThreshold]] — the
+    * shipped 16×4 default has its S-curve midpoint at 0.5 and would
+    * silently miss most pairs of a 0.3-threshold query; pass
+    * `Some(b)` to pin it manually.
     */
   def pruneNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int = 3,
@@ -1116,7 +1122,7 @@ object Dedup {
                         maxShingleDocFrac: Option[Double] = Some(0.5),
                         maxCandidatePairs: Long = 1000000000L,
                         lshNumHashes: Int = 64,
-                        lshBands: Int = 16,
+                        lshBands: Option[Int] = None,
                         lshMaxBucketSize: Int = 10000): DataFrame = {
     val mass = pairMassAudit(docs, idCol, textCol, blockCol, shingleN,
         maxShingleDocFrac)
@@ -1127,7 +1133,42 @@ object Dedup {
         maxShingleDocFrac)
     else
       pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
-        lshBands, threshold, lshMaxBucketSize)
+        lshBands.getOrElse(
+          lshBandingForThreshold(lshNumHashes, threshold)._1),
+        threshold, lshMaxBucketSize)
+  }
+
+  /** The (bands, rowsPerBand) split of `numHashes` whose LSH S-curve
+    * midpoint (1/b)^(1/r) sits JUST BELOW the caller's Jaccard
+    * threshold — the standard banding-theorem sizing (Leskovec/
+    * Rajaraman/Ullman, MMDS ch.3): a pair at similarity s collides in
+    * at least one band w.p. 1 − (1 − s^r)^b, which crosses ~0.5 at
+    * s ≈ (1/b)^(1/r); placing that midpoint below the threshold makes
+    * ≥-threshold pairs collide w.h.p. while keeping band length
+    * maximal (fewest spurious candidates). Of the divisor pairs of
+    * `numHashes`, picks the largest midpoint ≤ threshold; if even the
+    * most permissive split sits above (pathologically low numHashes),
+    * falls back to the most permissive one.
+    *
+    * Why this matters for [[pruneNearDupsAuto]]: the LSH chain's
+    * shipped default (16 bands × 4 rows, midpoint 0.5) is tuned for
+    * its own 0.7 default threshold; routing a 0.3-threshold exact
+    * query onto it unchanged would catch s=0.3 pairs w.p. only ~0.12.
+    * With this sizing the router picks 32 × 2 (midpoint 0.177) for
+    * threshold 0.3 — catch probability 1 − (1 − 0.09)³² ≈ 0.95 — and
+    * reproduces the 16 × 4 default exactly at threshold 0.7 (0.5 is
+    * the largest midpoint below 0.7).
+    */
+  def lshBandingForThreshold(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val scored = pairs.map { case (b, r) =>
+      ((b, r), math.pow(1.0 / b, 1.0 / r)) }
+    val below = scored.filter(_._2 <= threshold)
+    if (below.nonEmpty) below.maxBy(_._2)._1 else scored.minBy(_._2)._1
   }
 
   /** Distinct xxhash64 values of a benchmark set's shingles (column

@@ -1223,5 +1223,26 @@ class DedupSpec extends SparkSpec {
     // and the LSH route still drops the base/nearDup twin (recall on
     // this 0.95-jaccard pair survives the banding)
     assert(ids(autoLsh).size < 4)
+    // at a LOW threshold the router re-sizes the banding from the
+    // threshold (32x2 for 0.3, not the 0.7-tuned 16x4 default):
+    // routed output == the LSH chain AT THAT banding
+    val autoLsh03 = Dedup.pruneNearDupsAuto(docs, "doc_id", "text",
+      "source", threshold = 0.3, maxShingleDocFrac = None,
+      maxCandidatePairs = 0L)
+    assert(ids(autoLsh03) === ids(Dedup.pruneNearDupsLsh(docs, "doc_id",
+      "text", bands = 32, threshold = 0.3)))
+  }
+
+  test("lshBandingForThreshold: MMDS midpoint sizing, defaults reproduced at 0.7") {
+    // midpoints (1/b)^(1/r) over b*r=64: 64x1=.016, 32x2=.177,
+    // 16x4=.5, 8x8=.771, 4x16=.917, 2x32=.979, 1x64=1.0
+    assert(Dedup.lshBandingForThreshold(64, 0.7) === ((16, 4)))
+    assert(Dedup.lshBandingForThreshold(64, 0.3) === ((32, 2)))
+    assert(Dedup.lshBandingForThreshold(64, 0.9) === ((8, 8)))
+    assert(Dedup.lshBandingForThreshold(64, 1.0) === ((1, 64)))
+    // even the most permissive split sits above a tiny threshold ->
+    // fall back to the most permissive
+    assert(Dedup.lshBandingForThreshold(64, 0.01) === ((64, 1)))
+    assert(Dedup.lshBandingForThreshold(1, 0.5) === ((1, 1)))
   }
 }
