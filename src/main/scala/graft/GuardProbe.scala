@@ -77,11 +77,25 @@ object GuardProbe {
 
     var mass = 0L
     phase("audit") {
-      mass = graft.dedup.Dedup.pairMassAudit(docs, "doc_id", "text",
+      val r = graft.dedup.Dedup.pairMassAudit(docs, "doc_id", "text",
           "source", shingleN = 3, maxShingleDocFrac = Some(0.5))
-        .agg(coalesce(sum(col("candidate_pairs")), lit(0L)))
-        .collect()(0).getLong(0)
-      s""","candidate_mass":$mass"""
+        .agg(coalesce(sum(col("candidate_pairs")), lit(0L)),
+          coalesce(max(col("max_df")), lit(0L)))
+        .collect()(0)
+      mass = r.getLong(0)
+      s""","candidate_mass":$mass,"max_df":${r.getLong(1)}"""
+    }
+
+    // the UNCAPPED audit alongside: on boilerplate-laden corpora the
+    // delta between the two IS the df-cap's bound — the number that
+    // says "this corpus needs the cap", before anything quadratic runs
+    phase("audit_uncapped") {
+      val r = graft.dedup.Dedup.pairMassAudit(docs, "doc_id", "text",
+          "source", shingleN = 3, maxShingleDocFrac = None)
+        .agg(coalesce(sum(col("candidate_pairs")), lit(0L)),
+          coalesce(max(col("max_df")), lit(0L)))
+        .collect()(0)
+      s""","candidate_mass":${r.getLong(0)},"max_df":${r.getLong(1)}"""
     }
 
     var exactWrite = 0L
