@@ -1042,6 +1042,54 @@ object Dedup {
       .select(col("_mid"), col("_rep"))
   }
 
+  /** Pre-flight candidate-mass audit of [[hammingNearDup]] — the
+    * Jaccard-family [[pairMassAudit]]'s counterpart for the OTHER
+    * pair-emitting operator (CLUSTER.md previously told operators to
+    * hand-run "one groupBy" before tuning the caps; this is that
+    * groupBy, shipped). One row, five numbers, all linear:
+    *
+    *  - `candidate_class_pairs` = Σ c·(c−1)/2 over (block, value)
+    *    buckets of DISTINCT-fingerprint classes — the exact row count
+    *    of the capped-path class join (a class pair sharing k blocks
+    *    counts k times, exactly as the join materializes it); read
+    *    against `maxBucketSize`'s affordability.
+    *  - `max_bucket_classes` — the hottest bucket; the skew hazard
+    *    `maxBucketSize` caps.
+    *  - `n_classes`, `max_class_size` — the collapse structure;
+    *    `max_class_size` is what `maxClassSize` caps.
+    *  - `intra_class_pairs` = Σ m·(m−1)/2 over classes — the
+    *    identical-fingerprint expansion's OUTPUT mass (hamming-0
+    *    pairs), the other quadratic dimension.
+    *
+    * Same scale shape as the Jaccard audit: one fingerprint
+    * projection (codegen), two narrow map-side-combined aggregates,
+    * 1-row output (the two scalar sides join as bounded broadcasts).
+    */
+  def hammingPairMassAudit(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val nBlocks = hammingBlockCount(maxHamming)
+    val fp = fingerprintWords(docs, idCol, textCol)
+    val classes = fp.groupBy(col("_lo"), col("_hi"))
+      .agg(count(lit(1)).as("_m"))
+    val classStats = classes.agg(
+      count(lit(1)).as("n_classes"),
+      coalesce(max(col("_m")), lit(0L)).as("max_class_size"),
+      coalesce(sum(expr("(_m * (_m - 1)) DIV 2")), lit(0L))
+        .as("intra_class_pairs"))
+    val banded = classes.select(
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          hammingBlock(col("_lo"), col("_hi"), b, nBlocks).as("bv"))): _*))
+        .as("bb"))
+      .select(col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val bucketStats = banded.groupBy(col("blk"), col("bv"))
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(expr("(_c * (_c - 1)) DIV 2")), lit(0L))
+        .as("candidate_class_pairs"),
+        coalesce(max(col("_c")), lit(0L)).as("max_bucket_classes"))
+    bucketStats.crossJoin(broadcast(classStats))
+  }
+
   /** The SCALE-PATH near-dup prune: [[minhashLsh]] candidates (banded
     * signatures, capped buckets) with exact-Jaccard verification →
     * keep-one-per-cluster → anti-join. The exact [[pruneNearDups]] is

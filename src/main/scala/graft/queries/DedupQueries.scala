@@ -359,9 +359,23 @@ object DedupQueries extends QueryPack {
         maxShingleDocFrac = Some(0.5))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** G+hm `dedup_hamming_mass` — the Hamming family's pre-flight
+    * audit ([[graft.dedup.Dedup.hammingPairMassAudit]]): bucket-join
+    * candidate mass, hottest bucket, class structure and
+    * identical-fingerprint output mass, in one linear row — the
+    * numbers CLUSTER.md's dedup_hamming entry tells an operator to
+    * check before touching `maxBucketSize`/`maxClassSize` at corpus
+    * scale. SQL-oracled from the dedup_hamming fingerprint CTE plus
+    * the block decomposition restated in DuckDB integer arithmetic.
+    */
+  def dedupHammingMass(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairMassAudit(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pair_mass" -> dedupPairMass,
     "dedup_prune_auto" -> dedupPruneAuto,
+    "dedup_hamming_mass" -> dedupHammingMass,
     "dedup_bloom" -> dedupBloom,
     "dedup_substring" -> dedupSubstring,
     "text_lines_dedup" -> textLinesDedup,
@@ -488,6 +502,55 @@ object DedupQueries extends QueryPack {
         |    AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    // dedup_hamming_mass: the dedup_hamming fingerprint CTE, then the
+    // class collapse, the 16-bit block decomposition (b<2 -> lo word,
+    // b>=2 -> hi, shift (b mod 2)*16 — hammingBlock's layout), and the
+    // two scalar rollups. lo/hi are sums of bits 0..31, so they are
+    // non-negative and the >> shifts are sign-safe on both engines.
+    "dedup_hamming_mass" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS wlo,
+        |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS whi
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, g.b,
+        |    SUM(CASE WHEN g.b < 32 THEN ((wlo >> g.b) & 1)
+        |        ELSE ((whi >> (g.b - 32)) & 1) END * 2 - 1) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+        |  GROUP BY doc_id, g.b
+        |), fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN b < 32 AND c > 0 THEN (CAST(1 AS BIGINT) << b)
+        |        ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN b >= 32 AND c > 0 THEN (CAST(1 AS BIGINT) << (b - 32))
+        |        ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id
+        |), cls AS (
+        |  SELECT lo, hi, count(*) AS m FROM fp GROUP BY lo, hi
+        |), cstats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(coalesce(max(m), 0) AS BIGINT) AS max_class_size,
+        |    CAST(coalesce(sum((m * (m - 1)) // 2), 0) AS BIGINT)
+        |      AS intra_class_pairs
+        |  FROM cls
+        |), banded AS (
+        |  SELECT g.b AS blk,
+        |    CASE WHEN g.b < 2 THEN (lo >> (g.b * 16)) & 65535
+        |         ELSE (hi >> ((g.b - 2) * 16)) & 65535 END AS bv
+        |  FROM cls CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g
+        |), bstats AS (
+        |  SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+        |      AS candidate_class_pairs,
+        |    CAST(coalesce(max(c), 0) AS BIGINT) AS max_bucket_classes
+        |  FROM (SELECT blk, bv, count(*) AS c FROM banded GROUP BY blk, bv)
+        |)
+        |SELECT candidate_class_pairs, max_bucket_classes, n_classes,
+        |  max_class_size, intra_class_pairs
+        |FROM bstats CROSS JOIN cstats""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,

@@ -1233,6 +1233,38 @@ class DedupSpec extends SparkSpec {
       "text", bands = 32, threshold = 0.3)))
   }
 
+  test("hammingPairMassAudit: class structure by hand, bucket mass cross-checked against the fingerprints") {
+    import org.apache.spark.sql.functions._
+    val ta = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val tb = (1 to 40).map(i => s"beta$i").mkString(" ")
+    // three identical copies of ta (one class, m=3) + one tb singleton
+    val corpus = Seq((1L, ta), (2L, ta), (3L, ta), (4L, tb))
+      .toDF("doc_id", "text")
+    val r = Dedup.hammingPairMassAudit(corpus, "doc_id", "text",
+      maxHamming = 3).collect()(0)
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("max_class_size") === 3L)
+    // intra pairs: C(3,2) = 3 hamming-0 pairs from the ta class
+    assert(r.getAs[Long]("intra_class_pairs") === 3L)
+    // bucket mass: the two CLASSES land in the same (blk, bv) bucket
+    // once per 16-bit block their fingerprints agree on — recompute
+    // that count independently from the fingerprint words
+    val fps = Dedup.fingerprintWords(corpus.dropDuplicates("text"),
+        "doc_id", "text")
+      .collect().map(x => (x.getAs[Long]("_lo"), x.getAs[Long]("_hi")))
+    assert(fps.length === 2)
+    val sharedBlocks = (0 until 4).count { b =>
+      def blk(lo: Long, hi: Long) = {
+        val w = if (b < 2) lo else hi
+        (w >> ((b % 2) * 16)) & 0xffffL
+      }
+      blk(fps(0)._1, fps(0)._2) === blk(fps(1)._1, fps(1)._2)
+    }
+    assert(r.getAs[Long]("candidate_class_pairs") === sharedBlocks.toLong)
+    assert(r.getAs[Long]("max_bucket_classes") ===
+      (if (sharedBlocks > 0) 2L else 1L))
+  }
+
   test("lshBandingForThreshold: MMDS midpoint sizing, defaults reproduced at 0.7") {
     // midpoints (1/b)^(1/r) over b*r=64: 64x1=.016, 32x2=.177,
     // 16x4=.5, 8x8=.771, 4x16=.917, 2x32=.979, 1x64=1.0
