@@ -60,7 +60,9 @@ object GuardProbe {
       }
     }
     // scalastyle:off println
-    def phase(name: String)(body: => String): Unit = {
+    // returns the phase's drained shuffle write so callers read bytes
+    // AFTER the listener catch-up, never mid-flight
+    def phase(name: String)(body: => String): Long = {
       drain()
       shuffleWrite = 0L; shuffleRead = 0L; spillBytes = 0L
       val t0 = System.nanoTime()
@@ -71,6 +73,7 @@ object GuardProbe {
         s""""shuffle_write_bytes":$shuffleWrite,""" +
         s""""shuffle_read_bytes":$shuffleRead,""" +
         s""""disk_spill_bytes":$spillBytes$extra}""")
+      shuffleWrite
     }
 
     val docs = graft.tables.Tables.documents(spark, args(0))
@@ -100,12 +103,11 @@ object GuardProbe {
 
     var exactWrite = 0L
     if (!auditOnly) {
-      phase("exact_chain") {
+      exactWrite = phase("exact_chain") {
         graft.dedup.Dedup.blockedJaccardClassed(docs, "doc_id", "text",
             "source", shingleN = 3, threshold = 0.3,
             maxShingleDocFrac = Some(0.5))
           .write.format("noop").mode("overwrite").save()
-        exactWrite = shuffleWrite
         ""
       }
 
