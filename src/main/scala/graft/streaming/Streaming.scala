@@ -591,6 +591,62 @@ object Streaming {
       .groupBy(col("blk"))
       .agg(sort_array(collect_list(col("s"))).as("boiler"))
 
+  /** Per-batch DELTA of a (blk, mass) pair emitted by
+    * [[pairMassStream]]: `delta` new candidate pairs were added to
+    * block `blk` by this micro-batch's documents.
+    */
+  case class PairMassDelta(blk: String, delta: Long)
+
+  /** Streaming twin of [[graft.dedup.Dedup.pairMassAudit]] (r15) —
+    * the exact chain's candidate-mass counter as a LIVE number over an
+    * ingestion stream, so the budget decision
+    * ([[graft.dedup.Dedup.pruneNearDupsAuto]]'s exact-vs-LSH route)
+    * can be made the moment the corpus outgrows exact dedup instead of
+    * by a scheduled batch re-audit.
+    *
+    * State: one running doc-frequency long per distinct (block,
+    * shingle-hash) — the same vocabulary-bounded state class as the
+    * batch audit's group count (content-bounded, not stream-length-
+    * bounded; the r14 StreamSoak bytes/row table applies). When a
+    * (blk, s) group with df existing docs receives k new ones, the
+    * group's candidate mass grows by C(df+k,2) − C(df,2) =
+    * Σ_{i=0..k−1}(df+i); the operator emits exactly that delta once
+    * per TOUCHED group per batch (Append mode — deltas are immutable
+    * facts, no retraction needed; untouched and still-unique groups
+    * emit nothing). The caller keeps the running Σ per block (or
+    * global) with one tiny downstream aggregation or a driver-side
+    * counter over the delta stream.
+    *
+    * Parity contract (StreamingSpec): cumulative Σ delta per block
+    * across all batches equals the BATCH audit's `candidate_pairs`
+    * over the union of the batches with `collapseClasses = false,
+    * maxShingleDocFrac = None` — the stream counts per-copy df
+    * (ingestion sees copies; the collapse and the df-cap are batch
+    * refinements over representatives, applied when the chain itself
+    * runs).
+    */
+  def pairMassStream(docs: DataFrame, textCol: String, blockCol: String,
+                     shingleN: Int = 3): Dataset[PairMassDelta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(blockCol).cast("string").as("blk"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingleHashes(col(textCol), shingleN)).as("s"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, PairMassDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((blk, _), rows, state: GroupState[Long]) =>
+          var df = state.getOption.getOrElse(0L)
+          var delta = 0L
+          rows.foreach { _ => delta += df; df += 1 }
+          state.update(df)
+          if (delta > 0) Iterator.single(PairMassDelta(blk, delta))
+          else Iterator.empty
+      }
+  }
+
   /** Event-time in MICROSECONDS — the batch operators' unit (they
     * window on `unix_micros`), shared by every stateful stream twin so
     * batch/stream parity holds below millisecond resolution.

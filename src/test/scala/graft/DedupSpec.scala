@@ -1265,6 +1265,36 @@ class DedupSpec extends SparkSpec {
       (if (sharedBlocks > 0) 2L else 1L))
   }
 
+  test("property: audit candidate_pairs == the verify join's ACTUAL row count (random corpora, independent formulation)") {
+    import org.apache.spark.sql.functions._
+    // independent on both axes: shingle STRINGS (Dedup.shingles, the
+    // spec-pinned twin of the codegen hash form) and a literal
+    // self-join COUNT instead of the sum-df(df-1)/2 formula
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val vocab = 4 + trial * 3
+      val gen = (1 to 25).map { i =>
+        val len = 4 + rnd.nextInt(18)
+        (i.toLong,
+          (1 to len).map(_ => s"t${rnd.nextInt(vocab)}").mkString(" "),
+          s"s${rnd.nextInt(3)}")
+      }
+      val docs = (gen ++ Seq((98L, null.asInstanceOf[String], "s1"),
+        (99L, "solo", "s2"))).toDF("doc_id", "text", "source")
+      val audit = Dedup.pairMassAudit(docs, "doc_id", "text", "source",
+          collapseClasses = false)
+        .agg(coalesce(sum(col("candidate_pairs")), lit(0L)))
+        .collect()(0).getLong(0)
+      val ex = docs.select(col("doc_id"), col("source").as("blk"),
+        explode(Dedup.shingles(col("text"), 3)).as("g"))
+      val joinRows = ex.as("a").join(ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+      assert(audit === joinRows, s"trial $trial: audit promised $audit, " +
+        s"the join materialized $joinRows")
+    }
+  }
+
   test("lshBandingForThreshold: MMDS midpoint sizing, defaults reproduced at 0.7") {
     // midpoints (1/b)^(1/r) over b*r=64: 64x1=.016, 32x2=.177,
     // 16x4=.5, 8x8=.771, 4x16=.917, 2x32=.979, 1x64=1.0

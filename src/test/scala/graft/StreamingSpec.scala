@@ -1290,4 +1290,46 @@ class StreamingSpec extends SparkSpec {
       assert(spark.conf.get(key) !== Streaming.RocksDbProvider)
     } finally spark.conf.unset(key)
   }
+
+  test("pairMassStream: cumulative deltas equal the batch audit over the union, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aNear = ((1 to 30).map(i => if (i == 15) "X" else s"w$i")).mkString(" ")
+    val b = (1 to 30).map(i => s"v$i").mkString(" ")
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "source")
+    val q = Streaming.pairMassStream(df, "text", "source")
+      .writeStream.format("memory").queryName("pair_mass")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: one shared-shingle pair in s1, a singleton in s2
+      input.addData((1L, a, "s1"), (2L, aNear, "s1"), (3L, b, "s2"))
+      q.processAllAvailable()
+      // batch 2: a third near-copy in s1 (raises every shared group's
+      // df), plus a first doc of a NEW block
+      input.addData((4L, a, "s1"), (5L, b, "s3"))
+      q.processAllAvailable()
+      val streamed = spark.table("pair_mass")
+        .groupBy(col("blk")).agg(sum(col("delta")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch-audit the UNION with the stream's basis (per-copy df,
+      // no cap): the two paths must agree exactly, per block
+      val union = Seq((1L, a, "s1"), (2L, aNear, "s1"), (3L, b, "s2"),
+        (4L, a, "s1"), (5L, b, "s3")).toDF("doc_id", "text", "source")
+      val batch = graft.dedup.Dedup.pairMassAudit(union, "doc_id", "text",
+          "source", collapseClasses = false)
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("candidate_pairs"))
+        .filter(_._2 > 0).toMap
+      assert(streamed === batch)
+      // and the s1 mass is genuinely cross-batch: batch 1 alone has
+      // fewer pairs than the union (the third copy multiplied them)
+      val b1 = graft.dedup.Dedup.pairMassAudit(
+          Seq((1L, a, "s1"), (2L, aNear, "s1")).toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", collapseClasses = false)
+        .collect().map(_.getAs[Long]("candidate_pairs")).sum
+      assert(b1 < streamed("s1"))
+    } finally q.stop()
+  }
 }
