@@ -227,6 +227,34 @@ object StreamSoak {
       } finally q.stop()
     }
 
+    // ---- pairMassStream (r15): 50k×mult docs of 20 tokens from a
+    // 50-token vocab across 3 source blocks. The trigram universe is
+    // bounded by the CONTENT (≤ 50³ per block), so state rows must
+    // plateau at the shingle vocabulary while rows_in keeps growing —
+    // the audit-state contract (content-bounded, not stream-length-
+    // bounded). NoTimeout is by design: a cumulative audit never
+    // forgets a shingle's df; the printed plateau is the honest state
+    // number, the funnel convention.
+    if (enabled("pairmass")) {
+      val docs = (0L until 50000L * mult).map { d =>
+        val blk = s"s${math.abs(mix(d)) % 3}"
+        val text = (0 until 20)
+          .map(i => s"t${math.abs(mix(d * 131 + i)) % 50}").mkString(" ")
+        (d, text, blk)
+      }
+      val chunks = docs.grouped(docs.size / 10 + 1).toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val out = Streaming.pairMassStream(
+        input.toDF().toDF("doc_id", "text", "source"), "text", "source")
+      val q = out.writeStream.format("memory").queryName("soak_pairmass")
+        .outputMode("append").start()
+      try {
+        val (m, wall) = timed(drive(q, input, chunks))
+        report(spark, "pairmass", docs.size.toLong, 3L, "soak_pairmass",
+          m, wall)
+      } finally q.stop()
+    }
+
     // ---- stepDetectStream: 2k×mult keys × 200 events at 90 s spacing
     // (window 1 h ⇒ ~40 events per key inside the 2w horizon); 25% of
     // keys go quiet after a quarter of the stream — their buffers must

@@ -23,12 +23,18 @@ object Streaming {
     * r14 StreamSoak at mult=10 (SCALING.md "state-store backend at 10x
     * soak volume"): sessionize 40.6 MB / 126k rows, funnel 55.4 MB /
     * 100k rows, TTL'd funnel 6.3 MB / 12.7k rows. The estimator uses
-    * the worst measured family for unknown operators.
+    * the worst measured family for unknown operators. `pair_mass`
+    * (r15): 144.5 MB / 372k rows at the soak's saturated shingle
+    * vocabulary (the `--twins=pairmass` run; state rows plateaued at
+    * 99% of the content bound while doc count doubled — its rows
+    * estimate is the corpus's distinct (block, shingle) count, i.e.
+    * the batch audit's group count).
     */
   val MeasuredStateBytesPerRow: Map[String, Long] = Map(
     "sessionize" -> 322L,
     "funnel" -> 554L,
-    "funnel_ttl" -> 496L)
+    "funnel_ttl" -> 496L,
+    "pair_mass" -> 388L)
 
   /** Projected state-store bytes for `stateRows` concurrent keys of an
     * operator `family` (a [[MeasuredStateBytesPerRow]] key; anything
