@@ -1135,10 +1135,16 @@ object Dedup {
     * else the LSH chain ([[pruneNearDupsLsh]], banded candidates,
     * exact-verified drops — precision 1.0 against the exact chain,
     * recall bounded by the banding). This is the decision a 100 TB
-    * operator otherwise makes by hand from the audit number; the
-    * contract difference between the branches is recall on the
-    * NEAR-dup tail only (exact-duplicate classes collapse identically
-    * on both paths).
+    * operator otherwise makes by hand from the audit number. Two
+    * contract differences between the branches: (a) recall on the
+    * near-dup tail is banding-bounded on the LSH side (exact-duplicate
+    * classes collapse identically on both paths); (b) SCOPE — the
+    * exact chain pairs within `blockCol` only, while the LSH chain
+    * bands globally, so it can additionally drop near-dups that span
+    * blocks (a superset drop surface on blocking, a subset on
+    * banding). If block confinement is a semantic requirement rather
+    * than a pruning optimization, call the branches directly instead
+    * of routing.
     *
     * EAGER BY DESIGN, unlike every other constructor in this object:
     * routing requires the measurement, so calling this runs the
