@@ -97,8 +97,12 @@ object MeltQueries extends QueryPack {
     val withInc = base.withColumn("inc_c", avg(col("incoming")).over(frame))
     val alb = Melt.dailyAlbedo(base, Seq("stn"), "ts", "incoming", "reflected")
       .select(col("stn").as("a_stn"), col("day"), col("albedo"))
+    // broadcast: alb is a per-day aggregate of the fixture (bounded rows);
+    // without the hint the planner picks a SortMergeJoin and pays two
+    // sort+exchange pairs on a join whose build side fits in one block
+    // (r15 plan sweep; plans/r15/melt_from_hobo_{before,after}.txt)
     withInc
-      .join(alb, col("stn") === col("a_stn") &&
+      .join(broadcast(alb), col("stn") === col("a_stn") &&
         date_trunc("day", col("ts")) === col("day"), "left")
       .select(fmtTs(col("ts")).as("ts"),
         r4(coalesce(meltEqu(col("temp"), col("albedo"), col("inc_c")),
