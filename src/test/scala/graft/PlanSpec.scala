@@ -29,6 +29,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("melt_from_hobo broadcasts the daily-albedo side (r15 plan-sweep fix)") {
+    // the albedo side is a per-day aggregate of the fixture (bounded
+    // rows); without the hint the planner picked a LeftOuter SMJ and
+    // paid two sort+exchange pairs (plans/r15/melt_from_hobo_before.txt)
+    val plan = planOf(MeltQueries.meltFromHobo(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"melt_from_hobo lost its broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"melt_from_hobo regressed to a sort-merge join:\n$plan")
+  }
+
   test("no query plan contains a cartesian product (bounded NLJ broadcasts excepted)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = planOf(fn(spark, dir))
