@@ -1169,6 +1169,42 @@ object Dedup {
     * shipped 16×4 default has its S-curve midpoint at 0.5 and would
     * silently miss most pairs of a 0.3-threshold query; pass
     * `Some(b)` to pin it manually.
+    *
+    * SHARED-SCAN MODE (r15, backlog item 1): the audit and the exact
+    * chain both start from the SAME class-collapsed capped universe
+    * (one exploded tokenize+xxhash64 scan plus the df-cap window), so
+    * running them as two independent jobs tokenizes the corpus twice.
+    * When the optimizer's size estimate of `docs` fits
+    * `maxSharedScanInputBytes`, the router localCheckpoints that
+    * universe ONCE and feeds the checkpoint to (a) the mass
+    * aggregate, (b) BOTH sides of the verify self-join and (c) the
+    * doc-size aggregate — and because the checkpoint preserves the
+    * df-cap window's hashpartitioning(blk, s) + sort, the self-join
+    * rides it with no new exchange or sort. Output is IDENTICAL
+    * either way (same rows, different physical source; DedupSpec pins
+    * shared == unshared on both routes).
+    *
+    * Why gated by bytes rather than always-on: the checkpointed frame
+    * is the EXPLODED universe — ~24 B per universe row (AbAutoShare,
+    * sg100: 3.14 GB checkpoint ≈ 131 M rows), which is ~54x the
+    * optimizer's size estimate of the parquet-compressed corpus
+    * (58.5 MB) — so at 100 TB sharing trades a second sequential
+    * corpus read for writing AND reading a LARGER intermediate: a
+    * loss. The gate reads
+    * `docs.queryExecution.optimizedPlan.stats.sizeInBytes` (free — no
+    * job; file bytes for a parquet scan, Long.MaxValue when unknown,
+    * which safely disables sharing) against the budget. Default
+    * 256 MiB of input stats ≈ ≤~14 GiB of universe at the measured
+    * expansion — one executor tier's memory-and-disk; set 0 to force
+    * the two-scan shape, raise it only as far as checkpoint storage
+    * allows. Measured (AbAutoShare, interleaved min passes, this
+    * machine): sf0.1 3.42 s shared vs 4.71 s unshared; sg100 158 s vs
+    * 240 s with shuffle write 15.50 vs 15.81 GB (the audit's exchange
+    * folds into the checkpoint's (blk, s) partitioning) — the win is
+    * the four dropped tokenize+xxhash64 corpus passes (audit, join
+    * a-side recompute via ReusedExchange's miss on the sizes agg,
+    * and the doc-size aggregate), visible as 9.4 GB of cached-block
+    * re-reads replacing them.
     */
   def pruneNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int = 3,
@@ -1177,19 +1213,53 @@ object Dedup {
                         maxCandidatePairs: Long = 1000000000L,
                         lshNumHashes: Int = 64,
                         lshBands: Option[Int] = None,
-                        lshMaxBucketSize: Int = 10000): DataFrame = {
-    val mass = pairMassAudit(docs, idCol, textCol, blockCol, shingleN,
-        maxShingleDocFrac)
-      .agg(coalesce(sum(col("candidate_pairs")), lit(0L)))
-      .collect()(0).getLong(0)
-    if (mass <= maxCandidatePairs)
-      pruneNearDups(docs, idCol, textCol, blockCol, shingleN, threshold,
-        maxShingleDocFrac)
-    else
-      pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
-        lshBands.getOrElse(
-          lshBandingForThreshold(lshNumHashes, threshold)._1),
-        threshold, lshMaxBucketSize)
+                        lshMaxBucketSize: Int = 10000,
+                        maxSharedScanInputBytes: Long = 1L << 28): DataFrame = {
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val share = maxSharedScanInputBytes > 0 &&
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(maxSharedScanInputBytes)
+    if (!share) {
+      val mass = pairMassAudit(docs, idCol, textCol, blockCol, shingleN,
+          maxShingleDocFrac)
+        .agg(coalesce(sum(col("candidate_pairs")), lit(0L)))
+        .collect()(0).getLong(0)
+      if (mass <= maxCandidatePairs)
+        pruneNearDups(docs, idCol, textCol, blockCol, shingleN, threshold,
+          maxShingleDocFrac)
+      else
+        pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
+          lshBands.getOrElse(
+            lshBandingForThreshold(lshNumHashes, threshold)._1),
+          threshold, lshMaxBucketSize)
+    } else {
+      // [[pruneNearDups]]'s body with the capped universe checkpointed:
+      // the mass scalar below is pairMassAudit's Σ df·(df−1)/2 with the
+      // per-block rollup folded into one global sum (blk stays in the
+      // group key, so the df groups are identical)
+      val dup = dupClassMembers(docs, idCol, textCol, blockCol)
+      val nonRep = dup.filter(col("_mid") =!= col("_rep"))
+        .select(col("_mid").as(idCol))
+      val reps = docs.join(nonRep, Seq(idCol), "left_anti")
+      val ex = cappedUniverse(reps, idCol, textCol, blockCol, shingleN,
+        maxShingleDocFrac).localCheckpoint()
+      val mass = ex.groupBy(col("blk"), col("s"))
+        .agg(count(lit(1)).as("_df"))
+        .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
+        .collect()(0).getLong(0)
+      if (mass <= maxCandidatePairs) {
+        val droppedReps = dropIdsFromPairs(
+          jaccardPairsFromUniverse(ex, threshold))
+        docs.join(
+          nonRep.union(droppedReps.select(col("drop_id").as(idCol))),
+          Seq(idCol), "left_anti")
+      } else
+        pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
+          lshBands.getOrElse(
+            lshBandingForThreshold(lshNumHashes, threshold)._1),
+          threshold, lshMaxBucketSize)
+    }
   }
 
   /** The (bands, rowsPerBand) split of `numHashes` whose LSH S-curve

@@ -1231,6 +1231,23 @@ class DedupSpec extends SparkSpec {
       maxCandidatePairs = 0L)
     assert(ids(autoLsh03) === ids(Dedup.pruneNearDupsLsh(docs, "doc_id",
       "text", bands = 32, threshold = 0.3)))
+    // shared-scan mode (tiny LocalRelation stats => the calls above
+    // already took the checkpointed path): maxSharedScanInputBytes = 0
+    // forces the two-scan shape — outputs must match bit-for-bit on
+    // BOTH routes, with the shipped entry's df-cap engaged
+    val sharedExact = Dedup.pruneNearDupsAuto(docs, "doc_id", "text",
+      "source", threshold = 0.3, maxShingleDocFrac = Some(0.5))
+    val unsharedExact = Dedup.pruneNearDupsAuto(docs, "doc_id", "text",
+      "source", threshold = 0.3, maxShingleDocFrac = Some(0.5),
+      maxSharedScanInputBytes = 0L)
+    assert(sharedExact.collect().toSet === unsharedExact.collect().toSet)
+    val sharedLsh = Dedup.pruneNearDupsAuto(docs, "doc_id", "text",
+      "source", threshold = 0.3, maxShingleDocFrac = Some(0.5),
+      maxCandidatePairs = 0L)
+    val unsharedLsh = Dedup.pruneNearDupsAuto(docs, "doc_id", "text",
+      "source", threshold = 0.3, maxShingleDocFrac = Some(0.5),
+      maxCandidatePairs = 0L, maxSharedScanInputBytes = 0L)
+    assert(sharedLsh.collect().toSet === unsharedLsh.collect().toSet)
   }
 
   test("hammingPairMassAudit: class structure by hand, bucket mass cross-checked against the fingerprints") {
