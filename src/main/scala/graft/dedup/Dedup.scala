@@ -1201,10 +1201,13 @@ object Dedup {
     * machine): sf0.1 3.42 s shared vs 4.71 s unshared; sg100 158 s vs
     * 240 s with shuffle write 15.50 vs 15.81 GB (the audit's exchange
     * folds into the checkpoint's (blk, s) partitioning) — the win is
-    * the four dropped tokenize+xxhash64 corpus passes (audit, join
-    * a-side recompute via ReusedExchange's miss on the sizes agg,
-    * and the doc-size aggregate), visible as 9.4 GB of cached-block
-    * re-reads replacing them.
+    * the dropped recomputation of the universe lineage across the
+    * router's TWO jobs (runtime exchange reuse never spans jobs, so
+    * the audit job re-derived everything the chain job then derived
+    * again; within the chain each consumer also re-evaluates the
+    * df-cap window on top of any reused exchange). Visible in the
+    * metrics as 9.4 GB of cached-block reads — exactly 3 consumers x
+    * the 3.14 GB checkpoint — replacing those recomputes.
     */
   def pruneNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleN: Int = 3,
