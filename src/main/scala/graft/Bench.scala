@@ -1,10 +1,15 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. Failed queries report
-  * -1 (never a fake elapsed time). Results are forced through the noop
-  * sink so projections/aggregations actually execute (a bare count()
-  * would let Catalyst prune the work being measured).
+  * SPARK_GRAFT_SF_DIR and prints the full per-query JSON line, followed
+  * by a compact (~200 B) one-line summary as the LAST stdout line so a
+  * bounded tail capture always sees a whole parseable line (r16,
+  * verdict-r15 item 1 — the full line outgrew the driver's tail window
+  * at 157 queries and two rounds of PERF comparison came back empty).
+  * Failed queries report -1 (never a fake elapsed time). Results are
+  * forced through the noop sink so projections/aggregations actually
+  * execute (a bare count() would let Catalyst prune the work being
+  * measured).
   */
 object Bench {
 
@@ -54,6 +59,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2))
+    // SPARK_GRAFT_PASS_ORDER (r16, verdict-r15 item 2):
+    //   query (default) — the passes of one query run back-to-back
+    //     (the historical min-of-N shape; kept as the default so the
+    //     driver's runs stay methodology-identical across rounds).
+    //   sweep — INTERLEAVED passes: the full query surface runs once,
+    //     then again, and each query keeps its min ACROSS sweeps. A
+    //     transient machine spike (page-cache eviction, a background
+    //     task) then lands in ONE sweep and the other sweep's clean
+    //     number survives, where back-to-back passes of the same query
+    //     both sit inside the spike — the r15 noise-band mechanism
+    //     that shipped ann_knn_join at 1.56 s against a true ~0.9 s.
+    //     Used (with REPEAT=3) for re-canonicalizing BENCH_LOCAL.json.
+    val passOrder = sys.env.getOrElse("SPARK_GRAFT_PASS_ORDER", "query")
+    require(Set("query", "sweep")(passOrder),
+      s"SPARK_GRAFT_PASS_ORDER must be query|sweep, got '$passOrder'")
     // Full untruncated artifact destination. BENCH_LOCAL.json is
     // reserved for FULL runs on the canonical driver sf dir — a
     // scale-fixture or SPARK_GRAFT_ONLY run writes a suffixed file
@@ -128,19 +148,32 @@ object Bench {
         s"${name}_cold_build" ->
           (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val namedFns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def onePass(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val times = (1 to repeat).map(_ => onePass())
+    def onePass(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // per-query pass times, ordered per passOrder: "query" runs each
+    // query's N passes back-to-back; "sweep" runs N full-surface passes
+    // and collates per query afterwards.
+    val timesByQuery: Map[String, Seq[Double]] =
+      if (passOrder == "sweep")
+        (1 to repeat).flatMap(_ =>
+          namedFns.map { case (n, f) => n -> onePass(n, f) })
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      else
+        namedFns.map { case (n, f) =>
+          n -> (1 to repeat).map(_ => onePass(n, f)) }.toMap
+    val results = namedFns.map { case (name, fn) =>
+      val times = timesByQuery(name)
       val base = if (times.contains(-1.0)) -1.0 else times.min
       // retry triggers: (a) the two passes disagree by >1.5x — direct
       // evidence of intra-run contention, needs no prior number; (b)
@@ -151,7 +184,7 @@ object Bench {
       val vsRef = scalingRef.get(name).exists(ref => base > ref * 1.5)
       val best =
         if (base >= 0 && (spread || vsRef)) {
-          val extra = onePass()
+          val extra = onePass(name, fn)
           if (extra >= 0) math.min(base, extra) else base
         } else base
       name -> best
@@ -219,11 +252,23 @@ object Bench {
     // unreadable from the numbers alone — record what this run used
     val shufP = spark.conf.get("spark.sql.shuffle.partitions")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"shuffle_partitions":$shufP,"warmup":"$warmup","repeat":$repeat,"queries":$qs,"artifact":"$outName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"index_builds":$ib,"vs_committed":$vsCommitted,"shuffle_partitions":$shufP,"warmup":"$warmup","repeat":$repeat,"pass_order":"$passOrder","queries":$qs,"artifact":"$outName","sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // COMPACT summary as the LAST stdout line (r16, verdict-r15 item
+    // 1): the full line above is the per-query contract but at 157
+    // queries it is ~5 KB, and the driver records only a bounded tail
+    // of stdout — both r14 and r15 driver benches captured the tail
+    // MID-LINE and parsed nothing, losing two rounds of ground truth.
+    // This line is ~200 bytes, so it always survives whole at the tail
+    // end; the full per-query map lives in the `artifact` file (and in
+    // the full line when the capture window reaches it). The totals
+    // here are THE SAME numbers as the full line's — a summary, not a
+    // second measurement.
+    val cpusJson = if (cpus.forall(_.isDigit)) cpus else "\"" + cpus + "\""
+    println(s"""{"total":$total,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","cpus":$cpusJson,"unit":"sec","artifact":"$outName"}""")
     spark.stop()
   }
 }

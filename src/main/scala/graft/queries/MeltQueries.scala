@@ -100,7 +100,11 @@ object MeltQueries extends QueryPack {
     // broadcast: alb is a per-day aggregate of the fixture (bounded rows);
     // without the hint the planner picks a SortMergeJoin and pays two
     // sort+exchange pairs on a join whose build side fits in one block
-    // (r15 plan sweep; plans/r15/melt_from_hobo_{before,after}.txt)
+    // (r15 plan sweep; plans/r15/melt_from_hobo_{before,after}.txt).
+    // Cardinality assumption (ADVICE r15): alb grows as stations x
+    // days, so the hint is sized for sensor-fixture time spans; a
+    // multi-decade many-station deployment should drop the hint and
+    // let the planner (and AQE) choose from the measured size.
     withInc
       .join(broadcast(alb), col("stn") === col("a_stn") &&
         date_trunc("day", col("ts")) === col("day"), "left")

@@ -64,6 +64,28 @@ object TimeSeriesQueries extends QueryPack {
         col("roll_min"), col("roll_max"), r6(col("roll_sum")).as("roll_sum"),
         col("roll_n"), r6(col("roll_mean")).as("roll_mean"))
 
+  /** A2m `ts_rolling_median_scalable` — the SKEW-ROBUST rolling MEDIAN
+    * ([[TimeSeriesOps.cRollingMedianScalable]]): the grid-histogram
+    * merge-able sketch over the same (t-2h, t] frame as
+    * ts_rolling_multi's exact `roll_med`, decomposed into the
+    * cRollingScalable bucketed prefix/suffix combine — per-row state
+    * is one long[512] count vector (update O(1), merge element-wise),
+    * so one hot key spreads across (time-range / window) tasks instead
+    * of sorting every frame in one straggler (exact rolling median is
+    * not monoid-decomposable; this is the routed shape at scale, the
+    * ts_rolling_scalable convention). Deterministic but grid-valued →
+    * rows-only; the CHECKS ceiling pins
+    * |roll_med_grid − exact roll_med| <= (max−min)/(2·512) against
+    * ts_rolling_multi on the gate fixture, and the spec pins the same
+    * bound on adversarial fixtures. roll_n is bit-identical to the
+    * frame form's and is pinned by the spec too.
+    */
+  def tsRollingMedianScalable(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cRollingMedianScalable(e(s, dir), Seq("user_id"), "ts",
+        "value", 7200, nCells = 512)
+      .select(col("user_id"), fmtTs(col("ts_c")).as("ts_c"),
+        r6(col("roll_med_grid")).as("roll_med_grid"), col("roll_n"))
+
   /** A12 `ts_step` — two-sample step detection: mean over [t, t+72h)
     * minus mean over [t-72h, t) per user, null when either side has
     * fewer than 3 observations. The flag derives from the r6-rounded
@@ -257,6 +279,7 @@ object TimeSeriesQueries extends QueryPack {
     "ts_rolling_center" -> tsRollingCenter,
     "ts_rolling_multi" -> tsRollingMulti,
     "ts_rolling_scalable" -> tsRollingScalable,
+    "ts_rolling_median_scalable" -> tsRollingMedianScalable,
     "ts_rolling_std" -> tsRollingStd,
     "ts_resample_1d" -> tsResample1d,
     "ts_asof_join" -> tsAsofJoin,

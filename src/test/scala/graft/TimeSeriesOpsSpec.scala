@@ -413,6 +413,73 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("cRollingMedianScalable: grid median within cellWidth/2 of the exact frame median, roll_n bit-identical") {
+    // the cRollingScalable adversarial fixture: hot dense key with
+    // nulls + duplicate timestamps, boundary key with exact-w frames,
+    // an isolated row (frame of one), a constant-value key (cellWidth
+    // degenerates to 0 -> exact)
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 700).map { i =>
+      val sec = i * 37 + rnd.nextInt(17)
+      ("hot", f"2024-01-01 ${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02d",
+        if (i % 19 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((i * 13 % 97).toDouble))
+    }
+    val boundary = Seq(
+      ("b", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      ("b", "2024-01-01 02:00:00", java.lang.Double.valueOf(2.0)),
+      ("b", "2024-01-01 02:00:00", java.lang.Double.valueOf(3.0)),
+      ("b", "2024-01-01 03:59:59", java.lang.Double.valueOf(4.0)),
+      ("b", "2024-01-01 09:00:00", java.lang.Double.valueOf(5.0)),
+      ("c", "2024-01-01 00:00:00", java.lang.Double.valueOf(42.0)),
+      ("c", "2024-01-01 01:00:00", java.lang.Double.valueOf(42.0)))
+    val df = series(hot ++ boundary: _*)
+    val nCells = 64 // coarse on purpose: the bound must hold, not luck
+    val stats = df.agg(min(col("v").cast("double")),
+      max(col("v").cast("double"))).head
+    val cellW = (stats.getDouble(1) - stats.getDouble(0)) / nCells
+    for (minPeriods <- Seq(1, 3)) {
+      val exact = TimeSeriesOps.cRolling(df, Seq("k"), "t", "v", 7200,
+          Seq("roll_n" -> (c => count(c)),
+            "_frame" -> (c => collect_list(c))), minPeriods)
+        .select(col("k"), col("t_c"), col("roll_n"),
+          when(size(col("_frame")) > 0,
+            TimeSeriesOps.medianOfArray(col("_frame"))).as("med"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (Option(r.getAs[Any]("roll_n")), Option(r.getAs[Any]("med"))))
+        .toMap
+      val grid = TimeSeriesOps.cRollingMedianScalable(df, Seq("k"), "t",
+          "v", 7200, nCells, minPeriods)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          (Option(r.getAs[Any]("roll_n")),
+            Option(r.getAs[Any]("roll_med_grid"))))
+      assert(grid.map(_._1).toSet === exact.keySet)
+      grid.foreach { case (key, (n, med)) =>
+        val (en, emed) = exact(key)
+        assert(n === en, s"roll_n diverged at $key, minPeriods=$minPeriods")
+        assert(med.isDefined === emed.isDefined,
+          s"null-ness diverged at $key, minPeriods=$minPeriods")
+        (med, emed) match {
+          case (Some(g), Some(e)) =>
+            val err = math.abs(g.asInstanceOf[Double] - e.asInstanceOf[Double])
+            assert(err <= cellW / 2 + 1e-9,
+              s"grid median off by $err (> ${cellW / 2}) at $key")
+          case _ => ()
+        }
+      }
+    }
+    // whole-column-constant corpus: cellWidth degenerates to 0 and the
+    // estimate is exact
+    val const = series(
+      ("c", "2024-01-01 00:00:00", java.lang.Double.valueOf(42.0)),
+      ("c", "2024-01-01 01:00:00", java.lang.Double.valueOf(42.0)))
+    TimeSeriesOps.cRollingMedianScalable(const, Seq("k"), "t", "v", 7200,
+        nCells).collect()
+      .foreach(r => assert(r.getAs[Double]("roll_med_grid") === 42.0))
+  }
+
   test("sessionLabelsScalable matches the window-form session numbering across bucket widths") {
     // adversarial fixture: a hot key whose sessions CHAIN across many
     // buckets (events every 2h, gap 3h -> one long session), exact-gap
