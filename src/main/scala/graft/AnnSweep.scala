@@ -139,18 +139,39 @@ object AnnSweep {
         .filter(col("_r") <= 5).select(col("qid"), col("cid"))
         .localCheckpoint(true)
     }
-    for (p <- Seq(2, 4, 8)) {
+    // r16 (verdict-r15 item 4): sweep kIvf TOO — the candidate mass per
+    // query is corpus x nProbe/kIvf, so a finer coarse quantizer cuts
+    // the batch join's quadratic-ish pair count structurally where
+    // nProbe only scales it. Candidate counts are MEASURED (sum over
+    // queries of probed-bucket occupancy), not the uniform-bucket
+    // estimate, because k-means buckets are not uniform.
+    for ((kIvf, p) <- Seq((16, 2), (16, 4), (64, 4), (64, 8), (64, 16))) {
+      val kIdx =
+        if (kIvf == 16) idx
+        else graft.similarity.IvfIndex.buildOrRefresh(corpus, "vec_id",
+          "embedding", s"spark-warehouse/ivf_sweep_${san}_k$kIvf", k = kIvf)
+      val nCand = {
+        val probes = corpus
+          .select(col("vec_id").as("qid"),
+            explode(org.apache.spark.sql.graft.CentroidExpressions
+              .nearestCentroidIds(col("embedding").cast("array<double>"),
+                graft.similarity.Similarity.collectCentroids(
+                  kIdx.centroids, "cid", "centroid"), p)).as("cid"))
+        val occ = kIdx.assignments.groupBy(col("cid"))
+          .agg(count(lit(1)).as("_n"))
+        probes.join(occ, Seq("cid"))
+          .agg(coalesce(sum(col("_n")), lit(0L))).head.getLong(0)
+      }
       val t0 = System.nanoTime()
-      val got = idx.topKBatch(corpus, "vec_id", 5, nProbe = p,
+      val got = kIdx.topKBatch(corpus, "vec_id", 5, nProbe = p,
           excludeSelf = true)
         .select(col("query_id").as("qid"), col("vec_id").as("cid"))
       val hit = got.join(bruteKnn, Seq("qid", "cid"), "left_semi").count()
       val total = bruteKnn.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(s"""{"index":"knn_join","config":"nProbe=$p",""" +
+      println(s"""{"index":"knn_join","config":"kIvf=$kIvf,nProbe=$p",""" +
         s""""mean_recall_at_5":${hit.toDouble / total},""" +
-        s""""candidates":${(nCorpus.toDouble * p / 16).toLong},""" +
-        s""""wall_sec":$wall}""")
+        s""""candidates":$nCand,"wall_sec":$wall}""")
     }
     // scalastyle:on println
     spark.stop()

@@ -123,8 +123,9 @@ object Bench {
     // neither. Delete each index and time ONE cold pass up front
     // (reported in a separate "index_builds" field as
     // <name>_cold_build = build + first probe); the regular min-of-N
-    // passes below then measure the warm probe path. ann_knn_join
-    // shares ann_ivf's index and so also runs warm in the main loop.
+    // passes below then measure the warm probe path. Since r16
+    // ann_knn_join has its OWN k=64 index (verdict-r15 item 4) and
+    // gets its own cold-build entry; ann_ivf keeps the shared k=16.
     val san = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     def deleteRecursively(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
@@ -133,6 +134,7 @@ object Bench {
       }
     val indexBuilds = Seq(
       "ann_ivf" -> s"spark-warehouse/ivf_${san}_k16",
+      "ann_knn_join" -> s"spark-warehouse/ivf_${san}_k64",
       "dedup_incremental" -> s"spark-warehouse/lsh_incr_v2_$san")
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, path) =>

@@ -268,9 +268,11 @@ object Checks {
     val knn = SimilarityQueries.annKnnJoin(spark, sfDir)
       .select(col("query_id"), col("vec_id")).cache()
     val knnHit = knn.join(bruteKnn, Seq("query_id", "vec_id")).count()
-    // 80% of the r15 AnnSweep's measured 0.569 at the default nProbe=4
+    // 80% of the r16 AnnSweep's measured 0.583 at the shipped
+    // kIvf=64, nProbe=8 (raised from r15's 0.455 = 80% of 0.569 at
+    // kIvf=16, nProbe=4 — the floor only ever tightens)
     checks += Check("ann_knn_join", "mean_recall_at_5_vs_brute",
-      knnHit.toDouble / math.max(5 * nQueries, 1), 0.455, ">=")
+      knnHit.toDouble / math.max(5 * nQueries, 1), 0.466, ">=")
     val knnMass = knn
       .join(directed, Seq("query_id", "vec_id"))
       .agg(sum(col("cos"))).head().getDouble(0)

@@ -24,7 +24,27 @@ object TaskMetricsProbe {
     @volatile var inputRecords = 0L
     @volatile var inputBytes = 0L
     @volatile var spillBytes = 0L
+    @volatile var nStages = 0L
+    @volatile var nTasks = 0L
+    @volatile var nJobs = 0L
+    // SPARK_GRAFT_JOBS=1 additionally prints one line per Spark job
+    // (wall, stage count) — the stage-floor attribution view (r16)
+    val perJob = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        nJobs += 1
+        jobStart.put(js.jobId, System.nanoTime())
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (perJob) {
+          val t0 = jobStart.getOrDefault(je.jobId, 0L)
+          // scalastyle:off println
+          println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+          // scalastyle:on println
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         // first attempt only: stage/task retries re-run the same work,
         // and summing every attempt would double-count input/shuffle
@@ -35,6 +55,8 @@ object TaskMetricsProbe {
           shuffleWrite += m.shuffleWriteMetrics.bytesWritten
           shuffleRead += m.shuffleReadMetrics.totalBytesRead
           inputRecords += m.inputMetrics.recordsRead
+          nStages += 1
+          nTasks += sc.stageInfo.numTasks
           inputBytes += m.inputMetrics.bytesRead
           spillBytes += m.diskBytesSpilled
         }
@@ -49,7 +71,7 @@ object TaskMetricsProbe {
     // consecutive reads rather than trusting a fixed sleep, which can
     // under-drain on a loaded machine
     def snap() = (shuffleWrite, shuffleRead, inputRecords, inputBytes,
-      spillBytes)
+      spillBytes, nStages, nTasks, nJobs)
     var prev = snap()
     var stable = 0
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -63,7 +85,9 @@ object TaskMetricsProbe {
       s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
       s""""shuffle_write_bytes":$shuffleWrite,""" +
       s""""shuffle_read_bytes":$shuffleRead,""" +
-      s""""disk_spill_bytes":$spillBytes,"wall_sec":$wall}""")
+      s""""disk_spill_bytes":$spillBytes,""" +
+      s""""n_jobs":$nJobs,"n_stages":$nStages,"n_tasks":$nTasks,""" +
+      s""""wall_sec":$wall}""")
     // scalastyle:on println
     spark.stop()
   }

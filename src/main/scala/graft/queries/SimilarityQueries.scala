@@ -108,13 +108,26 @@ object SimilarityQueries extends QueryPack {
     * corpus-scale shuffles are the cid semi-join and the per-query
     * rank. Seed/probe-defined -> rows-only; SimilaritySpec pins recall
     * against the brute-force kNN on a fixture.
+    *
+    * kIvf=64, nProbe=8 since r16 (verdict-r15 item 4, AnnSweep curves):
+    * the candidate-stage cost of the batch join is
+    * corpus x nProbe/kIvf cosine evaluations, so a FINER coarse
+    * quantizer cuts the pair mass structurally where nProbe only
+    * scales it. Measured: candidates −54% at sg10 (16.8M → 7.7M,
+    * recall@5 1.0 → 0.988) and −50% at the sf0.01 gate fixture with
+    * recall@5 UP 0.569 → 0.583; at sg100 the candidate stage's bytes
+    * and wall drop ~2x (SCALING.md r16). The batch join keeps its OWN
+    * k=64 index (`_k64` path) — ann_ivf's single-probe shape stays on
+    * the shared k=16 index whose nProbe=4 knee the r15 sweep pinned,
+    * so its declared output is untouched. The k64 cold build is timed
+    * separately in Bench's `index_builds` (the ann_ivf convention).
     */
   def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val san = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val idx = graft.similarity.IvfIndex.buildOrRefresh(
       corpus(s, dir), "vec_id", "embedding",
-      s"spark-warehouse/ivf_${san}_k16")
-    idx.topKBatch(corpus(s, dir), "vec_id", 5, nProbe = 4, excludeSelf = true)
+      s"spark-warehouse/ivf_${san}_k64", k = 64)
+    idx.topKBatch(corpus(s, dir), "vec_id", 5, nProbe = 8, excludeSelf = true)
       .select(col("query_id"), col("vec_id"), r6(col("cosine")).as("cosine"))
   }
 

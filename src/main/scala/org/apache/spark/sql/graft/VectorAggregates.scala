@@ -189,10 +189,14 @@ case class CellCounts(child: Expression, nCells: Int,
 
   override def eval(buf: CellCountsBuffer): Any = {
     if (buf.counts.length == 0) return null
-    // pad to the full grid so consumers can zip prefix/suffix blindly
+    // pad to the full grid so consumers can zip prefix/suffix blindly;
+    // UnsafeArrayData keeps the longs primitive (a GenericArrayData
+    // would box 512 Longs per row per window — pure GC pressure on
+    // the rolling-median hot path)
     val out = new Array[Long](nCells)
     System.arraycopy(buf.counts, 0, out, 0, buf.counts.length)
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   override def serialize(buf: CellCountsBuffer): Array[Byte] = {
